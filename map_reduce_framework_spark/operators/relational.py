@@ -1,0 +1,581 @@
+"""Core relational operators, each as a named query over the star schema.
+
+Every function here takes ``(spark, sf_dir)`` and returns a DataFrame; the
+module-level ``QUERIES`` / ``ORACLES`` dicts feed ``plans.registry`` and the
+driver contract.  All computed columns are aliased identically in the Spark
+code and the DuckDB oracle SQL (the driver's compare hashes columns by name).
+
+Reference parity notes (SURVEY.md §2):
+
+- ``search_substring`` re-expresses the Search client's query shape
+  (Search.cpp:167-229): a set of query terms × a namespace of names,
+  substring containment, grouped/ordered output.  Here the "directory" is
+  the ``part`` table; the true filesystem source lives in
+  ``search_client.py``.
+- ``wordcount`` is the spec's canonical MapReduce workload
+  (MapReduceEX.pdf pp.3-4): tokenize → count per word.
+- Everything else (joins, windows, set ops, rollup...) has **no**
+  counterpart in the reference (SURVEY §2.4 marks them absent) and is part
+  of the engine's widened, Spark-native surface.
+
+Scale notes: filters/projections are plain Column expressions so Catalyst
+pushes them into the Parquet scan; dimension-side joins use explicit
+``F.broadcast``; aggregations are expressed with built-in ``F`` functions so
+partial (map-side) aggregation and whole-stage codegen apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+# Terms for the Search-parity flagship query: substring matching over names.
+SEARCH_TERMS = ("old", "wid", "gree", "sma")
+
+
+# --------------------------------------------------------------------------
+# Search parity + canonical MapReduce workloads
+# --------------------------------------------------------------------------
+
+
+def search_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-client parity: names containing each query term, k3-ordered.
+
+    Shape of Search.cpp:167-229 — (query, name) pairs filtered by substring
+    containment, output ordered by key.  The terms side is tiny and
+    broadcast; the scan side only reads ``p_name`` (column pruning).
+    """
+    part = load_table(spark, sf_dir, "part")
+    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], "query string")
+    return (
+        part.join(F.broadcast(terms), F.col("p_name").contains(F.col("query")))
+        .select("query", "p_name")
+        .orderBy("query", "p_name")
+    )
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical WordCount (spec PDF pp.3-4): tokenize documents, count.
+
+    ``explode(split())`` stays JVM-side; ``groupBy().count()`` gets a
+    map-side partial aggregate — the combiner the reference never had
+    (SURVEY §2.4 aggregations row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("word")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / scalar functions
+# --------------------------------------------------------------------------
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection, pushed into the Parquet scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where((F.col("p_size") >= 20) & (F.col("p_type") == "ECONOMY"))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("p_retailprice") * F.lit(0.9)).alias("discounted_price"),
+        )
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar function exemplars over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.year(F.col("o_orderdate")).alias("order_year"),
+        F.month(F.col("o_orderdate")).alias("order_month"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the engine's headline aggregation.
+
+    Filter is a scan-level predicate; all aggregates are built-in so Spark
+    runs partial_hashagg → exchange → final_hashagg with codegen.  Double
+    aggregates are rounded in both engines to absorb summation-order jitter.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by with HAVING: customers with ≥ 5 orders and their spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.max("o_totalprice"), 2).alias("max_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_order"),
+        )
+        .where(F.col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (SURVEY §2.4 distinct row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — multi-level aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (none exist in the reference — SURVEY §2.4 joins row)
+# --------------------------------------------------------------------------
+
+
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join: revenue per nation.
+
+    ``nation`` and ``customer`` are dimension-sized → explicit broadcast;
+    only the orders↔customer side can shuffle, and AQE may convert it too.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one urgent order."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent order (selective predicate
+    so the check is non-trivial at every SF — every customer has *some*
+    order in the testdata)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + null-handling aggregate: order count per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by value: Spark plans TakeOrderedAndProject (no full
+    sort — per-partition heap + driver merge), the scale-correct top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via window row_number (shuffle on the
+    partition key once; no self-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (none in reference — SURVEY §2.4 window row)
+# --------------------------------------------------------------------------
+
+
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + lag + running frame aggregate per customer order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("order_seq"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+# --------------------------------------------------------------------------
+# Set operations (none in reference — SURVEY §2.4 set-ops row)
+# --------------------------------------------------------------------------
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered key sets (duplicates preserved, §2.3d)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        hi.unionAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_custkey")
+    )
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer key sets from two predicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return hi.intersect(urgent).orderBy("o_custkey")
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of customer key sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return hi.exceptAll(urgent.distinct()).distinct().orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Semi-structured (events.props JSON)
+# --------------------------------------------------------------------------
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column and aggregate an extracted field."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregate over event time (1-hour buckets).
+
+    Same logical query as the Structured Streaming demo
+    (:mod:`..streaming.events_stream`); here computed on the batch table so
+    it is oracle-checkable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+QUERIES = {
+    "search_substring": search_substring,
+    "wordcount": wordcount,
+    "filter_project": filter_project,
+    "scalar_functions": scalar_functions,
+    "pricing_summary": pricing_summary,
+    "group_having": group_having,
+    "distinct_keys": distinct_keys,
+    "rollup_agg": rollup_agg,
+    "join_equi": join_equi,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_outer": join_outer,
+    "top_k": top_k,
+    "top_k_per_group": top_k_per_group,
+    "window_rank_lag": window_rank_lag,
+    "set_union_all": set_union_all,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "json_extract": json_extract,
+    "events_time_window": events_time_window,
+}
+
+_SEARCH_VALUES = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
+
+ORACLES = {
+    "search_substring": f"""
+        SELECT t.query, p.p_name
+        FROM (VALUES {_SEARCH_VALUES}) AS t(query)
+        JOIN part p ON contains(p.p_name, t.query)
+        ORDER BY t.query, p.p_name
+    """,
+    "wordcount": """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY word
+    """,
+    "filter_project": """
+        SELECT p_partkey, p_name, p_retailprice * 0.9 AS discounted_price
+        FROM part WHERE p_size >= 20 AND p_type = 'ECONOMY'
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS status_upper,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               length(o_orderpriority) AS prio_len,
+               year(o_orderdate) AS order_year,
+               month(o_orderdate) AS order_month,
+               round(sqrt(o_totalprice), 4) AS sqrt_price,
+               round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
+        FROM orders
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "group_having": """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend,
+               round(max(o_totalprice), 2) AS max_order,
+               round(min(o_totalprice), 2) AS min_order
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+        ORDER BY o_custkey
+    """,
+    "distinct_keys": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "join_equi": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    "join_outer": """
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey
+    """,
+    "top_k": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "top_k_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    "window_rank_lag": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER w AS order_seq,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq
+    """,
+    "set_union_all": """
+        SELECT o_custkey, count(*) AS cnt FROM (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "set_intersect": """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+    """,
+    "set_except": """
+        SELECT DISTINCT o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT')
+        ORDER BY o_custkey
+    """,
+    "json_extract": """
+        SELECT event_type,
+               round(avg(k), 4) AS avg_k, max(k) AS max_k,
+               count(*) AS n_events
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "events_time_window": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+}

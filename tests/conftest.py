@@ -1,0 +1,87 @@
+"""Shared fixtures: one SparkSession per test run + oracle compare helper.
+
+``assert_matches_oracle`` reproduces the driver's correctness gate locally
+(row count + column names + order-insensitive values, float-tolerant) so
+every operator is validated against DuckDB before the driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduce_framework_spark.session import get_spark  # noqa: E402
+from map_reduce_framework_spark.sources.tables import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("mrfs-tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<NULL>"
+        if isinstance(v, float):
+            if math.isinf(v):
+                return repr(v)
+            return f"{v:.6g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(str(canon(x)) for x in v) + "]"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.apply(lambda col: col.map(canon))
+    if len(out):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(
+        oracle_pdf.columns
+    ), f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    assert len(spark_pdf) == len(
+        oracle_pdf
+    ), f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if not a.equals(b):
+        diff_mask = (a != b).any(axis=1)
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs:\n"
+            f"spark:\n{a[diff_mask].head(5)}\noracle:\n{b[diff_mask].head(5)}"
+        )
+
+
+def assert_matches_oracle(spark, duck, query_fn, sql: str, name: str, sf_dir=SF_DIR):
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)

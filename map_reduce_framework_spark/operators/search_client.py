@@ -1,0 +1,84 @@
+"""Search-client parity: the reference's one demo application, re-expressed.
+
+Reference: Search.cpp — given a query substring and N folders, emit every
+directory-entry name (non-recursive, all entry types, including ``.`` and
+``..``; Search.cpp:191 uses raw ``readdir``) whose name contains the query,
+printed space-separated in sorted order (Search.cpp:277-309; expected
+output example spec PDF p.5: query "os" ⇒ ``osTargil sos``).
+
+Semantics preserved:
+- invalid/unreadable folder ⇒ contributes 0 rows, silently
+  (Search.cpp:186-189);
+- the containment filter runs in the *reduce* phase, as in the reference
+  (Search.cpp:217-227) — the reference never did the cheaper map-side
+  filter (SURVEY §4.1); the facade client keeps reduce-side filtering for
+  parity, duplicates preserved (one output per matching entry, §2.3d);
+- output sorted by key (the query word), §2.3a.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+from ..mapreduce import run_map_reduce
+
+NUM_OF_THREADS = 20  # reference default parallelism, Search.cpp:12
+
+
+def _list_dir(query: str, folder: str):
+    """Map fn (S1): one (query, entry_name) per directory entry.
+
+    Emits ``.`` and ``..`` like readdir; silently emits nothing for an
+    invalid path (Search.cpp:186-189).
+    """
+    try:
+        names = [".", ".."] + sorted(os.listdir(folder))
+    except OSError:
+        return
+    for name in names:
+        yield query, name
+
+
+def _filter_matches(query: str, names: list):
+    """Reduce fn (S2/S3): keep names containing the query substring —
+    reduce-side for parity with Search.cpp:217-227."""
+    for name in names:
+        if query in name:
+            yield query, name
+
+
+def search(
+    spark: SparkSession,
+    pairs: list[tuple[str, str]],
+    num_partitions: int = NUM_OF_THREADS,
+) -> list[tuple[str, str]]:
+    """Run the Search query over (query, folder) input pairs.
+
+    Returns (query, matching_name) pairs sorted by query (§2.3a); within a
+    query, order is unspecified (§2.3b).
+    """
+    return run_map_reduce(
+        spark, pairs, _list_dir, _filter_matches, num_partitions
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI parity with Search.cpp:277-309: ``search <substring> <folders...>``."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
+        print("Usage: <substring to search> <folders, separated by space>", file=sys.stderr)
+        return 1
+    query, folders = argv[0], argv[1:]
+    from ..session import get_spark
+
+    spark = get_spark("search-client")
+    out = search(spark, [(query, f) for f in folders])
+    print(" ".join(name for _, name in out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import relational
+from ..operators import relational, wordcount_client
 
-_MODULES = [relational]
+_MODULES = [relational, wordcount_client]
 
 
 def _collect() -> tuple[dict, dict]:

@@ -1,0 +1,533 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each a
+pure DataFrame composition (no Python UDFs — everything stays in
+whole-stage codegen) with a DuckDB oracle:
+
+- exact (content-hash groupBy)
+- n-gram Jaccard (shingle-share candidate join + exact verify)
+- MinHash + LSH banding (signature → band buckets → candidate join →
+  exact-Jaccard verify)
+- SimHash (60-bit signature, chunk-blocked Hamming join)
+- embedding cosine (label-blocked near-dup pairs)
+
+Cross-engine determinism: the base hash everywhere is the first 15 hex
+digits of md5 → non-negative 60-bit BIGINT, identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``), so every signature,
+band, bucket, and output row is bit-identical between the engine and its
+oracle.
+
+Scale notes (100 TB): every candidate-generation step is an equi-join on
+a derived key (shingle, band hash, simhash chunk, label) — shuffle-
+partitionable, AQE-skew-splittable, never an O(n²) crossJoin.  The only
+quadratic work is *within* a candidate bucket, which is the standard
+LSH/blocking trade-off; band/chunk counts are module constants to retune
+per corpus.  The reference has no dedup operators at all (SURVEY §2.4);
+these are mandated extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing + shingling
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31-1; all MinHash arithmetic is mod this, keeping
+#: a*h+b < 2^62 (no BIGINT overflow in either engine).
+MINHASH_PRIME = 2_147_483_647
+
+#: (a, b) coefficients for the universal-hash family h_i(x) = (a*x + b) mod P.
+#: Fixed arbitrary constants — single source of truth for engine AND oracle.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_203_114_381, 222_200_771),
+    (1_150_203_517, 1_716_320_041),
+    (423_451_033, 905_064_337),
+    (1_966_491_409, 1_333_902_953),
+    (741_908_527, 54_321_971),
+    (1_089_076_651, 1_987_654_321),
+    (333_666_999, 123_456_791),
+    (2_046_204_101, 765_432_109),
+    (555_777_333, 1_444_888_221),
+    (999_111_777, 87_654_323),
+    (1_777_555_111, 1_234_567_891),
+    (66_778_899, 1_999_999_973),
+)
+
+#: MinHash LSH: 12-hash signature split into 4 bands × 3 rows.
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+#: n-gram shingle width (words).
+SHINGLE_N = 3
+
+#: SimHash: 60-bit signatures (md5 15-hex prefix), blocked into 4 chunks
+#: of 15 bits for the Hamming candidate join.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+SIMHASH_MAX_HAMMING = 8
+
+JACCARD_THRESHOLD = 0.8
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def hash60(col: Column) -> Column:
+    """60-bit non-negative BIGINT from md5 — Spark side of the shared hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    """DuckDB side of :func:`hash60` (verified identical output)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of a space-tokenized text column."""
+    return F.expr(
+        f"""CASE WHEN size(split({text_col}, ' ')) >= {n}
+            THEN array_distinct(transform(
+                sequence(0, size(split({text_col}, ' ')) - {n}),
+                i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))
+            ELSE CAST(array() AS array<string>) END"""
+    )
+
+
+def _shingles_sql(text_expr: str = "text", n: int = SHINGLE_N) -> str:
+    """DuckDB equivalent of :func:`shingles` (1-indexed lists)."""
+    toks = f"string_split({text_expr}, ' ')"
+    gram = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(1, n + 1))
+    return (
+        f"list_distinct(list_transform("
+        f"range(greatest(len({toks}) - {n - 1}, 0)), i -> {gram}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    keeping the lowest doc_id (the canonical survivor).
+
+    At 100 TB this is THE first-pass dedup: hash-partition on the digest,
+    map-side partial agg, no text shuffled — only (hash, id) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on *normalized* content (lowercase, collapsed
+    whitespace) — catches trivially re-formatted copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (
+        docs.select(norm.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", shingles().alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8.
+
+    Candidate generation = self-equi-join on shared shingle (shuffle on
+    the shingle key — skew-prone on stopword-heavy grams; AQE skew-join
+    handles it, and common-gram filtering is the standard refinement),
+    then |A∩B| via count and Jaccard from precomputed set sizes.
+    """
+    e = _shingle_exploded(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", rnd(jac, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes_col(sh_col: str = "sh") -> Column:
+    """Base hashes of a shingle array: h60(s) mod P, one array pass."""
+    return F.expr(
+        f"transform({sh_col}, s -> "
+        f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_PRIME}L)"
+    )
+
+
+def minhash_signature_col(hs_col: str = "hs") -> Column:
+    """12-element MinHash signature from a base-hash array column:
+    ``min over shingles of (a_i * h + b_i) mod P`` per coefficient pair —
+    pure array transforms, no UDF, no explode."""
+    mins = ", ".join(
+        f"array_min(transform({hs_col}, x -> (x * {a}L + {b}L) % {MINHASH_PRIME}L))"
+        for a, b in MINHASH_COEFFS
+    )
+    return F.expr(f"array({mins})")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: signature → 4 bands × 3 rows → bucket join →
+    exact-Jaccard verify ≥ 0.8.
+
+    The LSH join is an equi-join on (band_idx, band_key): at scale only
+    same-bucket pairs shuffle, never the corpus cross-product.  Verify is
+    exact, so output = (a subset of) true Jaccard pairs; band/row counts
+    trade recall for cost.  Identical banding runs in the oracle, so
+    results are exactly comparable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        docs.select("doc_id", shingles().alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("doc_id", "sh", shingle_hashes_col("sh").alias("hs"))
+        .select("doc_id", "sh", minhash_signature_col("hs").alias("sig"))
+    )
+    # band key = 'i:s1-s2-s3' string per band
+    band_exprs = [
+        F.concat_ws(
+            "-",
+            F.lit(i),
+            *[F.element_at("sig", i * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+        ).alias(f"band{i}")
+        for i in range(LSH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*band_exprs)).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", rnd(inter / union, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signature over distinct tokens, candidate
+    pairs blocked on equal 15-bit signature chunks, Hamming ≤ 8 output.
+
+    Chunk blocking (pigeonhole) guarantees recall for Hamming ≤ 3 and is
+    the documented approximation above that; the oracle replicates the
+    same blocking so outputs are exactly comparable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim_expr = term if sim_expr is None else sim_expr + term
+    sims = sums.select("doc_id", sim_expr.alias("simhash"))
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(c),
+                        F.shiftright(F.col("simhash"), c * SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+                        .cast("string"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_col(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    precision JVM-side (zip_with + aggregate — no Python)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate({b}, CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding near-dup pairs (cosine ≥ 0.35).
+
+    Blocking on ``label`` turns the O(n²) similarity join into an
+    equi-join + within-block pairs — at scale the block key would be an
+    ANN bucket (see similarity.ann_lsh_bucketed); the pattern is the same.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.withColumn("cosine", rnd(cosine_col("va", "vb"), 4))
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.col("label_a").alias("label"), "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles (DuckDB) — same constants, same hashing, same blocking
+# ---------------------------------------------------------------------------
+
+_SH = _shingles_sql("text")
+_H60_TOK = _hash60_sql("tok")
+
+_MINHASH_MINS = ", ".join(
+    f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_PRIME}))"
+    for a, b in MINHASH_COEFFS
+)
+
+_BAND_KEYS = ", ".join(
+    "concat_ws('-', "
+    + f"{i}, "
+    + ", ".join(f"sig[{i * LSH_ROWS + r + 1}]" for r in range(LSH_ROWS))
+    + ")"
+    for i in range(LSH_BANDS)
+)
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_CHUNK_KEYS = ", ".join(
+    f"concat_ws(':', {c}, CAST((simhash >> {c * SIMHASH_CHUNK_BITS}) "
+    f"& {(1 << SIMHASH_CHUNK_BITS) - 1} AS VARCHAR))"
+    for c in range(SIMHASH_CHUNKS)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
+    "dedup_exact_normalized": r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+        e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared,
+                     any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               (floor((shared / (n_a + n_b - shared)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS jaccard
+        FROM p WHERE (floor((shared / (n_a + n_b - shared)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+        sigh AS (SELECT doc_id, sh,
+                        list_transform(sh, t ->
+                            {_hash60_sql('t')} % {MINHASH_PRIME}) AS hs
+                 FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh, [{_MINHASH_MINS}] AS sig FROM sigh),
+        banded AS (SELECT doc_id, sh, unnest([{_BAND_KEYS}]) AS band_key
+                   FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM banded a JOIN banded b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh)) AS un
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.doc_a
+            JOIN s sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, (floor((inter / un) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS jaccard
+        FROM verified WHERE (floor((inter / un) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents),
+        hashed AS (SELECT doc_id, {_H60_TOK} AS h FROM toks WHERE tok <> ''),
+        sums AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id),
+        sims AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums),
+        chunks AS (SELECT doc_id, simhash,
+                          unnest([{_SIMHASH_CHUNK_KEYS}]) AS chunk_key
+                   FROM sims),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sim_a, b.simhash AS sim_b
+                 FROM chunks a JOIN chunks b
+                 ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+               (floor((list_cosine_similarity(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE (floor((list_cosine_similarity(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
+              >= {COSINE_DUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

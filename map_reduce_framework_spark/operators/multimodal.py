@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real 100 TB multimodal pipelines carry image/audio/video as opaque
+``binary`` columns with a typed metadata struct, and run decode /
+feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
+``mapInPandas``.  The decode libraries (PIL/ffmpeg/torchaudio) are NOT in
+this container, so the *codec* step is stubbed — a clearly-marked
+deterministic fake behind an import-try (``NotImplementedError`` if real
+decode is requested without the lib) — while everything Spark-side is
+real and tested: binary column construction, metadata schema, Arrow batch
+shapes, UDF signatures, partition-parallel execution.
+
+``media_table`` synthesizes the corpus: each document's text bytes stand
+in for a media payload (deterministic), with kind image/audio/video by
+``doc_id % 3``.  ``multimodal_features`` runs the mapInPandas extractor
+over it; its (deterministic) outputs are oracle-checked — the oracle
+recomputes byte length and first-byte from the same utf-8 payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+try:  # real decoders, absent in this container — the stub path is used
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_LIB = True
+except ImportError:
+    HAVE_IMAGE_LIB = False
+
+KINDS = ("image", "audio", "video")
+
+FEATURE_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, head_byte int, "
+    "n_frames_sampled int"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table: (doc_id, kind, payload binary,
+    meta struct<declared_bytes: long, source: string>)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("declared_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> dict:
+    """STUB codec: deterministic fake 'decode'.
+
+    Real implementation would be: image → PIL.Image.open; audio →
+    soundfile/torchaudio; video → pyav keyframe iterator.  Raises
+    ``NotImplementedError`` if real decode is requested and the library
+    is missing — callers opt into the fake explicitly.
+    """
+    return {
+        "n_bytes": len(payload),
+        "head_byte": payload[0] if payload else -1,
+        # video: pretend to sample 1 frame per 64 bytes, cap 8 (fake but
+        # deterministic); image/audio: single "frame"
+        "n_frames_sampled": min(len(payload) // 64, 8) if kind == "video" else 1,
+    }
+
+
+def decode_real(payload: bytes, kind: str) -> dict:
+    """Real decode entry point — unavailable in this container."""
+    if not HAVE_IMAGE_LIB:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg/torchaudio, not installed"
+        )
+    raise NotImplementedError("real decode wiring is out of scope for this env")
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas feature extractor: Arrow batches in, feature rows out.
+
+    One output row per media row; runs partition-parallel with no
+    shuffle — the canonical shape for per-item media processing.
+    """
+    for pdf in batches:
+        feats = [
+            decode_stub(payload, kind)
+            for payload, kind in zip(pdf["payload"], pdf["kind"])
+        ]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "kind", pdf["kind"].values)
+        yield out
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the media table via mapInPandas (stub
+    codec).  Deterministic, hence oracle-checkable end-to-end."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+ORACLES = {
+    # the oracle recomputes the deterministic fake-decode outputs from the
+    # same utf-8 payload: octet_length + first byte + fake frame sampling
+    "multimodal_features": """
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               CASE WHEN octet_length(encode(text)) > 0
+                    THEN ascii(substr(text, 1, 1)) ELSE -1 END AS head_byte,
+               CASE WHEN ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+                         = 'video'
+                    THEN least(octet_length(encode(text)) // 64, 8)
+                    ELSE 1 END AS n_frames_sampled
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {"multimodal_features": multimodal_features}

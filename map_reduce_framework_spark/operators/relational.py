@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import rnd
 from ..sources import load_table
 
 # Terms for the Search-parity flagship query: substring matching over names.
@@ -102,8 +103,8 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("o_orderpriority")).alias("prio_len"),
         F.year(F.col("o_orderdate")).alias("order_year"),
         F.month(F.col("o_orderdate")).alias("order_month"),
-        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
-        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        rnd(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        rnd(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
         F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
             "status_prio"
         ),
@@ -127,22 +128,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            rnd(F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                ), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -156,9 +152,9 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-            F.round(F.max("o_totalprice"), 2).alias("max_order"),
-            F.round(F.min("o_totalprice"), 2).alias("min_order"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_spend"),
+            rnd(F.max("o_totalprice"), 2).alias("max_order"),
+            rnd(F.min("o_totalprice"), 2).alias("min_order"),
         )
         .where(F.col("n_orders") >= 5)
         .orderBy("o_custkey")
@@ -179,7 +175,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy(
@@ -210,7 +206,7 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            rnd(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("n_name")
@@ -258,7 +254,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            rnd(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
                 "total_spend"
             ),
         )
@@ -311,13 +307,10 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.rank().over(w).alias("order_seq"),
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(
-            F.sum("o_totalprice").over(
+        rnd(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        rnd(F.sum("o_totalprice").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_spend"),
+            ), 2).alias("running_spend"),
     ).orderBy("o_custkey", "order_seq")
 
 
@@ -376,7 +369,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            rnd(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -398,7 +391,7 @@ def events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -453,21 +446,21 @@ ORACLES = {
                length(o_orderpriority) AS prio_len,
                year(o_orderdate) AS order_year,
                month(o_orderdate) AS order_month,
-               round(sqrt(o_totalprice), 4) AS sqrt_price,
-               round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+               (floor((sqrt(o_totalprice)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS sqrt_price,
+               (floor((abs(o_totalprice - 100000.0)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS abs_diff,
                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
         FROM orders
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               (floor((sum(l_quantity)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS sum_qty,
+               (floor((sum(l_extendedprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS sum_base_price,
+               (floor((sum(l_extendedprice * (1 - l_discount))) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS sum_disc_price,
+               (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE)
                    AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               (floor((avg(l_quantity)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS avg_qty,
+               (floor((avg(l_extendedprice)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS avg_price,
+               (floor((avg(l_discount)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -476,9 +469,9 @@ ORACLES = {
     """,
     "group_having": """
         SELECT o_custkey, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_spend,
-               round(max(o_totalprice), 2) AS max_order,
-               round(min(o_totalprice), 2) AS min_order
+               (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS total_spend,
+               (floor((max(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS max_order,
+               (floor((min(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS min_order
         FROM orders GROUP BY o_custkey HAVING count(*) >= 5
         ORDER BY o_custkey
     """,
@@ -488,12 +481,12 @@ ORACLES = {
     """,
     "rollup_agg": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+               (floor((sum(l_quantity)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS sum_qty, count(*) AS n_rows
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "join_equi": """
-        SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+        SELECT n_name, (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -515,7 +508,7 @@ ORACLES = {
     """,
     "join_outer": """
         SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+               (floor((coalesce(sum(o_totalprice), 0.0)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS total_spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name ORDER BY c_custkey
     """,
@@ -534,10 +527,8 @@ ORACLES = {
     "window_rank_lag": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                rank() OVER w AS order_seq,
-               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-               round(sum(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               (floor((lag(o_totalprice, 1) OVER w) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS prev_price,
+               (floor((sum(o_totalprice) OVER ( PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE)
                    AS running_spend
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -566,7 +557,7 @@ ORACLES = {
     """,
     "json_extract": """
         SELECT event_type,
-               round(avg(k), 4) AS avg_k, max(k) AS max_k,
+               (floor((avg(k)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS avg_k, max(k) AS max_k,
                count(*) AS n_events
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -575,7 +566,7 @@ ORACLES = {
     """,
     "events_time_window": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               count(*) AS n_events, round(sum(value), 2) AS sum_value
+               count(*) AS n_events, (floor((sum(value)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type
     """,
 }

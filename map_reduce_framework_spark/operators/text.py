@@ -1,0 +1,232 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All pure Column expressions (codegen'd, scan-pushed) with DuckDB oracles:
+
+- :func:`text_stats` — length/token/uniqueness statistics
+- :func:`quality_score` — composite quality heuristic + bucket
+- :func:`lang_id` — stopword-list language scoring (argmax with
+  alphabetical tie-break).  NOTE: honest about the synthetic corpus — all
+  languages share one vocabulary, so the predictor is deterministic but
+  uninformative here; the operator's value is the (portable) scoring
+  plumbing.
+- :func:`token_count_bpe` — regex "BPE-ish" tokenizer count (letter runs,
+  digit runs, single punctuation — the classic pre-tokenizer split)
+- :func:`doc_fingerprint` — bottom-k sketch of shingle hashes (a
+  deterministic, mergeable document fingerprint: equal docs ⇒ equal
+  sketches; near-dup docs ⇒ overlapping sketches)
+
+The reference has no text operators beyond substring containment
+(Search.cpp:223); these are mandated extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+from ..sources import load_table
+from .dedup import shingles
+
+#: per-language stopword lists for the scoring heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有"),
+}
+
+#: regex for the BPE-ish pre-tokenizer (portable Java/RE2 subset)
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+FINGERPRINT_K = 4
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/token statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.col("text")).alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        rnd(F.expr(
+                "aggregate(split(text, ' '), CAST(0 AS DOUBLE),"
+                " (acc, t) -> acc + length(t)) / size(split(text, ' '))"
+            ), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic: stopword ratio + length saturation +
+    lexical diversity, bucketed high/mid/low."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({en_stop})))"
+        " / CAST(size(split(text, ' ')) AS DOUBLE)"
+    )
+    len_sat = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    score = rnd(0.3 * stop_ratio + 0.4 * len_sat + 0.3 * diversity, 4)
+    return (
+        docs.select("doc_id", score.alias("quality"))
+        .withColumn(
+            "quality_bucket",
+            F.when(F.col("quality") >= 0.6, "high")
+            .when(F.col("quality") >= 0.4, "mid")
+            .otherwise("low"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language scoring; argmax, alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    score_cols = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            F.expr(f"size(filter(split(text, ' '), t -> t IN ({lst})))").alias(
+                f"s_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", "lang", *score_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    # CASE chain in alphabetical order: the first (alphabetical) max wins
+    pred_expr = None
+    for l in langs:
+        cond = F.col(f"s_{l}") == best
+        pred_expr = (
+            F.when(cond, F.lit(l)) if pred_expr is None else pred_expr.when(cond, F.lit(l))
+        )
+    return scored.select(
+        "doc_id",
+        pred_expr.alias("pred_lang"),
+        (pred_expr == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts per doc + whitespace-token baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_uniq_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest shingle hashes, joined
+    into a stable string key.  Equal fingerprints ⇒ near-certain dup;
+    at scale this is a groupable/joinable dedup key (mergeable sketch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = F.expr(
+        "transform(sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+    return (
+        docs.select("doc_id", shingles().alias("sh"))
+        .select("doc_id", F.slice(F.array_sort(hashes), 1, FINGERPRINT_K).alias("bk"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-", F.expr("transform(bk, x -> CAST(x AS STRING))")
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+def _lang_score_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+_LANG_SCORES = ", ".join(
+    f"{_lang_score_sql(l)} AS s_{l}" for l in sorted(LANG_STOPWORDS)
+)
+_BEST = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{l} = {_BEST} THEN '{l}'" for l in sorted(LANG_STOPWORDS)
+    )
+    + " END"
+)
+
+ORACLES = {
+    "text_stats": """
+        SELECT doc_id, lang,
+               length(text) AS n_chars_actual,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               (floor((list_sum(list_transform(string_split(text, ' '), t -> length(t))) * 1.0 / len(string_split(text, ' '))) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS avg_token_len
+        FROM documents ORDER BY doc_id
+    """,
+    "quality_score": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   (floor((0.3::DOUBLE * (len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + 0.4::DOUBLE * least(len(string_split(text, ' ')) / 100.0::DOUBLE, 1.0::DOUBLE) + 0.3::DOUBLE * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS quality
+            FROM documents)
+        SELECT doc_id, quality,
+               CASE WHEN quality >= 0.6 THEN 'high'
+                    WHEN quality >= 0.4 THEN 'mid'
+                    ELSE 'low' END AS quality_bucket
+        FROM q ORDER BY doc_id
+    """,
+    "lang_id": f"""
+        WITH s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents)
+        SELECT doc_id, {_PRED} AS pred_lang,
+               ({_PRED}) = lang AS is_correct
+        FROM s ORDER BY doc_id
+    """,
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+               len(list_distinct(regexp_extract_all(text, '{BPE_TOKEN_RE}')))
+                   AS n_uniq_bpe_tokens,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        WITH s AS (SELECT doc_id,
+            list_sort(list_transform(
+                {{SH}},
+                s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)))
+                AS hs
+            FROM documents)
+        SELECT doc_id,
+               list_aggr(list_transform(hs[1:{FINGERPRINT_K}],
+                             x -> CAST(x AS VARCHAR)),
+                         'string_agg', '-') AS fingerprint
+        FROM s ORDER BY doc_id
+    """,
+}
+
+# doc_fingerprint oracle needs the shared shingle SQL — inject it here to
+# keep a single source of truth with dedup._shingles_sql.
+from .dedup import _shingles_sql  # noqa: E402
+
+ORACLES["doc_fingerprint"] = ORACLES["doc_fingerprint"].replace(
+    "{SH}", _shingles_sql("text")
+)
+
+QUERIES = {
+    "text_stats": text_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "token_count_bpe": token_count_bpe,
+    "doc_fingerprint": doc_fingerprint,
+}

@@ -12,9 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import relational, wordcount_client
+from ..operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    wordcount_client,
+)
 
-_MODULES = [relational, wordcount_client]
+_MODULES = [relational, wordcount_client, dedup, similarity, text, multimodal]
 
 
 def _collect() -> tuple[dict, dict]:

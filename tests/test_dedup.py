@@ -1,0 +1,88 @@
+"""Planted-duplicate tests: the dedup operators must actually find dups.
+
+The synthetic corpus has near-dups but no exact dups, so these tests plant
+known duplicates in a temp parquet table and assert each detector fires.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from map_reduce_framework_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the quiet river bank "
+    "while morning light settles on the tall grass and birds call softly"
+)
+# change only the FINAL token: exactly one 3-gram shingle differs, so
+# jaccard = 22/24 ≈ 0.9167 — above the 0.8 threshold
+NEAR = BASE.replace("call softly", "call gently")
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "storage with vectorized execution and adaptive partition planning"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [BASE, BASE, NEAR, OTHER, BASE.upper()],
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
+            "n_chars": [len(t) for t in [BASE, BASE, NEAR, OTHER, BASE.upper()]],
+        }
+    )
+    docs.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_dedup_exact_finds_planted(spark, planted_dir):
+    out = dedup.dedup_exact(spark, planted_dir).collect()
+    by_copies = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_copies[0] == 2  # doc 0 and 1 identical, survivor = 0
+    assert len(out) == 4  # 5 docs, one collapsed pair
+
+
+def test_dedup_exact_normalized_catches_case_variant(spark, planted_dir):
+    out = dedup.dedup_exact_normalized(spark, planted_dir).collect()
+    by_copies = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_copies[0] == 3  # doc 4 (uppercased) also collapses
+    assert len(out) == 3
+
+
+def test_ngram_jaccard_finds_near_dup(spark, planted_dir):
+    out = dedup.dedup_ngram_jaccard(spark, planted_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact pair
+    assert (0, 2) in pairs and 0.8 <= pairs[(0, 2)] < 1.0  # near pair
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted_dir):
+    out = dedup.dedup_minhash_lsh(spark, planted_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs  # identical docs always share all bands
+    assert (0, 2) in pairs  # 1-token edit: high-jaccard pair surfaces
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_finds_exact_dup(spark, planted_dir):
+    # NOTE: on ~23-token docs a single token swap moves ~10 of 60 simhash
+    # bits (each bit-sum is small, so one ±2 swing flips many) — SimHash
+    # is a long-document detector, so only the exact pair is asserted.
+    out = dedup.dedup_simhash(spark, planted_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 1)] == 0  # identical token sets
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_fingerprint_equal_for_exact_dups(spark, planted_dir):
+    from map_reduce_framework_spark.operators.text import doc_fingerprint
+
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, planted_dir).collect()}
+    assert out[0] == out[1]  # identical docs, identical sketches
+    assert out[0] != out[3]

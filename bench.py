@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Bench harness — one JSON line of per-query wall seconds.
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
+one JSON line::
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution materializes each query with the noop sink (full computation,
+no driver collect cost).  Each query runs once after a shared session
+warm-up — per-round numbers land in BENCH_r{N}.json and become the
+baseline future rounds must hold or beat (BASELINE.md: reference
+publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# headline set: one per operator family, weighted toward the scale-relevant
+# ops (joins, windows, dedup, similarity, facade)
+HEADLINE = [
+    "pricing_summary",
+    "join_equi",
+    "top_k_per_group",
+    "window_rank_lag",
+    "wordcount",
+    "events_time_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_stats",
+    "doc_fingerprint",
+    "multimodal_features",
+    "mr_wordcount_facade",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footers, not measured
+    registry.QUERIES["filter_project"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

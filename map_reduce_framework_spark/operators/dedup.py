@@ -89,13 +89,20 @@ def _hash60_sql(expr: str) -> str:
 
 
 def shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of a space-tokenized text column."""
+    """Distinct word n-gram shingles of a space-tokenized text column.
+
+    The outer ``transform(array(split(...)), toks -> ...)`` is a
+    let-binding: it evaluates ``split`` ONCE per row and exposes it as the
+    lambda variable ``toks`` — without it each shingle element re-splits
+    the whole text (O(tokens²) per row).
+    """
     return F.expr(
-        f"""CASE WHEN size(split({text_col}, ' ')) >= {n}
+        f"""element_at(transform(array(split({text_col}, ' ')), toks ->
+            CASE WHEN size(toks) >= {n}
             THEN array_distinct(transform(
-                sequence(0, size(split({text_col}, ' ')) - {n}),
-                i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))
-            ELSE CAST(array() AS array<string>) END"""
+                sequence(0, size(toks) - {n}),
+                i -> concat_ws(' ', slice(toks, i + 1, {n}))))
+            ELSE CAST(array() AS array<string>) END), 1)"""
     )
 
 
@@ -159,6 +166,11 @@ def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", shingles().alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+        # both sides of the candidate self-join consume this; persist so
+        # shingling runs once, not once per join side (at 100 TB the
+        # posting list is a materialized intermediate table for the same
+        # reason — recomputing shingles dominates otherwise)
+        .persist()
     )
 
 
@@ -231,10 +243,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are exactly comparable.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # persist the signature table: Catalyst's CollapseProject would
+    # otherwise inline the md5 shingle-hash transform into each of the 12
+    # per-coefficient min-transforms (12× md5 recompute), and the band
+    # self-join would then recompute it all twice more.  Signature tables
+    # are materialized artifacts in production dedup for the same reason.
     sigs = (
         docs.select("doc_id", shingles().alias("sh"))
         .where(F.size("sh") > 0)
         .select("doc_id", "sh", shingle_hashes_col("sh").alias("hs"))
+        .persist()
         .select("doc_id", "sh", minhash_signature_col("hs").alias("sig"))
     )
     # band key = 'i:s1-s2-s3' string per band
@@ -311,7 +329,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         sim_expr = term if sim_expr is None else sim_expr + term
-    sims = sums.select("doc_id", sim_expr.alias("simhash"))
+    # tiny (doc_id, simhash) table consumed by both join sides — persist
+    # so the 60-bit-sum aggregation over all tokens runs once
+    sims = sums.select("doc_id", sim_expr.alias("simhash")).persist()
     chunks = sims.select(
         "doc_id",
         "simhash",
@@ -359,26 +379,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cosine_col(a: str, b: str) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double
-    precision JVM-side (zip_with + aggregate — no Python)."""
-    dot = F.expr(
+def dot_col(a: str, b: str) -> Column:
+    """Double-precision dot product of two array<float> columns
+    (zip_with + aggregate — JVM-side, left-to-right summation, which is
+    exactly DuckDB's list arithmetic order, so oracles compare exactly)."""
+    return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    na = F.sqrt(
+
+
+def norm_col(a: str) -> Column:
+    """Euclidean norm of an array<float> column in double precision."""
+    return F.sqrt(
         F.expr(
             f"aggregate({a}, CAST(0.0 AS DOUBLE),"
             f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
-    nb = F.sqrt(
-        F.expr(
-            f"aggregate({b}, CAST(0.0 AS DOUBLE),"
-            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-        )
-    )
-    return dot / (na * nb)
+
+
+def cosine_col(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float> columns.
+
+    Prefer precomputing :func:`norm_col` per side before a pair join (one
+    aggregate per pair instead of three) — see dedup_embedding_cosine.
+    """
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,17 +420,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("va"),
+        norm_col("embedding").alias("nrm_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vb"),
+        norm_col("embedding").alias("nrm_b"),
     )
     pairs = a.join(
         b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
     )
+    cos = dot_col("va", "vb") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.withColumn("cosine", rnd(cosine_col("va", "vb"), 4))
+        pairs.withColumn("cosine", rnd(cos, 4))
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", F.col("label_a").alias("label"), "cosine")
         .orderBy("id_a", "id_b")

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions import rnd
 from ..sources import load_table
-from .dedup import cosine_col
+from .dedup import dot_col, norm_col
 
 #: queries = this many lowest vec_ids (a stand-in for an external query set)
 N_QUERIES = 5
@@ -37,12 +37,21 @@ BUCKET_TOP_K = 5
 def _corpus_and_queries(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vc")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("vc"),
+        norm_col("embedding").alias("nc"),
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("vq"),
+        norm_col("embedding").alias("nq"),
     )
     return corpus, queries
+
+
+def _pair_cosine() -> "F.Column":
+    """dot/(|q||c|) with norms precomputed per side (1 aggregate/pair)."""
+    return dot_col("vq", "vc") / (F.col("nq") * F.col("nc"))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +64,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos6", rnd(cosine_col("vq", "vc"), 6))
+        .withColumn("cos6", rnd(_pair_cosine(), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos6").desc(), F.col("cand_id")
@@ -100,7 +109,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("cbucket"))
             & (F.col("query_id") != F.col("cand_id")),
         )
-        .withColumn("cos6", rnd(cosine_col("vq", "vc"), 6))
+        .withColumn("cos6", rnd(_pair_cosine(), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos6").desc(), F.col("cand_id")

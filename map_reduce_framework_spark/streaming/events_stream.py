@@ -1,0 +1,92 @@
+"""Structured Streaming demo over the ``events`` table.
+
+The reference is strictly batch (SURVEY §2.4 streaming row: none — its
+map/shuffle pipelining, MapReduceFramework.cpp:355-361, is an execution
+detail, not event-time semantics).  This module is the engine's
+*beyond-reference* streaming surface:
+
+- file-source ``readStream`` over the events parquet,
+- event-time tumbling window + watermark (late-data bound),
+- ``availableNow`` trigger → processes the backlog exactly once and
+  terminates, which makes the demo deterministic and testable: its result
+  must equal the batch ``relational.events_time_window`` aggregation
+  (same logical query, streaming execution).
+
+At scale the same pipeline pointed at a Kafka/file-drop source with a
+continuous trigger is the production shape; state-store size is bounded
+by (windows in watermark horizon × event_types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a *directory*; expose the single events
+    parquet through a per-sf temp dir with a symlink (read-only testdata
+    stays untouched)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mrfs_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def streaming_event_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Build the streaming DataFrame: 1-hour tumbling windows per
+    event_type with a watermark (unbounded-late rows dropped)."""
+    # ts arrives as long ns (see sources.tables nanosAsLong note)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_events_stream_demo(
+    spark: SparkSession, sf_dir: str, table: str = "events_stream_demo"
+) -> DataFrame:
+    """Run the stream with availableNow (drain-and-stop), return the
+    result as a batch DataFrame from the in-memory sink."""
+    agg = streaming_event_counts(spark, sf_dir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -397,7 +397,64 @@ def events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: quarter, day-of-month, day name,
+    date difference, date offset (orders dates are midnight-aligned, so
+    timestamp->date semantics agree across engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.date_format("o_orderdate", "EEEE").alias("order_dayname"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        # stringified: DATE-typed outputs land as date vs datetime64
+        # depending on the engine/pandas path — a compare hazard
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+    ).orderBy("o_orderkey")
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over tokenized documents (array outputs are
+    stringified — engine-portable compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 2), ",").alias(
+            "min2_tokens"
+        ),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "the").cast("long").alias("first_the_pos"),
+        F.element_at(toks, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "cube_agg": cube_agg,
+    "date_arithmetic": date_arithmetic,
+    "array_functions": array_functions,
     "search_substring": search_substring,
     "wordcount": wordcount,
     "filter_project": filter_project,
@@ -423,6 +480,34 @@ QUERIES = {
 _SEARCH_VALUES = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
 
 ORACLES = {
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS total_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "date_arithmetic": """
+        SELECT o_orderkey,
+               quarter(o_orderdate) AS order_quarter,
+               day(o_orderdate) AS order_dom,
+               dayname(o_orderdate) AS order_dayname,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                   AS days_since_95,
+               strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS plus_30d
+        FROM orders ORDER BY o_orderkey
+    """,
+    "array_functions": """
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:3], ',') AS first3,
+               array_to_string(
+                   list_sort(list_distinct(string_split(text, ' ')))[1:2], ',')
+                   AS min2_tokens,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               coalesce(list_position(string_split(text, ' '), 'the'), 0)::BIGINT
+                   AS first_the_pos,
+               string_split(text, ' ')[-1] AS last_token
+        FROM documents ORDER BY doc_id
+    """,
     "search_substring": f"""
         SELECT t.query, p.p_name
         FROM (VALUES {_SEARCH_VALUES}) AS t(query)

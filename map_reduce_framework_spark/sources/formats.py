@@ -1,0 +1,61 @@
+"""Source/sink format connectors beyond Parquet (SURVEY §2.4 scans/sinks).
+
+The reference's only sink is the caller-returned list + stdout + a log file
+(MapReduceFramework.cpp:764, Search.cpp:301-303); its only sources are an
+in-memory list and a directory listing.  The engine adds the standard
+columnar/row format matrix:
+
+- read: parquet (primary, sources.tables), csv, json, in-memory rows
+- write: parquet, csv, json, partitioned parquet (partitionBy)
+
+``roundtrip_*`` helpers write a DataFrame and read it back with an explicit
+schema — exercised by tests to prove both directions agree with the
+original.  At scale: parquet partitioned-by is the layout primitive for
+partition-pruned reads; csv/json are interchange formats (schema-explicit
+reads only — inference is a correctness hazard and a full extra scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    # header on; explicit timestamp format so the roundtrip is lossless
+    df.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )

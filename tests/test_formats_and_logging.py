@@ -1,0 +1,85 @@
+"""Format connector roundtrips + facade log-sink parity (O7)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.mapreduce import run_map_reduce
+from map_reduce_framework_spark.sources import formats, load_table
+
+from .conftest import SF_DIR
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_pq")
+    formats.write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = formats.read_parquet(spark, path).select(*orders.columns)
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+    # partition pruning: a status filter must prune to one directory
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.where(F.col("o_orderstatus") == "F").explain()
+    assert "o_orderstatus" in buf.getvalue()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_csv")
+    formats.write_csv(nation, path)
+    back = formats.read_csv(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    ).select(*nation.columns)
+    assert _sorted_rows(back, "n_nationkey") == _sorted_rows(nation, "n_nationkey")
+
+
+def test_json_roundtrip(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    path = str(tmp_path / "events_json")
+    formats.write_json(events, path)
+    back = formats.read_json(
+        spark,
+        path,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).select(*events.columns)
+    assert _sorted_rows(back, "event_id") == _sorted_rows(events, "event_id")
+
+
+def test_mapreduce_log_sink(spark, tmp_path):
+    log = str(tmp_path / ".MapReduceFramework.log")
+
+    def m(k, v):
+        yield k % 2, v
+
+    def r(k, vals):
+        yield k, sum(vals)
+
+    out = run_map_reduce(
+        spark, [(i, i) for i in range(10)], m, r, num_partitions=2, log_path=log
+    )
+    assert out == [(0, 20), (1, 25)]
+    lines = open(log).read().splitlines()
+    assert lines[0] == "RunMapReduceFramework started with 2 threads"
+    assert lines[-1] == "RunMapReduceFramework finished"
+    stamp = r"\[\d{2}\.\d{2}\.\d{4} \d{2}:\d{2}:\d{2}\]"
+    assert sum(bool(re.fullmatch(f"Thread ExecMap created {stamp}", l)) for l in lines) == 2
+    assert sum(bool(re.fullmatch(f"Thread ExecReduce terminated {stamp}", l)) for l in lines) == 2
+    assert any(re.fullmatch(r"Map and Shuffle took \d+ ns", l) for l in lines)
+    assert any(re.fullmatch(r"Reduce took \d+ ns", l) for l in lines)
+
+
+def test_mapreduce_log_empty_input(spark, tmp_path):
+    log = str(tmp_path / "empty.log")
+    out = run_map_reduce(spark, [], lambda k, v: [], lambda k, v: [], log_path=log)
+    assert out == []
+    lines = open(log).read().splitlines()
+    assert lines[-1] == "RunMapReduceFramework finished"

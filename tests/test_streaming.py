@@ -19,3 +19,26 @@ def test_streaming_matches_batch(spark):
         for r in events_time_window(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.stateful import run_user_stats_demo
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in run_user_stats_demo(spark, SF_DIR).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6

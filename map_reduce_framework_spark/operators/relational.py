@@ -451,7 +451,72 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end exemplar: the same engine through spark.sql over
+    registered temp views (TPC-H Q5-shaped revenue per region)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               floor(sum(o_totalprice) * 100D + 0.5D) / 100D AS revenue,
+               count(*) AS n_orders
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
+
+
+def window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended window-function surface: lead, dense_rank, ntile,
+    percent_rank, cume_dist + a RANGE frame aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cdist"),
+        F.count(F.lit(1)).over(wr).alias("n_within_10k"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance and
+    exact interpolated median per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            rnd(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            rnd(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+            rnd(F.median("l_quantity"), 4).alias("median_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "sql_api_revenue": sql_api_revenue,
+    "window_extended": window_extended,
+    "stats_agg": stats_agg,
     "cube_agg": cube_agg,
     "date_arithmetic": date_arithmetic,
     "array_functions": array_functions,
@@ -480,6 +545,39 @@ QUERIES = {
 _SEARCH_VALUES = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
 
 ORACLES = {
+    "sql_api_revenue": """
+        SELECT r_name,
+               (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "window_extended": """
+        SELECT o_custkey, o_orderkey,
+               lead(o_orderkey, 1) OVER w AS next_orderkey,
+               dense_rank() OVER w AS drank,
+               ntile(4) OVER w AS quartile,
+               (floor((percent_rank() OVER w) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS pct_rank,
+               (floor((cume_dist() OVER w) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdist,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               (floor((stddev_samp(l_quantity)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS sd_qty,
+               (floor((var_samp(l_quantity)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS var_qty,
+               (floor((corr(l_quantity, l_extendedprice)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS corr_qty_price,
+               (floor((covar_samp(l_quantity, l_extendedprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS cov_qty_price,
+               (floor((median(l_quantity)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS median_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "cube_agg": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS total_price

@@ -18,10 +18,11 @@ from ..operators import (
     relational,
     similarity,
     text,
+    udfs,
     wordcount_client,
 )
 
-_MODULES = [relational, wordcount_client, dedup, similarity, text, multimodal]
+_MODULES = [relational, wordcount_client, dedup, similarity, text, multimodal, udfs]
 
 
 def _collect() -> tuple[dict, dict]:

@@ -47,6 +47,11 @@ def get_spark(
         # type, so read as long and convert in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed tables (sources/bucketing.py) live outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/mrfs_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

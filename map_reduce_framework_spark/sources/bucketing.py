@@ -1,0 +1,64 @@
+"""Bucketed-table storage: the shuffle-free co-located join primitive.
+
+At 100 TB the single most expensive repeated cost is re-shuffling fact
+tables on the same join key query after query.  Bucketing
+(``write.bucketBy(n, key).sortBy(key).saveAsTable``) persists the hash
+partitioning in the table layout, so every subsequent equi-join or
+aggregation on the bucket key runs with NO exchange on that side.
+
+``tests/test_plans.py::test_bucketed_join_no_shuffle`` proves the plan:
+two tables bucketed on the same key joined with zero Exchange operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed+sorted on ``bucket_col``.
+
+    The in-memory catalog forgets tables between sessions while the
+    warehouse directory persists — clear any orphaned location first so
+    ``saveAsTable`` never hits LOCATION_ALREADY_EXISTS.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_orders_customer(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Create (once per session) bucketed copies of orders and customer on
+    the customer key and return them."""
+    from .tables import load_table
+
+    if not spark.catalog.tableExists("orders_bkt"):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), "orders_bkt", "o_custkey", n_buckets
+        )
+    if not spark.catalog.tableExists("customer_bkt"):
+        write_bucketed(
+            load_table(spark, sf_dir, "customer"),
+            "customer_bkt",
+            "c_custkey",
+            n_buckets,
+        )
+    return spark.table("orders_bkt"), spark.table("customer_bkt")

@@ -65,3 +65,46 @@ def test_whole_stage_codegen_active(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from map_reduce_framework_spark.sources.bucketing import (
+        bucketed_orders_customer,
+    )
+
+    orders_b, customer_b = bucketed_orders_customer(spark, SF_DIR)
+    # force the SMJ path so the assertion is about bucketing, not broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders_b.join(
+            customer_b, orders_b.o_custkey == customer_b.c_custkey
+        )
+        plan = plan_of(joined, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: bucket layout IS the shuffle
+    # and the result is correct
+    assert joined.count() == orders_b.count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    from map_reduce_framework_spark.functions.skew import salted_join
+    from map_reduce_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    part = load_table(spark, SF_DIR, "part")
+    plain = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, part, li.l_partkey == part.p_partkey, n_salts=4)
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

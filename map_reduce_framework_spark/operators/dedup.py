@@ -402,10 +402,27 @@ def norm_col(a: str) -> Column:
 def cosine_col(a: str, b: str) -> Column:
     """Cosine similarity of two array<float> columns.
 
-    Prefer precomputing :func:`norm_col` per side before a pair join (one
-    aggregate per pair instead of three) — see dedup_embedding_cosine.
+    Prefer :func:`unit_vector_col` per side before a pair join (the pair
+    work then collapses to one dot product) — see dedup_embedding_cosine.
     """
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def unit_vector_col(a: str) -> Column:
+    """L2-normalized double vector; cosine of two unit vectors = dot.
+
+    The outer transform-over-singleton is the let-binding trick (see
+    :func:`shingles`): the norm is computed once per row, not once per
+    element.  Oracle side: ``list_transform(v, x -> x / sqrt(list_sum(
+    list_transform(v, y -> y*y))))`` + ``list_dot_product`` (verified
+    value-exact vs this expression).
+    """
+    return F.expr(
+        f"""element_at(transform(
+            array(sqrt(aggregate({a}, 0.0D,
+                (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+            nrm -> transform({a}, x -> CAST(x AS DOUBLE) / nrm)), 1)"""
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,24 +433,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN bucket (see similarity.ann_lsh_bucketed); the pattern is the same.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    nv = unit_vector_col("embedding")
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
-        F.col("embedding").alias("va"),
-        norm_col("embedding").alias("nrm_a"),
+        nv.alias("va"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-        norm_col("embedding").alias("nrm_b"),
+        nv.alias("vb"),
     )
     pairs = a.join(
         b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    cos = dot_col("va", "vb") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.withColumn("cosine", rnd(cos, 4))
+        pairs.withColumn("cosine", rnd(dot_col("va", "vb"), 4))
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", F.col("label_a").alias("label"), "cosine")
         .orderBy("id_a", "id_b")
@@ -542,12 +557,15 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "dedup_embedding_cosine": f"""
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings)
+        WITH e AS (SELECT vec_id, label,
+                list_transform(embedding::DOUBLE[], x ->
+                    x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     y -> y*y)))) AS v
+            FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-               (floor((list_cosine_similarity(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
+               (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE (floor((list_cosine_similarity(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
+        WHERE (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
               >= {COSINE_DUP_THRESHOLD}
         ORDER BY id_a, id_b
     """,

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions import rnd
 from ..sources import load_table
-from .dedup import dot_col, norm_col
+from .dedup import dot_col, unit_vector_col
 
 #: queries = this many lowest vec_ids (a stand-in for an external query set)
 N_QUERIES = 5
@@ -38,20 +38,18 @@ def _corpus_and_queries(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("vc"),
-        norm_col("embedding").alias("nc"),
+        unit_vector_col("embedding").alias("vc"),
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("vq"),
-        norm_col("embedding").alias("nq"),
+        unit_vector_col("embedding").alias("vq"),
     )
     return corpus, queries
 
 
 def _pair_cosine() -> "F.Column":
-    """dot/(|q||c|) with norms precomputed per side (1 aggregate/pair)."""
-    return dot_col("vq", "vc") / (F.col("nq") * F.col("nc"))
+    """cosine = dot of pre-unit-normalized vectors (1 aggregate/pair)."""
+    return dot_col("vq", "vc")
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,11 +126,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Spark array indexing in expr is 0-based via element_at? NOTE:
-# sign_bucket_col uses SQL `vec[j]` which is 0-based in Spark but 1-based
-# in DuckDB — the oracle uses [j+1] to align (see _SIGN_BUCKET_SQL).
+# NOTE: sign_bucket_col uses SQL `vec[j]`, 0-based in Spark but 1-based
+# in DuckDB — the oracle uses [j+1] to align (see _sign_bucket_sql).
 
-_COS_SQL = "list_cosine_similarity(a.v, b.v)"
+_COS_SQL = "list_dot_product(a.v, b.v)"
+_UNIT_V_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> "
+    "x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))))"
+)
 
 
 def _sign_bucket_sql(vec: str, bits: int = LSH_SIGN_BITS) -> str:
@@ -148,7 +149,7 @@ def _sign_bucket_sql(vec: str, bits: int = LSH_SIGN_BITS) -> str:
 
 ORACLES = {
     "ann_cosine_topk": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
                    (floor(({_COS_SQL}) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cos6
@@ -163,7 +164,7 @@ ORACLES = {
         FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
     """,
     "ann_lsh_bucketed": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v,
                           {_sign_bucket_sql('embedding')} AS bucket
                    FROM embeddings),
         scored AS (

@@ -513,7 +513,90 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small dimensions (the one join shape
+    that is NEVER acceptable on fact tables at scale — kept to small
+    dims, Catalyst plans a broadcast nested loop)."""
+    region = load_table(spark, sf_dir, "region")
+    prios = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return (
+        region.crossJoin(prios)
+        .select("r_name", "o_orderpriority")
+        .orderBy("r_name", "o_orderpriority")
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join over two partial key sets (high-value vs urgent
+    orders) — null-extension on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = (
+        orders.where(F.col("o_totalprice") > 200000)
+        .groupBy(F.col("o_custkey").alias("hk"))
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    urg = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        hi.join(urg, hi.hk == urg.uk, "full_outer")
+        .select(
+            F.coalesce(F.col("hk"), F.col("uk")).alias("custkey"),
+            F.coalesce(F.col("n_high"), F.lit(0)).alias("n_high"),
+            F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL front-end: chosen subtotal combinations
+    (by status, by priority, grand total) — the general form of
+    rollup/cube."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               floor(sum(o_totalprice) * 100D + 0.5D) / 100D AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS through the SQL front-end (planned as an
+    anti-join by Catalyst)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        ORDER BY c_custkey
+        """
+    )
+
+
 QUERIES = {
+    "join_cross": join_cross,
+    "join_full_outer": join_full_outer,
+    "grouping_sets": grouping_sets,
+    "not_exists_subquery": not_exists_subquery,
     "sql_api_revenue": sql_api_revenue,
     "window_extended": window_extended,
     "stats_agg": stats_agg,
@@ -545,6 +628,36 @@ QUERIES = {
 _SEARCH_VALUES = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
 
 ORACLES = {
+    "join_cross": """
+        SELECT r_name, o_orderpriority
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        ORDER BY r_name, o_orderpriority
+    """,
+    "join_full_outer": """
+        WITH hi AS (SELECT o_custkey AS hk, count(*) AS n_high FROM orders
+                    WHERE o_totalprice > 200000 GROUP BY 1),
+             urg AS (SELECT o_custkey AS uk, count(*) AS n_urgent FROM orders
+                     WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        SELECT coalesce(hk, uk) AS custkey,
+               coalesce(n_high, 0) AS n_high,
+               coalesce(n_urgent, 0) AS n_urgent
+        FROM hi FULL OUTER JOIN urg ON hk = uk
+        ORDER BY custkey
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "not_exists_subquery": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        ORDER BY c_custkey
+    """,
     "sql_api_revenue": """
         SELECT r_name,
                (floor((sum(o_totalprice)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS revenue,

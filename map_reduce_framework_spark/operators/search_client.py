@@ -65,6 +65,41 @@ def search(
     )
 
 
+def search_df(spark: SparkSession, pairs: list[tuple[str, str]]):
+    """DataFrame-path Search: the scale variant of :func:`search`.
+
+    The (query, folder) list becomes a DataFrame; directory listing runs
+    *distributed* inside ``mapInPandas`` (each partition lists its own
+    folders — the pattern for listing millions of prefixes on a cluster),
+    filtering is a Catalyst ``contains`` predicate (map-side, unlike the
+    reference's reduce-side filter), output is k3-ordered (§2.3a).
+    Returns a DataFrame (query string, name string).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def list_entries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            queries, names = [], []
+            for q, folder in zip(pdf["query"], pdf["folder"]):
+                try:
+                    entries = [".", ".."] + sorted(os.listdir(folder))
+                except OSError:
+                    continue  # invalid path ⇒ 0 rows, silently
+                queries.extend([q] * len(entries))
+                names.extend(entries)
+            yield pd.DataFrame({"query": queries, "name": names})
+
+    input_df = spark.createDataFrame(pairs, "query string, folder string")
+    return (
+        input_df.mapInPandas(list_entries, "query string, name string")
+        .where(F.col("name").contains(F.col("query")))
+        .orderBy("query", "name")
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI parity with Search.cpp:277-309: ``search <substring> <folders...>``."""
     argv = sys.argv[1:] if argv is None else argv

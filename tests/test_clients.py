@@ -80,3 +80,25 @@ def test_wordcount_three_ways_agree(spark):
     ]
     object_path = set(wordcount_mr(spark, docs))
     assert object_path == native
+
+
+def test_search_df_matches_object_path(spark, search_tree, tmp_path):
+    from map_reduce_framework_spark.operators.search_client import search_df
+
+    d2 = tmp_path / "dirB"
+    d2.mkdir()
+    (d2 / "sos").touch()
+    pairs = [
+        ("os", search_tree),
+        ("os", str(d2)),
+        ("os", "/no/such/dir"),
+    ]
+    df_out = sorted(
+        (r["query"], r["name"]) for r in search_df(spark, pairs).collect()
+    )
+    obj_out = sorted(search(spark, pairs))
+    assert df_out == obj_out == [
+        ("os", "osTargil"),
+        ("os", "sos"),
+        ("os", "sos"),
+    ]

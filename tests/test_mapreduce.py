@@ -174,3 +174,28 @@ def test_whole_group_single_call(spark):
 
     out = run_map_reduce(spark, items, m_identity, r_snapshot, 3)
     assert out == [(k, tuple(range(k + 1))) for k in range(7)]
+
+
+# ---- heterogeneous key types: strings and tuples (both only need <) ----
+
+
+def m_str_key(k, v):
+    yield f"k{k % 5}", v
+
+
+def m_tuple_key(k, v):
+    yield (k % 3, k % 2), v
+
+
+@pytest.mark.parametrize("m_name", ["str", "tuple"])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(items=pairs_strategy)
+def test_facade_nonint_keys(spark, m_name, items):
+    m = {"str": m_str_key, "tuple": m_tuple_key}[m_name]
+    got = run_map_reduce(spark, items, m, r_concat_sorted, 4)
+    want = run_map_reduce_local(items, m, r_concat_sorted)
+    assert_equivalent(got, want)

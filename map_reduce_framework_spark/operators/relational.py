@@ -592,7 +592,92 @@ def not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 2 joins → revenue agg → top-10.
+
+    customer side is broadcast; the orders↔lineitem join shuffles on the
+    order key; top-10 via TakeOrderedAndProject.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.join(orders.where(F.col("o_orderdate") < cutoff),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate is
+    parquet-pushable; the whole query is one codegen stage + one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30-minute
+    inactivity gap): lag → gap flag → running session id per user —
+    the batch twin of streaming session windows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond arithmetic: unix_timestamp/epoch() disagree on
+    # fractional seconds across engines; unix_micros/epoch_us are integral
+    gap_us = 30 * 60 * 1_000_000
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w)))
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 QUERIES = {
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "sessionize": sessionize,
     "join_cross": join_cross,
     "join_full_outer": join_full_outer,
     "grouping_sets": grouping_sets,
@@ -628,6 +713,45 @@ QUERIES = {
 _SEARCH_VALUES = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
 
 ORACLES = {
+    "tpch_q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               (floor((sum(l_extendedprice * (1 - l_discount))) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q6_forecast_revenue": """
+        SELECT (floor((sum(l_extendedprice * l_discount)) * 100::DOUBLE + 0.5::DOUBLE) / 100::DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "sessionize": """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(event_id) AS first_event, max(event_id) AS last_event
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+    """,
     "join_cross": """
         SELECT r_name, o_orderpriority
         FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)

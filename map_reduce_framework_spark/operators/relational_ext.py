@@ -1,0 +1,509 @@
+"""Extended relational surface: TPC-H-style decision-support queries plus
+Spark-native operator families the core module doesn't cover — pivot/
+unpivot, exact percentiles, approximate distinct (HLL), deterministic
+hash sampling, as-of join, sorted string aggregation, scalar subqueries.
+
+Same contract as ``relational.py``: every function takes ``(spark,
+sf_dir)`` and returns a DataFrame; ``QUERIES`` / ``ORACLES`` feed
+``plans.registry``.  Column aliases match the oracle SQL exactly (the
+driver hashes columns by name).
+
+None of these exist in the reference (SURVEY §2.4 marks joins, windows,
+set ops, sampling, approx aggregation all absent) — they are the widened
+Spark-native surface; the queries mirror the published TPC-H spec shapes
+(Q4/Q14/Q17/Q18/Q19) adapted to the synthetic star schema's columns.
+
+Scale notes:
+- Q4's EXISTS is a left-semi join — Spark never materializes the
+  (order × lineitem) product and AQE picks broadcast/shuffle by size.
+- Q17/Q18's per-key aggregate-then-join keeps partial aggregation
+  map-side; the per-part averages table is tiny and broadcasts.
+- Q19's OR-of-ANDs predicate stays a Column expression, so the brand/
+  size conjuncts push into the part scan (PushedFilters) and the join
+  is an equi-join with the residual OR as post-filter.
+- ``hash_sample`` is shuffle-free, reproducible sampling: a pure
+  row-local predicate on an md5-derived key — at 100 TB the sample is
+  decided inside the scan, no exchange, identical on any cluster.
+- ``asof_join`` uses the union-window formulation (one sort-shuffle by
+  user), NOT a range join — the standard scalable as-of pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import rnd, rnd_sql
+from ..sources import load_table
+from .dedup import hash60
+
+ORDER_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+#: Q18 large-volume threshold on sum(l_quantity) per order.
+Q18_MIN_QTY = 150
+
+#: hash_sample keeps keys with md5-60bit % 1000 < 50 (a 5% sample).
+SAMPLE_PERMILLE = 50
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style decision support
+# --------------------------------------------------------------------------
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders in 1996-H1 with at least one late-shipped line
+    (l_shipdate > o_orderdate), counted per priority.
+
+    EXISTS ≡ left-semi join with the inequality as join residual.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: % of 1997 revenue from PROMO-type parts (conditional agg over
+    a broadcast part join)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        rnd(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: yearly revenue loss if small-quantity Brand#1 orders (qty <
+    20% of that part's average) were dropped.
+
+    The correlated scalar subquery becomes aggregate-then-join: per-part
+    averages are a tiny table joined back (broadcast at any realistic
+    part-dimension size relative to lineitem).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(avg_qty.withColumnRenamed("l_partkey", "ap_partkey")),
+            F.col("ap_partkey") == F.col("l_partkey"),
+        )
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(rnd(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: top-20 customers by order value among orders whose total
+    quantity exceeds the threshold (IN-subquery ≡ aggregate + join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            rnd(F.col("sum_qty"), 4).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue from three brand/size/quantity OR-brackets — the
+    classic disjunctive-pushdown query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.where(bracket).agg(rnd(F.sum(rev), 4).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+
+def pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order value per status × priority, priorities as columns.
+
+    The pivot value list is explicit — at scale an implicit pivot first
+    runs a distinct over the pivot column; pinning the values keeps the
+    plan a single pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[rnd(F.col(f"`{p}`"), 2).alias(p) for p in ORDER_PRIORITIES],
+    ).orderBy("o_orderstatus")
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem measures long-form: (order, line, measure, val) — the
+    inverse of pivot, via the built-in ``unpivot`` (codegen'd, no UDF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("val", rnd(F.col("val"), 4))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+# --------------------------------------------------------------------------
+# Percentiles, approximate distinct, sampling
+# --------------------------------------------------------------------------
+
+
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = {
+        "p25": 0.25,
+        "p50": 0.50,
+        "p75": 0.75,
+        "p90": 0.90,
+    }
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                rnd(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(name)
+                for name, p in pct.items()
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type.
+
+    No oracle: DuckDB's approx_count_distinct is a different sketch, so
+    the driver records a rows-only check; ``tests/test_relational_ext.py``
+    asserts the estimate lands within 5% of the exact count.  At 100 TB
+    this is THE distinct-count operator — fixed memory per group versus
+    an exact distinct's full shuffle of the key universe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample of lineitem, aggregated per return flag.
+
+    The sampling predicate is a row-local md5-derived hash — reproducible
+    across engines, clusters, and runs (unlike TABLESAMPLE), and applied
+    during the scan with no shuffle.  This is how large-scale pipelines
+    carve stable dev/eval slices out of a 100 TB corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.where(hash60(key) % 1000 < SAMPLE_PERMILLE)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sample_revenue"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join, string agg, scalar subquery
+# --------------------------------------------------------------------------
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the same user's most
+    recent earlier click.
+
+    Implemented as union-window (filter both streams, one window sorted
+    by (ts, event_id) per user, ``last(click, ignorenulls)`` over the
+    preceding frame) — a single sort-shuffle on the user key.  The naive
+    alternative is an inequality range join (quadratic per user) — this
+    formulation is the scalable as-of used by stream processors.
+    (user_id, ts) is unique in the data, so the strict "earlier" of the
+    oracle's LATERAL subquery and this row-frame formulation agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.last(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("event_id").alias("event_id"), F.col("ts").alias("ts")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        base.withColumn("prev", prev_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("prev.event_id").alias("prev_click_id"),
+            F.col("prev.ts").alias("prev_click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region sorted CSV of nation names (order-deterministic listagg:
+    collect → sort → join, matching string_agg ... ORDER BY)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above the global average, per status (uncorrelated
+    scalar subquery ≡ broadcast single-row cross join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            rnd(F.avg("o_totalprice"), 4).alias("avg_above"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracles
+# --------------------------------------------------------------------------
+
+_REV = "l_extendedprice * (1 - l_discount)"
+_SAMPLE_HASH = (
+    "CAST(concat('0x', substr(md5(concat_ws('-', l_orderkey, l_linenumber)),"
+    " 1, 15)) AS BIGINT)"
+)
+
+_PIVOT_COLS = ", ".join(
+    rnd_sql(f"sum(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END)", 2)
+    + f' AS "{p}"'
+    for p in ORDER_PRIORITIES
+)
+
+_UNPIVOT_ARMS = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    + rnd_sql(f"CAST({m} AS DOUBLE)", 4)
+    + " AS val FROM lineitem"
+    for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
+_PCT_COLS = ", ".join(
+    rnd_sql(f"quantile_cont(l_extendedprice, {p})", 4) + f" AS {name}"
+    for name, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90))
+)
+
+ORACLES = {
+    "tpch_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "tpch_q14_promo_effect": f"""
+        SELECT {rnd_sql(f"100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END) / sum({_REV})", 4)}
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    "tpch_q17_small_quantity": f"""
+        SELECT {rnd_sql("sum(l_extendedprice) / 7.0", 4)} AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "tpch_q18_large_volume": f"""
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+               {rnd_sql("sum_qty", 4)} AS sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "tpch_q19_discounted_revenue": f"""
+        SELECT {rnd_sql(f"sum({_REV})", 4)} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "pivot_priority": f"""
+        SELECT o_orderstatus, {_PIVOT_COLS}
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "unpivot_measures": f"""
+        SELECT * FROM ({_UNPIVOT_ARMS})
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    "percentile_summary": f"""
+        SELECT l_returnflag, {_PCT_COLS}
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "hash_sample": f"""
+        SELECT l_returnflag, count(*) AS n_rows,
+               {rnd_sql(f"sum({_REV})", 2)} AS sample_revenue
+        FROM lineitem
+        WHERE {_SAMPLE_HASH} % 1000 < {SAMPLE_PERMILLE}
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "asof_join": """
+        SELECT p.event_id, p.user_id, p.ts,
+               c.event_id AS prev_click_id, c.ts AS prev_click_ts
+        FROM events p
+        LEFT JOIN LATERAL (
+            SELECT event_id, ts FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id
+    """,
+    "string_agg_sorted": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "scalar_subquery_above_avg": f"""
+        SELECT o_orderstatus, count(*) AS n_above,
+               {rnd_sql("avg(o_totalprice)", 4)} AS avg_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+}
+
+QUERIES = {
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q14_promo_effect": tpch_q14_promo_effect,
+    "tpch_q17_small_quantity": tpch_q17_small_quantity,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+    "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+    "pivot_priority": pivot_priority,
+    "unpivot_measures": unpivot_measures,
+    "percentile_summary": percentile_summary,
+    "approx_distinct_hll": approx_distinct_hll,
+    "hash_sample": hash_sample,
+    "asof_join": asof_join,
+    "string_agg_sorted": string_agg_sorted,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+}

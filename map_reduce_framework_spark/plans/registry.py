@@ -16,13 +16,23 @@ from ..operators import (
     dedup,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text,
     udfs,
     wordcount_client,
 )
 
-_MODULES = [relational, wordcount_client, dedup, similarity, text, multimodal, udfs]
+_MODULES = [
+    relational,
+    relational_ext,
+    wordcount_client,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    udfs,
+]
 
 
 def _collect() -> tuple[dict, dict]:

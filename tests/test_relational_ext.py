@@ -1,0 +1,67 @@
+"""Targeted tests for the extended relational surface (relational_ext).
+
+Oracle equivalence for every oracle-backed query is already covered by the
+parametrized suite in test_relational.py; this file tests the properties
+the oracle can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators import relational_ext as rx
+from map_reduce_framework_spark.sources import load_table
+
+from .conftest import SF_DIR
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """HLL++ estimate must land within 5% of the exact distinct count
+    (Spark's default rsd is 5%; the per-group user counts here are small
+    enough that the sketch is near-exact)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in rx.approx_distinct_hll(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        assert abs(est - exact[etype]) <= max(1, 0.05 * exact[etype]), (
+            etype,
+            est,
+            exact[etype],
+        )
+
+
+def test_hash_sample_is_deterministic(spark):
+    """The md5-keyed sample must be bit-identical across runs (unlike
+    TABLESAMPLE) — the whole point of hash sampling for stable eval sets."""
+    a = rx.hash_sample(spark, SF_DIR).collect()
+    b = rx.hash_sample(spark, SF_DIR).collect()
+    assert a == b
+    assert sum(r["n_rows"] for r in a) > 0
+
+
+def test_asof_join_prev_click_is_strictly_earlier(spark):
+    """Every matched click must be the same user's strictly-earlier event;
+    unmatched purchases keep NULL (left as-of semantics)."""
+    rows = rx.asof_join(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    matched = [r for r in rows if r["prev_click_id"] is not None]
+    assert matched, "expected at least one purchase with a prior click"
+    for r in matched:
+        assert r["prev_click_ts"] < r["ts"]
+
+
+def test_pivot_unpivot_shapes(spark):
+    piv = rx.pivot_priority(spark, SF_DIR)
+    assert piv.columns == ["o_orderstatus", *rx.ORDER_PRIORITIES]
+    unp = rx.unpivot_measures(spark, SF_DIR)
+    n_li = load_table(spark, SF_DIR, "lineitem").count()
+    assert unp.count() == 4 * n_li

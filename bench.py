@@ -31,6 +31,9 @@ HEADLINE = [
     "window_rank_lag",
     "wordcount",
     "events_time_window",
+    "tpch_q18_large_volume",
+    "asof_join",
+    "hash_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

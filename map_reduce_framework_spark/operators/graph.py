@@ -1,0 +1,132 @@
+"""Graph operators: connected components for dedup-cluster resolution.
+
+Near-dup pair generation (dedup.py) emits EDGES; a training-data pipeline
+then needs the transitive closure — "docs A,B and B,C are near-dups ⇒
+A,B,C are one cluster, keep one canonical doc".  That closure is weakly
+connected components, computed here with min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors' label)   until fixpoint
+
+Each iteration is one join + one groupBy (two shuffles) over the edge
+list — the Pregel-style large-graph CC formulation (GraphX/GraphFrames
+use the same algorithm); iterations = graph diameter, which for near-dup
+clusters is tiny (they are dense blobs, not paths).  Convergence is
+detected by the monotone invariant Σlabels: labels only ever decrease, so
+an unchanged sum ⇒ fixpoint — one scalar action per iteration instead of
+a changed-row join.
+
+The reference has no graph/iterative operators at all (SURVEY §2.4); this
+is part of the mandated LLM-pipeline extension surface.  The oracle is a
+recursive CTE over the same (deterministic) simhash edges, so even this
+iterative operator is exactly DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup
+
+#: safety bound; near-dup cluster diameter is far smaller in practice
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Weakly connected components of an undirected edge list.
+
+    Returns ``(id, label)`` where label = min vertex id in the component.
+    Only vertices with at least one edge appear (isolated docs need no
+    cluster resolution).  The edge list is persisted once; each sweep
+    shuffles (id, label) pairs only — at 100 TB scale the per-iteration
+    payload is two longs per edge, and AQE handles the skew of giant
+    components.
+    """
+    # localCheckpoint (eager) both materializes the iteration inputs and
+    # TRUNCATES LINEAGE — without it each round's plan embeds all prior
+    # rounds and Catalyst re-analysis dominates wall time.
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(MAX_CC_ITERATIONS):
+        # (1) edge relax: min label among neighbors
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(sym.dst.alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        relaxed = labels.join(nbr_min, labels.id == nbr_min.nid, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # (2) pointer doubling: follow label -> label(label), halving path
+        # lengths — O(log diameter) rounds instead of O(diameter), which
+        # matters for chain-shaped near-dup clusters
+        lab2 = relaxed.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        labels = (
+            relaxed.join(lab2, relaxed.label == lab2.lid, "left")
+            .select(
+                "id",
+                F.coalesce("llabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve simhash near-dup pairs into clusters: every clustered doc
+    with its cluster id (= lowest doc_id in the cluster) and a canonical
+    flag — the "which copy do we keep" answer of the dedup pipeline."""
+    pairs = dedup.dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        pairs AS ({dedup.ORACLES["dedup_simhash"]}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id AS label FROM verts
+            UNION
+            SELECT e.dst AS doc_id, r.label
+            FROM reach r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id, min(label) AS cluster_id,
+               (doc_id = min(label)) AS is_canonical
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     dedup,
+    graph,
     multimodal,
     relational,
     relational_ext,
@@ -28,6 +29,7 @@ _MODULES = [
     relational_ext,
     wordcount_client,
     dedup,
+    graph,
     similarity,
     text,
     multimodal,

@@ -335,6 +335,35 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-minute width, 5-minute slide) per
+    event type — each event lands in exactly width/slide = 2 windows.
+
+    Batch form of the Structured Streaming sliding aggregation (the
+    streaming twin is ``streaming.events_stream`` with the same window
+    spec); Spark's ``window()`` is epoch-aligned, as is the oracle's
+    ``time_bucket`` (DuckDB's 2000-01-01 origin is itself 5-minute
+    epoch-aligned, so buckets coincide).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region sorted CSV of nation names (order-deterministic listagg:
     collect → sort → join, matching string_agg ... ORDER BY)."""
@@ -476,6 +505,19 @@ ORACLES = {
         WHERE p.event_type = 'purchase'
         ORDER BY p.event_id
     """,
+    "events_sliding_window": f"""
+        WITH w AS (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+                   event_type, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes' AS win_start,
+                   event_type, value FROM events)
+        SELECT win_start, event_type, count(*) AS n_events,
+               {rnd_sql("sum(value)", 2)} AS sum_value
+        FROM w GROUP BY win_start, event_type
+        ORDER BY win_start, event_type
+    """,
     "string_agg_sorted": """
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -504,6 +546,7 @@ QUERIES = {
     "approx_distinct_hll": approx_distinct_hll,
     "hash_sample": hash_sample,
     "asof_join": asof_join,
+    "events_sliding_window": events_sliding_window,
     "string_agg_sorted": string_agg_sorted,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
 }

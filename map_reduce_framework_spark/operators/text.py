@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import rnd
 from ..sources import load_table
-from .dedup import shingles
+from .dedup import fan_out, shingles
 
 #: per-language stopword lists for the scoring heuristic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -45,7 +45,7 @@ FINGERPRINT_K = 4
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document length/token statistics."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -63,7 +63,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic: stopword ratio + length saturation +
     lexical diversity, bucketed high/mid/low."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     stop_ratio = F.expr(
@@ -87,7 +87,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-count language scoring; argmax, alphabetical tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     score_cols = []
     for lang, words in sorted(LANG_STOPWORDS.items()):
         lst = ", ".join(f"'{w}'" for w in words)
@@ -115,7 +115,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts per doc + whitespace-token baseline."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
     return docs.select(
         "doc_id",
@@ -129,7 +129,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest shingle hashes, joined
     into a stable string key.  Equal fingerprints ⇒ near-certain dup;
     at scale this is a groupable/joinable dedup key (mergeable sketch)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     hashes = F.expr(
         "transform(sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
     )

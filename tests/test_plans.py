@@ -108,3 +108,54 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_q19_disjunctive_pushdown(spark):
+    """Q19's OR-of-ANDs must still push per-side conjunct envelopes into
+    the scans (Catalyst extracts brand/size IN-envelopes from the
+    disjunction) and broadcast the part side."""
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.tpch_q19_discounted_revenue(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "p_brand" in pushed or "Or(" in pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_is_single_pass(spark):
+    """Pinned pivot values: one aggregate over one scan — no extra
+    distinct-values job and no second exchange."""
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.pivot_priority(spark, SF_DIR), mode="simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must be the union-window formulation: exactly one
+    hash-partition exchange on user_id and NO join operator at all."""
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.asof_join(spark, SF_DIR))
+    assert "Join" not in plan  # no range/equi join — window formulation
+    assert plan.count("Window") >= 1
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_q17_broadcasts_per_part_averages(spark):
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.tpch_q17_small_quantity(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + avg table
+
+
+def test_hash_sample_no_exchange_before_agg(spark):
+    """The sampling predicate must evaluate scan-side: the only exchange
+    in the plan is the groupBy's, and partial aggregation runs first."""
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.hash_sample(spark, SF_DIR))
+    # one exchange for the final agg, one for the orderBy's range partition
+    assert plan.count("Exchange") <= 2
+    assert plan.count("HashAggregate") >= 2

@@ -155,7 +155,7 @@ def test_hash_sample_no_exchange_before_agg(spark):
     in the plan is the groupBy's, and partial aggregation runs first."""
     from map_reduce_framework_spark.operators import relational_ext as rx
 
-    plan = plan_of(rx.hash_sample(spark, SF_DIR))
+    plan = plan_of(rx.hash_sample(spark, SF_DIR), mode="simple")
     # one exchange for the final agg, one for the orderBy's range partition
     assert plan.count("Exchange") <= 2
     assert plan.count("HashAggregate") >= 2

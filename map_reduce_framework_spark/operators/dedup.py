@@ -198,16 +198,19 @@ def _py_shingles(txt: str) -> list[str]:
     return out
 
 
-def _shingled_docs(docs: DataFrame, with_sig: bool) -> DataFrame:
-    """(doc_id, sh[, sig]) via one Arrow-batched pass per document batch.
+def _shingled_docs(
+    docs: DataFrame, with_sig: bool = False, with_hashes: bool = False
+) -> DataFrame:
+    """(doc_id, sh[, sig][, gh]) via one Arrow-batched pass per batch.
 
-    Shingling and (optionally) the 12-hash MinHash signature run in
-    Python/numpy: hashlib.md5 is byte-identical to JVM/DuckDB ``md5``, so
-    every signature matches the SQL oracle bit-for-bit, while the
-    per-shingle hash + 12 affine-min transforms cost one vectorized numpy
-    pass instead of 13 interpreted higher-order-function evaluations per
-    row (measured ~4× at sf0.1).  Docs with no shingles emit no row
-    (mirrors the ``size(sh) > 0`` filter).
+    Shingling, the optional 12-hash MinHash signature (``sig``), and the
+    optional raw 60-bit shingle hashes (``gh``) run in Python/numpy:
+    hashlib.md5 is byte-identical to JVM/DuckDB ``md5``, so every value
+    matches the SQL oracle bit-for-bit, while the per-shingle hash + 12
+    affine-min transforms cost one vectorized numpy pass instead of 13
+    interpreted higher-order-function evaluations per row (measured ~4×
+    at sf0.1).  Docs with no shingles emit no row (mirrors the
+    ``size(sh) > 0`` filter).
     """
 
     def batches(it):
@@ -219,44 +222,61 @@ def _shingled_docs(docs: DataFrame, with_sig: bool) -> DataFrame:
         coeff_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
         coeff_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
         for pdf in it:
-            ids, shs, sigs = [], [], []
+            ids, shs, sigs, ghs = [], [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
                 sh = _py_shingles(txt)
                 if not sh:
                     continue
                 ids.append(doc_id)
                 shs.append(sh)
-                if with_sig:
-                    # hs = md5-60bit mod P; sig_i = min (a_i*hs + b_i) mod P.
-                    # max a * max hs < 2^62 — no int64 overflow.
-                    hs = np.fromiter(
+                if with_sig or with_hashes:
+                    h60 = np.fromiter(
                         (
                             int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                            % MINHASH_PRIME
                             for g in sh
                         ),
                         dtype=np.int64,
                         count=len(sh),
                     )
-                    sigs.append(
-                        ((hs[:, None] * coeff_a + coeff_b) % MINHASH_PRIME).min(axis=0)
-                    )
+                    if with_hashes:
+                        ghs.append(h60)
+                    if with_sig:
+                        # hs = h60 mod P; sig_i = min (a_i*hs + b_i) mod P.
+                        # max a * max hs < 2^62 — no int64 overflow.
+                        hs = h60 % MINHASH_PRIME
+                        sigs.append(
+                            ((hs[:, None] * coeff_a + coeff_b) % MINHASH_PRIME).min(
+                                axis=0
+                            )
+                        )
             cols = {"doc_id": ids, "sh": shs}
             if with_sig:
                 cols["sig"] = sigs
+            if with_hashes:
+                cols["gh"] = ghs
             yield pd.DataFrame(cols)
 
     schema = "doc_id bigint, sh array<string>"
     if with_sig:
         schema += ", sig array<bigint>"
+    if with_hashes:
+        schema += ", gh array<bigint>"
     return docs.mapInPandas(batches, schema)
 
 
 def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # posting list keyed by the 60-bit shingle HASH, not the shingle
+    # string: the self-join shuffles 8-byte longs instead of ~25-char
+    # strings (same md5-60bit hash on the oracle side, so results stay
+    # bit-identical; a 60-bit collision would need ~2^30 distinct grams)
     return (
-        _shingled_docs(docs, with_sig=False)
-        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+        _shingled_docs(docs, with_hashes=True)
+        .select(
+            "doc_id",
+            F.size("gh").alias("n_sh"),
+            F.explode("gh").alias("g"),
+        )
         # both sides of the candidate self-join consume this; persist so
         # shingling runs once, not once per join side (at 100 TB the
         # posting list is a materialized intermediate table for the same
@@ -632,7 +652,9 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
-        e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+        e AS (SELECT doc_id, len(sh) AS n_sh,
+                     unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+              FROM s),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      count(*) AS shared,
                      any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b

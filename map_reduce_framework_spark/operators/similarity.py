@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..functions import rnd
 from ..sources import load_table
-from .dedup import dot_col, unit_vector_col
+from .dedup import dot_col, fan_out, unit_vector_col
 
 #: queries = this many lowest vec_ids (a stand-in for an external query set)
 N_QUERIES = 5
@@ -35,7 +35,7 @@ BUCKET_TOP_K = 5
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
         unit_vector_col("embedding").alias("vc"),

@@ -33,6 +33,14 @@ TOP_K = 10
 LSH_SIGN_BITS = 8
 BUCKET_TOP_K = 5
 
+#: IVF: coarse-quantizer size and probe width.  Centroids are the first
+#: N_CENTROIDS corpus vectors (deterministic "training" — production
+#: systems k-means these; the *search* plumbing is identical and that is
+#: what this operator exercises/tests).
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOP_K = 5
+
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str):
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -126,6 +134,69 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors assigned to their nearest
+    centroid cell; each query probes only its ``N_PROBE`` closest cells.
+
+    This is the production scale path for embedding search: the cell id
+    is a partitioning key, so at 100 TB each query's work is a pruned
+    equi-join against ~n_probe/n_cells of the corpus instead of a full
+    scan, and cells can be bucketed/sorted on disk.  Assignment and
+    probing rank by 6-dp-rounded dot with centroid-id tie-break, so cell
+    membership is deterministic and the DuckDB oracle reproduces it
+    exactly.
+    """
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        unit_vector_col("embedding").alias("vcent"),
+    )
+
+    def cells(side: DataFrame, id_col: str, vec: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).withColumn(
+            "cdot", rnd(dot_col(vec, "vcent"), 6)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cdot").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= keep)
+            .select(id_col, vec, F.col("cent_id").alias("cell"))
+        )
+
+    corpus_cells = cells(corpus, "cand_id", "vc", 1)
+    probe_cells = cells(queries, "query_id", "vq", N_PROBE).withColumnRenamed(
+        "cell", "qcell"
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(
+            corpus_cells,
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .withColumn("cos6", rnd(_pair_cosine(), 6))
+        # a candidate can appear via both probed cells — count it once
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            rnd(F.col("cos6"), 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # NOTE: sign_bucket_col uses SQL `vec[j]`, 0-based in Spark but 1-based
 # in DuckDB — the oracle uses [j+1] to align (see _sign_bucket_sql).
 
@@ -182,7 +253,45 @@ ORACLES = {
     """,
 }
 
+ORACLES["ann_ivf"] = f"""
+    WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM e
+              WHERE vec_id < {N_CENTROIDS}),
+    corpus_scored AS (
+        SELECT e.vec_id AS cand_id, e.v, c.cent_id,
+               (floor((list_dot_product(e.v, c.vcent)) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
+        FROM e CROSS JOIN cents c),
+    corpus_cells AS (
+        SELECT cand_id, v, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM corpus_scored) WHERE crank = 1),
+    probe_scored AS (
+        SELECT e.vec_id AS query_id, e.v, c.cent_id,
+               (floor((list_dot_product(e.v, c.vcent)) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
+        FROM e CROSS JOIN cents c WHERE e.vec_id < {N_QUERIES}),
+    probe_cells AS (
+        SELECT query_id, v, cent_id AS qcell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM probe_scored) WHERE crank <= {N_PROBE}),
+    cand AS (
+        SELECT DISTINCT q.query_id, cc.cand_id,
+               (floor((list_dot_product(q.v, cc.v)) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cos6
+        FROM probe_cells q JOIN corpus_cells cc ON q.qcell = cc.cell
+        WHERE q.query_id <> cc.cand_id),
+    ranked AS (
+        SELECT query_id, cand_id, cos6,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos6 DESC, cand_id) AS rank
+        FROM cand)
+    SELECT query_id, cand_id, rank,
+           (floor((cos6) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
 }

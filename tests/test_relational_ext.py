@@ -65,3 +65,23 @@ def test_pivot_unpivot_shapes(spark):
     unp = rx.unpivot_measures(spark, SF_DIR)
     n_li = load_table(spark, SF_DIR, "lineitem").count()
     assert unp.count() == 4 * n_li
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF with n_probe=2 of 8 cells must recover a meaningful share of
+    the exact top-5 (structure check + recall floor; exact recall depends
+    on the synthetic geometry)."""
+    from map_reduce_framework_spark.operators import similarity as sim
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ann_cosine_topk(spark, SF_DIR).collect()
+        if r["rank"] <= sim.IVF_TOP_K
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ann_ivf(spark, SF_DIR).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.2, f"recall collapsed: {recall}"

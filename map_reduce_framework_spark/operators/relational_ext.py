@@ -364,6 +364,39 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (purchase, click) pair where the same user's
+    click happened within the 6 hours before the purchase.
+
+    Batch twin of the stream-stream interval join in
+    ``streaming/interval_join.py`` (same predicate, watermarked streaming
+    execution must produce identical pairs — tested).  The join has an
+    equi key (user_id) plus a time-range residual, so Spark shuffles by
+    user and scans each user's events once — not a cross-range explosion.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
 def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region sorted CSV of nation names (order-deterministic listagg:
     collect → sort → join, matching string_agg ... ORDER BY)."""
@@ -518,6 +551,15 @@ ORACLES = {
         FROM w GROUP BY win_start, event_type
         ORDER BY win_start, event_type
     """,
+    "events_interval_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts < p.ts
+        ORDER BY purchase_id, click_id
+    """,
     "string_agg_sorted": """
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -547,6 +589,7 @@ QUERIES = {
     "hash_sample": hash_sample,
     "asof_join": asof_join,
     "events_sliding_window": events_sliding_window,
+    "events_interval_join": events_interval_join,
     "string_agg_sorted": string_agg_sorted,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
 }

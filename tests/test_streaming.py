@@ -42,3 +42,21 @@ def test_stateful_user_stats_matches_batch(spark):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The watermarked stream-stream join must emit exactly the batch
+    interval join's pairs (availableNow drains the backlog once)."""
+    from map_reduce_framework_spark.operators.relational_ext import (
+        events_interval_join,
+    )
+    from map_reduce_framework_spark.streaming.interval_join import (
+        run_interval_join_demo,
+    )
+
+    streamed = run_interval_join_demo(spark, SF_DIR)
+    batch = events_interval_join(spark, SF_DIR)
+    key = lambda r: (r["purchase_id"], r["click_id"])  # noqa: E731
+    s_rows = sorted(map(key, streamed.collect()))
+    b_rows = sorted(map(key, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0

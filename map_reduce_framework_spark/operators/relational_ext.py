@@ -183,6 +183,66 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue lost to returned items in 1997-H1,
+    with their nation (3-way join, dimension sides broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(rnd(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join through the salting helper: lineitem (hot fact
+    keys) ⋈ part with the key space split across 8 salts, then brand
+    rollup.  Salting is internal — the aggregated result is
+    salt-independent, so the oracle is the plain join (which is exactly
+    the point: same answer, shuffle spread over n_salts× more keys)."""
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = salted_join(li, part, li.l_partkey == part.p_partkey, n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF-style lateral expansion: each document row fans out
+    to (doc_id, pos, tok) rows with token ordinals (posexplode ≡ LATERAL
+    VIEW ≡ SQL-standard lateral unnest with ordinality)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total order value per status × priority, priorities as columns.
 
@@ -507,6 +567,33 @@ ORACLES = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 40)
     """,
+    "tpch_q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+               {rnd_sql(f"sum({_REV})", 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "join_skew_salted": f"""
+        SELECT p_brand, count(*) AS n_lines,
+               {rnd_sql(f"sum({_REV})", 2)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "lateral_posexplode": """
+        SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                          (s, i) -> {'pos': i - 1, 'tok': s})) AS u
+            FROM documents WHERE doc_id < 50) q
+        WHERE u['tok'] <> '' ORDER BY doc_id, pos
+    """,
     "pivot_priority": f"""
         SELECT o_orderstatus, {_PIVOT_COLS}
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -582,6 +669,9 @@ QUERIES = {
     "tpch_q17_small_quantity": tpch_q17_small_quantity,
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "join_skew_salted": join_skew_salted,
+    "lateral_posexplode": lateral_posexplode,
     "pivot_priority": pivot_priority,
     "unpivot_measures": unpivot_measures,
     "percentile_summary": percentile_summary,

@@ -457,6 +457,72 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly event counts per type: the time-series
+    densification pattern (dimension spine × observed aggregates).
+
+    The spine is ``sequence(min_hour, max_hour)`` exploded against the
+    distinct types — at scale the spine is tiny (hours × types) and
+    broadcast against the aggregated facts, so densification costs one
+    small outer join, never a scan-side blowup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        F.broadcast(spine)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day (cohort),
+    counted per day-offset of later activity — the standard product-
+    analytics rollup (two aggregations + one broadcast-able join on the
+    per-user cohort table)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        active.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region sorted CSV of nation names (order-deterministic listagg:
     collect → sort → join, matching string_agg ... ORDER BY)."""
@@ -647,6 +713,37 @@ ORACLES = {
          AND c.ts >= p.ts - INTERVAL '6 hours' AND c.ts < p.ts
         ORDER BY purchase_id, click_id
     """,
+    "gap_fill_hourly": """
+        WITH bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi FROM events),
+        spine AS (
+            SELECT h.h AS hour, t.event_type
+            FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+                  FROM bounds) h
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT s.hour, s.event_type,
+               coalesce(hourly.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN hourly
+          ON s.hour = hourly.hour AND s.event_type = hourly.event_type
+        ORDER BY s.hour, s.event_type
+    """,
+    "cohort_retention": """
+        WITH cohorts AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        SELECT c.cohort_day,
+               datediff('day', c.cohort_day, a.day) AS day_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
     "string_agg_sorted": """
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -680,6 +777,8 @@ QUERIES = {
     "asof_join": asof_join,
     "events_sliding_window": events_sliding_window,
     "events_interval_join": events_interval_join,
+    "gap_fill_hourly": gap_fill_hourly,
+    "cohort_retention": cohort_retention,
     "string_agg_sorted": string_agg_sorted,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
 }

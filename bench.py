@@ -58,10 +58,17 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footers, not measured
+    # warm-up: JVM, parquet footers, AND the Python/Arrow worker pool
+    # (mapInPandas spins up one worker per core on first use — session
+    # infrastructure, not a property of whichever query runs first)
     registry.QUERIES["filter_project"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -228,6 +228,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + lookup + cardinality over document metadata.
+
+    Map columns don't round-trip comparably through pandas (Spark yields
+    dicts, DuckDB key/value struct-of-lists), so the map itself is output
+    as canonical JSON — byte-identical in both engines — alongside scalar
+    ``element_at`` lookups and cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        F.to_json(meta).alias("meta_json"),
+        F.element_at(meta, F.lit("lang")).alias("lang_val"),
+        F.size(meta).alias("n_keys"),
+    ).orderBy("doc_id")
+
+
 def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/UDTF-style lateral expansion: each document row fans out
     to (doc_id, pos, tok) rows with token ordinals (posexplode ≡ LATERAL
@@ -652,6 +672,13 @@ ORACLES = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
     """,
+    "map_functions": """
+        SELECT doc_id,
+               to_json(MAP {'lang': lang, 'source': source}) AS meta_json,
+               (MAP {'lang': lang, 'source': source}['lang'])[1] AS lang_val,
+               cardinality(MAP {'lang': lang, 'source': source}) AS n_keys
+        FROM documents ORDER BY doc_id
+    """,
     "lateral_posexplode": """
         SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
             SELECT doc_id,
@@ -768,6 +795,7 @@ QUERIES = {
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "join_skew_salted": join_skew_salted,
+    "map_functions": map_functions,
     "lateral_posexplode": lateral_posexplode,
     "pivot_priority": pivot_priority,
     "unpivot_measures": unpivot_measures,

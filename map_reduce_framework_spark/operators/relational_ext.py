@@ -228,6 +228,49 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: NULLIF-produced nulls, null-safe counting,
+    COALESCE defaults, and NULLS FIRST ordering in one query (the corpus
+    has no physical nulls, so they are manufactured deterministically)."""
+    orders = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(status_or_null.alias("status_np"), "o_totalprice")
+        .groupBy("status_np")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # count(col) skips nulls — the SQL-standard asymmetry
+            F.count("status_np").alias("n_nonnull"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("status_filled", F.coalesce("status_np", F.lit("<none>")))
+        .orderBy(F.col("status_np").asc_nulls_first())
+    )
+
+
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour event count per type via a RANGE window frame over
+    event-time (epoch seconds, so the frame bound is engine-portable) —
+    the sliding-aggregate-per-row pattern tumbling windows can't express.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    epoch_s = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            epoch_s.alias("epoch_s"),
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType construction + lookup + cardinality over document metadata.
 
@@ -672,6 +715,27 @@ ORACLES = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
     """,
+    "null_semantics": f"""
+        SELECT nullif(o_orderstatus, 'P') AS status_np,
+               count(*) AS n_rows,
+               count(nullif(o_orderstatus, 'P')) AS n_nonnull,
+               {rnd_sql("sum(o_totalprice)", 2)} AS total,
+               coalesce(nullif(o_orderstatus, 'P'), '<none>') AS status_filled
+        FROM orders
+        GROUP BY nullif(o_orderstatus, 'P')
+        ORDER BY status_np NULLS FIRST
+    """,
+    "window_range_interval": """
+        SELECT event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               count(*) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events WHERE event_id < 2000
+        ORDER BY event_id
+    """,
     "map_functions": """
         SELECT doc_id,
                to_json(MAP {'lang': lang, 'source': source}) AS meta_json,
@@ -796,6 +860,8 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "join_skew_salted": join_skew_salted,
     "map_functions": map_functions,
+    "null_semantics": null_semantics,
+    "window_range_interval": window_range_interval,
     "lateral_posexplode": lateral_posexplode,
     "pivot_priority": pivot_priority,
     "unpivot_measures": unpivot_measures,

@@ -5,8 +5,8 @@ The reference's only sink is the caller-returned list + stdout + a log file
 in-memory list and a directory listing.  The engine adds the standard
 columnar/row format matrix:
 
-- read: parquet (primary, sources.tables), csv, json, in-memory rows
-- write: parquet, csv, json, partitioned parquet (partitionBy)
+- read: parquet (primary, sources.tables), orc, csv, json, in-memory rows
+- write: parquet, orc, csv, json, partitioned parquet (partitionBy)
 
 ``roundtrip_*`` helpers write a DataFrame and read it back with an explicit
 schema — exercised by tests to prove both directions agree with the
@@ -59,3 +59,13 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet; same
+    predicate-pushdown/column-pruning machinery at scale)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -83,3 +83,13 @@ def test_mapreduce_log_empty_input(spark, tmp_path):
     assert out == []
     lines = open(log).read().splitlines()
     assert lines[-1] == "RunMapReduceFramework finished"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    formats.write_orc(orders, path)
+    back = formats.read_orc(spark, path).select(*orders.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )

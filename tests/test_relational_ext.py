@@ -85,3 +85,44 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert ivf, "IVF returned nothing"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+def test_connected_components_property(spark):
+    """Distributed CC must agree with a pure-Python union-find on random
+    small graphs (chains, cliques, isolated pairs, self-loops)."""
+    import random
+
+    from map_reduce_framework_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(5, 30)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(3, 40))
+        ]
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expected = {v: find(v) for v in parent}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        assert got == expected, f"trial {trial}: {sorted(got.items())[:5]}..."

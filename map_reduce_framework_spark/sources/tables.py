@@ -27,17 +27,30 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    Works on ANY session, not just the one built by :func:`..session.get_spark`:
+    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark rejects outright
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  That conf is
+    runtime-settable, so we set it here (idempotent) rather than relying on
+    the caller's session builder — an external caller with a vanilla session
+    must still be able to read every table.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) on disk; Spark reads it as long
-        # (spark.sql.legacy.parquet.nanosAsLong).  Truncate ns → µs exactly
-        # like DuckDB's µs-precision TIMESTAMP so oracles agree.
+        # With nanosAsLong, ts reads as a long of epoch-nanos.  Truncate
+        # ns → µs exactly like DuckDB's µs-precision TIMESTAMP so oracles
+        # agree.  Gate on the read dtype so a future Spark that reads nanos
+        # natively (as timestamp) keeps working.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -52,7 +52,10 @@ def streaming_event_counts(
 ) -> DataFrame:
     """Build the streaming DataFrame: 1-hour tumbling windows per
     event_type with a watermark (unbounded-late rows dropped)."""
-    # ts arrives as long ns (see sources.tables nanosAsLong note)
+    # ts arrives as long ns (see sources.tables nanosAsLong note); set the
+    # conf here too so the stream builds on any caller's session, not just
+    # the repo's get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

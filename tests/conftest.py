@@ -17,7 +17,6 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from map_reduce_framework_spark.session import get_spark  # noqa: E402
 from map_reduce_framework_spark.sources.tables import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -25,7 +24,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("mrfs-tests", shuffle_partitions=8)
+    """A deliberately VANILLA session — driver parity.
+
+    The external correctness driver builds its own SparkSession with none of
+    the engine's configs (no nanosAsLong, no UTC pin, no Arrow/AQE flags), so
+    the whole test suite runs under the same conditions: any query that only
+    works on ``session.get_spark()``'s configs fails here first.  Only
+    operational knobs (master, shuffle width, warehouse dir, UI, memory) are
+    set — nothing semantic.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("mrfs-tests")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.warehouse.dir", "/tmp/mrfs_warehouse_tests")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     yield spark
 
 

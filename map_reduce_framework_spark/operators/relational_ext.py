@@ -420,13 +420,19 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event matched to the same user's most
     recent earlier click.
 
-    Implemented as union-window (filter both streams, one window sorted
-    by (ts, event_id) per user, ``last(click, ignorenulls)`` over the
-    preceding frame) — a single sort-shuffle on the user key.  The naive
-    alternative is an inequality range join (quadratic per user) — this
-    formulation is the scalable as-of used by stream processors.
-    (user_id, ts) is unique in the data, so the strict "earlier" of the
-    oracle's LATERAL subquery and this row-frame formulation agree.
+    Implemented as union-window (filter both streams, one window per user
+    ordered by epoch-micros with a strict RANGE frame ending at -1µs,
+    ``max(struct(ts, event_id))`` over that frame) — a single sort-shuffle
+    on the user key.  The naive alternative is an inequality range join
+    (quadratic per user) — this formulation is the scalable as-of used by
+    stream processors.
+
+    Strictness is enforced structurally, not assumed: the RANGE frame
+    ``(unboundedPreceding, -1]`` over ``unix_micros(ts)`` admits only rows
+    with strictly earlier ts (a same-timestamp click is excluded, exactly
+    like the oracle's ``c.ts < p.ts``), and the struct max tie-breaks equal
+    click timestamps by largest event_id, matching the oracle's
+    ``ORDER BY c.ts DESC, c.event_id DESC LIMIT 1``.
     """
     ev = load_table(spark, sf_dir, "events")
     base = ev.where(F.col("event_type").isin("purchase", "click")).select(
@@ -434,15 +440,14 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    prev_click = F.last(
+    prev_click = F.max(
         F.when(
             F.col("event_type") == "click",
-            F.struct(F.col("event_id").alias("event_id"), F.col("ts").alias("ts")),
-        ),
-        ignorenulls=True,
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id")),
+        )
     ).over(w)
     return (
         base.withColumn("prev", prev_click)

@@ -25,20 +25,47 @@ from pyspark.sql import functions as F
 from .events_stream import EVENTS_SCHEMA, _events_stream_dir
 
 
-def _typed_stream(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+def _typed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    # events parquet is TIMESTAMP(NANOS); required on any caller's session
+    # (see sources.tables.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        # forces multiple micro-batches under availableNow — exercises the
+        # cross-batch state retention the watermarks must guarantee
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_events_stream_dir(sf_dir))
+        reader.load(stream_dir or _events_stream_dir(sf_dir))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .where(F.col("event_type") == event_type)
     )
 
 
-def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the watermarked purchase⋈click stream-stream join."""
+def streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Build the watermarked purchase⋈click stream-stream join.
+
+    Watermark sizing: the join predicate needs clicks up to 6 hours older
+    than a purchase, so the click side's watermark must cover that range
+    PLUS expected cross-stream disorder — otherwise a multi-batch source
+    (real Kafka, or a multi-file drop) could expire click state / drop
+    late clicks that a purchase still needs, and the "equals the batch
+    join" contract would silently break.  7 hours = 6 h join range + 1 h
+    disorder allowance.  The purchase side only needs the disorder bound
+    (1 h): no click ever waits for an *older* purchase.
+    """
     p = (
-        _typed_stream(spark, sf_dir, "purchase")
+        _typed_stream(spark, sf_dir, "purchase", stream_dir, max_files_per_trigger)
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -47,8 +74,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = (
-        _typed_stream(spark, sf_dir, "click")
-        .withWatermark("ts", "1 hour")
+        _typed_stream(spark, sf_dir, "click", stream_dir, max_files_per_trigger)
+        .withWatermark("ts", "7 hours")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
@@ -64,11 +91,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_interval_join_demo(
-    spark: SparkSession, sf_dir: str, table: str = "interval_join_demo"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "interval_join_demo",
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drain the stream join with availableNow; return the memory-sink
     table as a batch DataFrame."""
-    joined = streaming_interval_join(spark, sf_dir)
+    joined = streaming_interval_join(spark, sf_dir, stream_dir, max_files_per_trigger)
     q = (
         joined.writeStream.format("memory")
         .queryName(table)

@@ -59,6 +59,48 @@ def test_asof_join_prev_click_is_strictly_earlier(spark):
         assert r["prev_click_ts"] < r["ts"]
 
 
+def test_asof_join_same_timestamp_click_excluded(spark, tmp_path):
+    """A click at EXACTLY the purchase's timestamp must not match (oracle
+    is strictly c.ts < p.ts); equal-ts clicks tie-break by larger
+    event_id.  Synthetic table — the real data can't force ts collisions."""
+    import pandas as pd
+
+    evts = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",  # click, earlier
+                    "2024-01-01 11:00:00",  # click, same-ts as purchase
+                    "2024-01-01 11:00:00",  # purchase
+                    "2024-01-01 09:00:00",  # click tie A (same ts as 5)
+                    "2024-01-01 09:00:00",  # click tie B -> larger id wins
+                ]
+            ),
+            "user_id": [7, 7, 7, 8, 8],
+            "event_type": ["click", "click", "purchase", "click", "click"],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    purchase2 = pd.DataFrame(
+        {
+            "event_id": [6],
+            "ts": pd.to_datetime(["2024-01-01 12:00:00"]),
+            "user_id": [8],
+            "event_type": ["purchase"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    pd.concat([evts, purchase2]).to_parquet(tmp_path / "events.parquet")
+    out = {r["event_id"]: r for r in rx.asof_join(spark, str(tmp_path)).collect()}
+    # user 7: same-ts click (id=2) excluded -> strictly-earlier click id=1
+    assert out[3]["prev_click_id"] == 1
+    # user 8: two clicks at the same earlier ts -> larger event_id (5) wins
+    assert out[6]["prev_click_id"] == 5
+
+
 def test_pivot_unpivot_shapes(spark):
     piv = rx.pivot_priority(spark, SF_DIR)
     assert piv.columns == ["o_orderstatus", *rx.ORDER_PRIORITIES]

@@ -60,3 +60,43 @@ def test_stream_stream_interval_join_equals_batch(spark):
     s_rows = sorted(map(key, streamed.collect()))
     b_rows = sorted(map(key, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_stream_stream_interval_join_multi_batch(spark, tmp_path):
+    """Same contract across MULTIPLE micro-batches: split events into 4
+    time-ordered files, force maxFilesPerTrigger=1 (4 batches under
+    availableNow), and the join must still equal the batch twin — this is
+    what the 7-hour click-side watermark (6 h join range + 1 h disorder)
+    guarantees.  With the old 1-hour click watermark, clicks 1-6 h older
+    than the advancing purchase watermark would be expired/dropped across
+    batch boundaries and pairs would go missing."""
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_spark.operators.relational_ext import (
+        events_interval_join,
+    )
+    from map_reduce_framework_spark.streaming.interval_join import (
+        run_interval_join_demo,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.sort_by("ts")
+    n = t.num_rows
+    ds_dir = tmp_path / "events.parquet"
+    ds_dir.mkdir()
+    for i in range(4):
+        chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+
+    streamed = run_interval_join_demo(
+        spark,
+        str(tmp_path),
+        table="interval_join_multibatch",
+        stream_dir=str(ds_dir),
+        max_files_per_trigger=1,
+    )
+    batch = events_interval_join(spark, str(tmp_path))
+    key = lambda r: (r["purchase_id"], r["click_id"])  # noqa: E731
+    s_rows = sorted(map(key, streamed.collect()))
+    b_rows = sorted(map(key, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0

@@ -32,8 +32,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..functions import rnd
+from ..functions import rnd, rnd_sql
 from ..sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -81,6 +82,18 @@ SIMHASH_MAX_HAMMING = 3
 
 JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.35
+
+#: n-gram Jaccard document-frequency cap: grams occurring in MORE than
+#: this many documents are dropped from the posting list before the
+#: candidate self-join (and from the Jaccard vocabulary — mirrored in the
+#: oracle).  A stopword-ish gram shared by f documents generates O(f²)
+#: candidate pairs inside one join bucket; AQE skew-split divides the
+#: *partition*, not the pair count, so without this cap a single
+#: ubiquitous gram at 100 TB produces a quadratic blow-up no runtime
+#: re-plan can fix.  Grams in >100 docs carry no near-dup signal (the
+#: standard CCNet-style refinement).  The synthetic corpus tops out at
+#: df=25 (sf0.1), so test-SF results are unchanged by the cap.
+NGRAM_DF_CAP = 100
 
 
 def hash60(col: Column) -> Column:
@@ -265,39 +278,58 @@ def _shingled_docs(
 
 
 def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped shingle posting list ``(doc_id, g)``.
+
+    Keyed by the 60-bit shingle HASH, not the shingle string: the self-
+    join shuffles 8-byte longs instead of ~25-char strings (same md5-60bit
+    hash on the oracle side, so results stay bit-identical; a 60-bit
+    collision would need ~2^30 distinct grams).
+
+    The window count computes each gram's document frequency in ONE
+    shuffle by ``g`` — and because the downstream candidate self-join
+    also partitions by ``g``, the persisted output's hash-partitioning is
+    exactly what the join needs (zero extra exchange on either side).
+    Grams with df > :data:`NGRAM_DF_CAP` are dropped here (see the
+    constant's docstring for why AQE cannot substitute for this).
+    """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # posting list keyed by the 60-bit shingle HASH, not the shingle
-    # string: the self-join shuffles 8-byte longs instead of ~25-char
-    # strings (same md5-60bit hash on the oracle side, so results stay
-    # bit-identical; a 60-bit collision would need ~2^30 distinct grams)
-    return (
-        _shingled_docs(docs, with_hashes=True)
-        .select(
-            "doc_id",
-            F.size("gh").alias("n_sh"),
-            F.explode("gh").alias("g"),
-        )
-        # both sides of the candidate self-join consume this; persist so
-        # shingling runs once, not once per join side (at 100 TB the
-        # posting list is a materialized intermediate table for the same
-        # reason — recomputing shingles dominates otherwise)
-        .persist()
+    posting = _shingled_docs(docs, with_hashes=True).select(
+        "doc_id", F.explode("gh").alias("g")
     )
+    capped = (
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
+    # both sides of the candidate self-join consume this; persist so
+    # shingling + the df pass run once, not once per join side (at 100 TB
+    # the posting list is a materialized intermediate table for the same
+    # reason — recomputing shingles dominates otherwise)
+    return capped.persist()
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8.
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8 over the df-capped
+    gram vocabulary.
 
-    Candidate generation = self-equi-join on shared shingle (shuffle on
-    the shingle key — skew-prone on stopword-heavy grams; AQE skew-join
-    handles it, and common-gram filtering is the standard refinement),
-    then |A∩B| via count and Jaccard from precomputed set sizes.
+    Candidate generation = self-equi-join on shared shingle hash.  The
+    df cap (:data:`NGRAM_DF_CAP`) bounds any join bucket to ≤ cap²/2
+    pairs, so the worst case is a constant per gram instead of O(f²) on
+    stopword grams.  |A∩B| via pair count; set sizes join in afterwards
+    from a per-doc aggregate (the pair table after aggregation is far
+    smaller than the posting list, so the two size joins shuffle almost
+    nothing).
     """
     e = _shingle_exploded(spark, sf_dir)
     # materialize the persisted posting list BEFORE the self-join: the
     # join's two scan stages otherwise run concurrently and EACH computes
     # the shingling (the cache isn't populated until one side finishes)
     e.count()
+    # retained-gram set size per doc (Jaccard is over the capped
+    # vocabulary, matching the oracle)
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(
@@ -308,11 +340,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("_ida"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("_idb"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        pairs.join(sa, F.col("doc_a") == F.col("_ida"))
+        .drop("_ida")
+        .join(sb, F.col("doc_b") == F.col("_idb"))
+        .drop("_idb")
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
@@ -652,17 +688,24 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
-        e AS (SELECT doc_id, len(sh) AS n_sh,
-                     unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
-              FROM s),
+        e0 AS (SELECT doc_id,
+                      unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+               FROM s),
+        e AS (SELECT doc_id, g FROM (
+                  SELECT doc_id, g,
+                         count(*) OVER (PARTITION BY g) AS df FROM e0)
+              WHERE df <= {NGRAM_DF_CAP}),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*) AS shared,
-                     any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                     count(*) AS shared
               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               (floor((shared / (n_a + n_b - shared)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS jaccard
-        FROM p WHERE (floor((shared / (n_a + n_b - shared)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) >= {JACCARD_THRESHOLD}
+              GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b,
+                     {rnd_sql('(shared / (sa.n_sh + sb.n_sh - shared))', 4)} AS jaccard
+              FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+                     JOIN sz sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j
+        WHERE jaccard >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_lsh": f"""

@@ -80,6 +80,57 @@ def test_simhash_finds_exact_dup(spark, planted_dir):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_ngram_df_cap_drops_hot_grams(spark, tmp_path):
+    """Grams in > NGRAM_DF_CAP docs must not generate candidates, and the
+    Spark result must still equal the DuckDB oracle on a corpus where the
+    cap actually fires (the real testdata never exceeds df=25).
+
+    110 docs share one hot 3-gram ("common shared prefix") but are
+    otherwise unique — without the cap that gram alone creates
+    110·109/2 ≈ 6k candidate pairs; with it, zero.  One planted near-dup
+    pair made of low-df grams must still be found.
+    """
+    import duckdb
+
+    hot = "common shared prefix"
+    docs = [f"{hot} unique tail number{i} alpha{i} beta{i} gamma{i}" for i in range(110)]
+    base = (
+        "entirely separate story about rivers and mountains where cold water "
+        "keeps flowing through deep green valleys toward the east"
+    )
+    near = base.replace("east", "west")  # 18 tokens: jaccard 15/17 ≈ 0.88
+    docs += [base, near]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    out = dedup.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (110, 111) in pairs  # planted near-dup survives the cap
+    # no pair among the 110 hot-gram docs: their only shared gram is capped
+    assert not any(a < 110 and b < 110 for a, b in pairs)
+
+    from map_reduce_framework_spark.plans.registry import get_oracles
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(get_oracles()["dedup_ngram_jaccard"]).fetchall()
+    }
+    assert pairs == oracle
+
+
 def test_fingerprint_equal_for_exact_dups(spark, planted_dir):
     from map_reduce_framework_spark.operators.text import doc_fingerprint
 

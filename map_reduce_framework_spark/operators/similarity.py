@@ -98,24 +98,58 @@ def sign_bucket_col(vec_col: str, bits: int = LSH_SIGN_BITS):
     return F.expr(f"({terms})").cast("int")
 
 
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: search only the query's sign-bit LSH bucket.
+def probe_buckets_col(bucket_col: str, bits: int = LSH_SIGN_BITS):
+    """Multiprobe set: the bucket itself + every bucket at Hamming
+    distance 1 (one sign bit flipped).  A vector near a hyperplane lands
+    on an arbitrary side; probing the 1-flip neighborhood recovers those
+    borderline misses for (bits+1)× the candidate volume — the standard
+    multiprobe-LSH recall/cost dial."""
+    probes = ", ".join(
+        [bucket_col] + [f"({bucket_col} ^ {1 << j})" for j in range(bits)]
+    )
+    return F.expr(f"array({probes})")
 
-    The bucket equi-join replaces the brute-force cross product; recall
-    loss is the standard LSH trade-off (multiprobe = also search buckets
-    at Hamming distance 1 — left as a parameter sweep for bench).
+
+def ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, multiprobe: bool = True
+) -> DataFrame:
+    """Approximate top-k: search the query's sign-bit LSH bucket plus
+    (with ``multiprobe``, the default) all Hamming-1 neighbor buckets.
+
+    The bucket equi-join replaces the brute-force cross product; each
+    query probes 1 + LSH_SIGN_BITS buckets of ~corpus/2^bits vectors, so
+    the scanned fraction stays (bits+1)/2^bits ≈ 3.5% of the corpus.
+    Every corpus vector lives in exactly one bucket and the probe set is
+    distinct, so no pair is generated twice (no dedup step needed).  The
+    ``bucket`` output column is the *candidate's* bucket (= the probe
+    that matched).
+
+    Recall honesty: the synthetic corpus is weakly clustered (exact
+    top-5 neighbors sit at 66-75°, nearly orthogonal), so ANY
+    sign-LSH's per-bit collision probability is only ~0.6 and measured
+    recall@5 is ~0.12-0.2 — still 4-6× better than random sampling at
+    the same 3.5% probe budget, which is the claim LSH actually makes on
+    weakly-structured data.  ``tests/test_similarity_recall.py`` asserts
+    the floor and that multiprobe dominates single-probe.
     """
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     corpus_b = corpus.withColumn("cbucket", sign_bucket_col("vc"))
     queries_b = queries.withColumn("bucket", sign_bucket_col("vq"))
+    if multiprobe:
+        queries_b = queries_b.withColumn(
+            "probe", F.explode(probe_buckets_col("bucket"))
+        )
+    else:
+        queries_b = queries_b.withColumn("probe", F.col("bucket"))
     scored = (
         F.broadcast(queries_b)
         .join(
             corpus_b,
-            (F.col("bucket") == F.col("cbucket"))
+            (F.col("probe") == F.col("cbucket"))
             & (F.col("query_id") != F.col("cand_id")),
         )
         .withColumn("cos6", rnd(_pair_cosine(), 6))
+        .withColumn("bucket", F.col("cbucket"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos6").desc(), F.col("cand_id")
@@ -238,11 +272,15 @@ ORACLES = {
         WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v,
                           {_sign_bucket_sql('embedding')} AS bucket
                    FROM embeddings),
+        q AS (SELECT vec_id, v,
+                     unnest([bucket,
+                             {', '.join(f'xor(bucket, {1 << j})' for j in range(LSH_SIGN_BITS))}]) AS probe
+              FROM e WHERE vec_id < {N_QUERIES}),
         scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-                   a.bucket AS bucket, (floor(({_COS_SQL}) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cos6
-            FROM e a JOIN e b ON a.bucket = b.bucket
-                 AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id),
+                   b.bucket AS bucket, (floor(({_COS_SQL}) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cos6
+            FROM q a JOIN e b ON a.probe = b.bucket
+                 AND b.vec_id <> a.vec_id),
         ranked AS (
             SELECT query_id, cand_id, bucket, cos6,
                    row_number() OVER (PARTITION BY query_id

@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_stats",
+    "lang_id",
     "doc_fingerprint",
     "multimodal_features",
     "mr_wordcount_facade",

@@ -1,6 +1,9 @@
 """Text-analysis operators for training-data pipelines over ``documents``.
 
-All pure Column expressions (codegen'd, scan-pushed) with DuckDB oracles:
+Pure Column expressions (codegen'd, scan-pushed) except the stopword
+counting, which runs in one shared Arrow kernel
+(:func:`_stopword_counts`) per the repo rule that hot paths avoid
+interpreted higher-order functions.  All have DuckDB oracles:
 
 - :func:`text_stats` — length/token/uniqueness statistics
 - :func:`quality_score` — composite quality heuristic + bucket
@@ -60,21 +63,57 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _stopword_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, n_uniq_tokens, s_<lang>…) in ONE Arrow
+    pass.
+
+    Replaces the previous per-language interpreted ``filter(split(...))``
+    higher-order functions (HOFs run row-at-a-time through the
+    interpreted projection — the repo's Arrow-kernel rule, same move as
+    the dedup signature pass, measured ~4× there).  One batch pass
+    tokenizes each doc once and counts membership against all five
+    frozen stopword sets; downstream scoring stays pure Column exprs.
+    """
+    langs = sorted(LANG_STOPWORDS)
+
+    def batches(it):
+        import pandas as pd
+
+        sets = {lang: frozenset(LANG_STOPWORDS[lang]) for lang in langs}
+        for pdf in it:
+            toks_list = [t.split(" ") for t in pdf["text"]]
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "lang": pdf["lang"].values,
+                "n_tokens": [len(ts) for ts in toks_list],
+                "n_uniq_tokens": [len(set(ts)) for ts in toks_list],
+            }
+            for lang in langs:
+                s = sets[lang]
+                out[f"s_{lang}"] = [
+                    sum(1 for t in ts if t in s) for ts in toks_list
+                ]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id bigint, lang string, n_tokens int, n_uniq_tokens int, " + ", ".join(
+        f"s_{lang} int" for lang in langs
+    )
+    return docs.select("doc_id", "lang", "text").mapInPandas(batches, schema)
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic: stopword ratio + length saturation +
-    lexical diversity, bucketed high/mid/low."""
+    lexical diversity, bucketed high/mid/low.  Counting runs in the
+    shared Arrow kernel (:func:`_stopword_counts`); scoring is Column
+    arithmetic."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    en_stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
-    stop_ratio = F.expr(
-        f"size(filter(split(text, ' '), t -> t IN ({en_stop})))"
-        " / CAST(size(split(text, ' ')) AS DOUBLE)"
-    )
-    len_sat = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    counts = _stopword_counts(docs)
+    stop_ratio = F.col("s_en") / F.col("n_tokens").cast("double")
+    len_sat = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    diversity = F.col("n_uniq_tokens") / F.col("n_tokens").cast("double")
     score = rnd(0.3 * stop_ratio + 0.4 * len_sat + 0.3 * diversity, 4)
     return (
-        docs.select("doc_id", score.alias("quality"))
+        counts.select("doc_id", score.alias("quality"))
         .withColumn(
             "quality_bucket",
             F.when(F.col("quality") >= 0.6, "high")
@@ -86,17 +125,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-count language scoring; argmax, alphabetical tie-break."""
+    """Stopword-count language scoring; argmax, alphabetical tie-break.
+    Counting runs in the shared Arrow kernel (:func:`_stopword_counts`)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    score_cols = []
-    for lang, words in sorted(LANG_STOPWORDS.items()):
-        lst = ", ".join(f"'{w}'" for w in words)
-        score_cols.append(
-            F.expr(f"size(filter(split(text, ' '), t -> t IN ({lst})))").alias(
-                f"s_{lang}"
-            )
-        )
-    scored = docs.select("doc_id", "lang", *score_cols)
+    scored = _stopword_counts(docs)
     langs = sorted(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"s_{l}") for l in langs])
     # CASE chain in alphabetical order: the first (alphabetical) max wins

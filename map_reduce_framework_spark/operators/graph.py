@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import dedup
 
@@ -108,7 +109,72 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_pipeline_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: the query a training-data team actually
+    runs — every document with its final cluster id and keep/drop flag.
+
+    Edges = exact duplicates (same md5 of text → star edges to the
+    group's min doc_id) ∪ MinHash-LSH verified near-dup pairs; transitive
+    closure via :func:`connected_components`; survivor = lowest doc_id
+    per cluster; unclustered docs keep themselves.  At 100 TB each stage
+    is the scale path already used by its standalone operator (hash-
+    partition groupBy, banded LSH equi-join, label propagation); this
+    composition adds one left join of the corpus against the (much
+    smaller) clustered-vertex labels.
+    """
+    from ..sources import load_table
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    exact_edges = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .withColumn("root", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_edges = dedup.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        exact_edges.union(near_edges), "doc_a", "doc_b"
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cl"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cl", "doc_id").alias("cluster_id"),
+            (F.coalesce("cl", "doc_id") == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES = {
+    "dedup_pipeline_keeplist": f"""
+        WITH RECURSIVE
+        near AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
+        exact AS (
+            SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+                   doc_id AS doc_b
+            FROM documents),
+        pairs AS (SELECT doc_a, doc_b FROM near
+                  UNION ALL
+                  SELECT doc_a, doc_b FROM exact WHERE doc_a <> doc_b),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id AS label FROM verts
+            UNION
+            SELECT e.dst AS doc_id, r.label
+            FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (SELECT doc_id, min(label) AS cl FROM reach
+                   GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(l.cl, d.doc_id) AS cluster_id,
+               (coalesce(l.cl, d.doc_id) = d.doc_id) AS kept
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE
         pairs AS ({dedup.ORACLES["dedup_simhash"]}),
@@ -129,4 +195,5 @@ ORACLES = {
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_pipeline_keeplist": dedup_pipeline_keeplist,
 }

@@ -100,6 +100,86 @@ def search_df(spark: SparkSession, pairs: list[tuple[str, str]]):
     )
 
 
+#: search_dir_listing fixture: files named after the first N part names
+SEARCH_FIXTURE_PARTKEYS = 200
+#: "ol" hits the "cold *" and "* bolt" part names (a non-trivial strict
+#: subset of the fixture at every SF — never 0 rows, never all rows)
+SEARCH_FIXTURE_QUERY = "ol"
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic directory fixture derived from the
+    ``part`` table: one (empty) file per distinct ``p_name`` with
+    ``p_partkey <= SEARCH_FIXTURE_PARTKEYS``.  Idempotent per sf_dir, so
+    the driver can run the query repeatedly; collecting ≤200 dimension
+    names driver-side is the fixture WRITE, not part of the measured
+    query."""
+    import hashlib
+    import tempfile
+
+    from ..sources import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mrfs_search_fixture_{tag}")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        from pyspark.sql import functions as F
+
+        names = [
+            r["p_name"]
+            for r in load_table(spark, sf_dir, "part")
+            .where(F.col("p_partkey") <= SEARCH_FIXTURE_PARTKEYS)
+            .select("p_name")
+            .distinct()
+            .collect()
+        ]
+        for n in names:
+            open(os.path.join(d, n), "w").close()
+        open(marker, "w").close()
+    return d
+
+
+def search_dir_listing(spark: SparkSession, sf_dir: str):
+    """S1 as a driver-checkable query: distributed directory listing +
+    substring filter over a part-table-derived filesystem fixture.
+
+    Exercises the full Search surface against a SQL oracle: the real
+    ``os.listdir`` inside ``mapInPandas`` (S1, Search.cpp:172-202
+    semantics incl. ``.``/``..`` and the silent invalid-folder skip — an
+    invalid folder is included in the input), Catalyst ``contains``
+    (S2), and k3 ordering (O5).  The oracle reproduces the listing
+    relationally from ``part``.  The ``.complete`` marker file is
+    excluded from both sides (fixture bookkeeping, not a directory
+    entry under test)."""
+    from pyspark.sql import functions as F
+
+    d = _fixture_dir(spark, sf_dir)
+    pairs = [
+        (SEARCH_FIXTURE_QUERY, d),
+        (SEARCH_FIXTURE_QUERY, os.path.join(d, "does-not-exist")),
+    ]
+    return search_df(spark, pairs).where(F.col("name") != ".complete")
+
+
+ORACLES = {
+    "search_dir_listing": f"""
+        WITH entries AS (
+            SELECT DISTINCT p_name AS name FROM part
+            WHERE p_partkey <= {SEARCH_FIXTURE_PARTKEYS}
+            UNION ALL SELECT '.' UNION ALL SELECT '..')
+        SELECT '{SEARCH_FIXTURE_QUERY}' AS query, name
+        FROM entries
+        WHERE position('{SEARCH_FIXTURE_QUERY}' IN name) > 0
+        ORDER BY query, name
+    """,
+}
+
+QUERIES = {
+    "search_dir_listing": search_dir_listing,
+}
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI parity with Search.cpp:277-309: ``search <substring> <folders...>``."""
     argv = sys.argv[1:] if argv is None else argv

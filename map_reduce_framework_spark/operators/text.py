@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import rnd
+from ..functions import rnd, rnd_sql
 from ..sources import load_table
 from .dedup import fan_out, shingles
 
@@ -178,6 +178,62 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ngram_topk: top-N corpus grams by document frequency
+NGRAM_TOP_N = 20
+
+#: stratified_sample: keep-permille per stratum (10%)
+STRATA_PERMILLE = 100
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-N word-3-grams by document frequency.
+
+    The per-doc shingle set is distinct (dedup.shingles), so a plain
+    count after explode IS the document frequency.  Partial aggregation
+    makes the shuffle carry (gram, partial-count) pairs — at 100 TB this
+    is the canonical map-side-combine rollup, and the top-N cut is a
+    TakeOrderedAndProject (no global sort materialization).  Ties at the
+    boundary break by gram ascending so the result is deterministic
+    across engines.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(shingles()).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram"))
+        .limit(NGRAM_TOP_N)
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample of ``documents`` per language,
+    summarized per stratum.
+
+    The keep decision is a pure function of (lang, doc_id) via the
+    shared md5-60bit hash — reproducible across engines and runs (unlike
+    TABLESAMPLE), stable under repartitioning, and evaluable at the scan
+    (predicate on hash of key columns; no shuffle before the filter).
+    The per-stratum aggregate keeps the oracle row set small and checks
+    both membership and payload stats.
+    """
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    key = F.concat_ws(":", F.col("lang"), F.col("doc_id"))
+    return (
+        docs.where(hash60(key) % 1000 < STRATA_PERMILLE)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -249,11 +305,29 @@ ORACLES = {
 
 # doc_fingerprint oracle needs the shared shingle SQL — inject it here to
 # keep a single source of truth with dedup._shingles_sql.
-from .dedup import _shingles_sql  # noqa: E402
+from .dedup import _hash60_sql, _shingles_sql  # noqa: E402
 
 ORACLES["doc_fingerprint"] = ORACLES["doc_fingerprint"].replace(
     "{SH}", _shingles_sql("text")
 )
+
+ORACLES["ngram_topk"] = f"""
+    SELECT gram, count(*) AS df
+    FROM (SELECT doc_id, unnest({_shingles_sql("text")}) AS gram
+          FROM documents)
+    GROUP BY gram
+    ORDER BY df DESC, gram
+    LIMIT {NGRAM_TOP_N}
+"""
+
+ORACLES["stratified_sample"] = f"""
+    SELECT lang, count(*) AS n_sampled,
+           {rnd_sql("avg(n_chars)", 4)} AS avg_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents
+    WHERE {_hash60_sql("concat(lang, ':', doc_id)")} % 1000 < {STRATA_PERMILLE}
+    GROUP BY lang ORDER BY lang
+"""
 
 QUERIES = {
     "text_stats": text_stats,
@@ -261,4 +335,6 @@ QUERIES = {
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
+    "ngram_topk": ngram_topk,
+    "stratified_sample": stratified_sample,
 }

@@ -18,6 +18,7 @@ from ..operators import (
     multimodal,
     relational,
     relational_ext,
+    search_client,
     similarity,
     text,
     udfs,
@@ -28,6 +29,7 @@ _MODULES = [
     relational,
     relational_ext,
     wordcount_client,
+    search_client,
     dedup,
     graph,
     similarity,
@@ -84,6 +86,12 @@ DRIVER_WINDOW = [
     "window_range_interval",
     "approx_distinct_hll",
     "asof_join",
+    # new this round (no prior driver row) — S1-with-oracle, the
+    # end-to-end dedup capstone, sampling, corpus n-grams
+    "search_dir_listing",
+    "dedup_pipeline_keeplist",
+    "stratified_sample",
+    "ngram_topk",
     # one exemplar per §2.4 category (green in round 1; keep a row each)
     "search_substring",
     "wordcount",
@@ -91,16 +99,12 @@ DRIVER_WINDOW = [
     "pricing_summary",
     "tpch_q3_shipping_priority",
     "join_equi",
-    "join_full_outer",
     "join_skew_salted",
-    "rollup_agg",
     "distinct_keys",
     "window_rank_lag",
     "top_k",
-    "top_k_per_group",
     "set_union_all",
     "scalar_functions",
-    "pivot_priority",
 ]
 
 

@@ -76,9 +76,54 @@ def pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@cache
+def _tokenize_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        """Lateral tokenizer: one (position, token) row per whitespace
+        token — the Spark-4 Python UDTF surface (the reference's Map IS
+        a UDTF: 1 input row → 0..n output rows, SURVEY §2.1 O2)."""
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    return Tokenize
+
+
+def python_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: tokenize the first 50 documents
+    into (doc_id, pos, token) rows.
+
+    Arrow-optimized UDTF execution is enabled on the session (runtime
+    conf) so batches cross the Python boundary via Arrow, consistent
+    with the engine's no-row-at-a-time rule; the UDTF itself is the
+    demonstration of Spark's table-function surface — bulk tokenization
+    hot paths use the codegen'd ``split``/``explode`` (see
+    ``text.text_stats``) or ``mapInPandas`` instead.
+    """
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize", _tokenize_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "pandas_udf_grouped_agg": pandas_udf_grouped_agg,
+    "python_udtf_tokens": python_udtf_tokens,
 }
 
 ORACLES = {
@@ -96,5 +141,13 @@ ORACLES = {
                       * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
                    AS qty_weighted_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "python_udtf_tokens": """
+        SELECT d.doc_id, gs.i AS pos,
+               string_split(d.text, ' ')[gs.i + 1] AS token
+        FROM documents d,
+             LATERAL (SELECT unnest(range(len(string_split(d.text, ' ')))) AS i) gs
+        WHERE d.doc_id < 50
+        ORDER BY d.doc_id, pos
     """,
 }

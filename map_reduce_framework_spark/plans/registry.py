@@ -92,8 +92,9 @@ DRIVER_WINDOW = [
     "dedup_pipeline_keeplist",
     "stratified_sample",
     "ngram_topk",
+    "python_udtf_tokens",
     # one exemplar per §2.4 category (green in round 1; keep a row each)
-    "search_substring",
+    # (search family is covered by search_dir_listing's contains filter)
     "wordcount",
     "filter_project",
     "pricing_summary",

@@ -159,3 +159,53 @@ def test_hash_sample_no_exchange_before_agg(spark):
     # one exchange for the final agg, one for the orderBy's range partition
     assert plan.count("Exchange") <= 2
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ngram_topk_partial_agg_and_top_n_cut(spark):
+    """Corpus n-gram rollup must map-side combine (partial + final
+    HashAggregate) and cut top-N via TakeOrderedAndProject — never a
+    global sort of the full gram table."""
+    from map_reduce_framework_spark.operators import text
+
+    plan = plan_of(text.ngram_topk(spark, SF_DIR), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort operator
+
+
+def test_stratified_sample_filters_before_any_exchange(spark):
+    """The stratum-hash keep predicate must run scan-side: exchanges in
+    the plan belong to the aggregate/order, and the Filter sits under
+    them (no shuffle of unsampled rows)."""
+    from map_reduce_framework_spark.operators import text
+
+    plan = plan_of(text.stratified_sample(spark, SF_DIR), mode="simple")
+    # fan_out may add one round-robin on the tiny scan; agg + orderBy add
+    # at most two more — the point is no extra join/window exchanges
+    assert plan.count("Exchange") <= 3
+    assert plan.count("HashAggregate") >= 2
+    filter_pos = plan.find("Filter")
+    agg_exchange_pos = plan.find("Exchange hashpartitioning")
+    assert filter_pos != -1
+    # deeper in the tree = later in the printed plan: the filter must
+    # appear BELOW (after) the agg exchange line
+    assert agg_exchange_pos == -1 or filter_pos > agg_exchange_pos
+
+
+def test_ngram_dedup_self_join_reuses_posting_partitioning(spark):
+    """The df-cap window shuffles the posting list by gram hash ONCE;
+    the candidate self-join must not add hash exchanges on top of the
+    cached, already-partitioned posting list."""
+    from map_reduce_framework_spark.operators import dedup
+
+    try:
+        df = dedup.dedup_ngram_jaccard(spark, SF_DIR)
+        plan = plan_of(df, mode="simple")
+        # exchanges allowed: inside the InMemoryRelation build (window),
+        # pair-agg hashpartitioning, two size joins, final orderBy.  NOT
+        # allowed: hashpartitioning(g) ABOVE an InMemoryTableScan (that
+        # would mean the join re-shuffles the cached posting list).
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "hashpartitioning(g" not in above_cache
+    finally:
+        spark.catalog.clearCache()

@@ -44,6 +44,22 @@ def test_stateful_user_stats_matches_batch(spark):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_streaming_dedup_exactly_once(spark):
+    """dropDuplicatesWithinWatermark over a doubled feed (every event
+    delivered twice) must yield exactly the batch DISTINCT rows."""
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.dedup_stream import (
+        run_streaming_dedup_demo,
+    )
+
+    got = run_streaming_dedup_demo(spark, SF_DIR)
+    batch = load_table(spark, SF_DIR, "events")
+    assert got.count() == batch.count()  # every duplicate dropped
+    s_ids = sorted(r["event_id"] for r in got.select("event_id").collect())
+    b_ids = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert s_ids == b_ids
+
+
 def test_stream_stream_interval_join_equals_batch(spark):
     """The watermarked stream-stream join must emit exactly the batch
     interval join's pairs (availableNow drains the backlog once)."""

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import rnd, rnd_sql
 from ..sources import load_table
@@ -234,6 +235,132 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pack_sequences: whitespace-token budget per training sequence
+PACK_TOKEN_BUDGET = 64
+
+#: contamination_check: benchmark = 3-gram set of docs with doc_id < this
+CONTAM_BENCHMARK_DOCS = 5
+#: flag a doc as contaminated at >= this many shared distinct grams
+CONTAM_MIN_SHARED = 3
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to token-budgeted training sequences.
+
+    The LLM-pretraining packing step: documents are laid out into
+    fixed-budget sequences (here greedy-by-document-order: a doc's
+    sequence id = exclusive running token total ÷ budget, so a doc may
+    straddle a boundary exactly as a token-level packer would split it).
+    Packing runs PER SOURCE stratum — one window sort-shuffle keyed by
+    source, so at 100 TB each stratum packs independently in parallel
+    and no global single-partition cumsum exists anywhere.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn(
+            "seq_id", F.floor(cum_excl / PACK_TOKEN_BUDGET).cast("bigint")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: the share of the
+    doc taken by its single most frequent token, and the fraction of
+    duplicated word bigrams.  One Arrow pass (same kernel pattern as
+    :func:`_stopword_counts` — token multisets are not expressible
+    without interpreted HOFs)."""
+
+    def batches(it):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in it:
+            ids, top_ratio, dup_bigram = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = txt.split(" ")
+                n = len(toks)
+                counts = Counter(toks)
+                ids.append(doc_id)
+                top_ratio.append(counts.most_common(1)[0][1] / n)
+                bigrams = [
+                    toks[i] + " " + toks[i + 1] for i in range(n - 1)
+                ]
+                dup_bigram.append(
+                    0.0
+                    if len(bigrams) == 0
+                    else 1.0 - len(set(bigrams)) / len(bigrams)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "top_token_ratio": top_ratio,
+                    "dup_bigram_ratio": dup_bigram,
+                }
+            )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, top_token_ratio double, dup_bigram_ratio double",
+    )
+    return raw.select(
+        "doc_id",
+        rnd(F.col("top_token_ratio"), 4).alias("top_token_ratio"),
+        rnd(F.col("dup_bigram_ratio"), 4).alias("dup_bigram_ratio"),
+    ).orderBy("doc_id")
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: per document, how many distinct
+    3-grams it shares with the benchmark set (= grams of docs with
+    doc_id < CONTAM_BENCHMARK_DOCS), and a contaminated flag.
+
+    The benchmark gram set is BROADCAST (eval suites are tiny next to a
+    100 TB corpus — the real-world shape), so the screen is a map-side
+    semi-join: no shuffle of corpus grams, one partial-agg count per
+    doc.  Gram identity is the shared 60-bit md5 hash.
+    """
+    from .dedup import hash60, shingles
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(shingles()).alias("gram")
+    ).withColumn("g", hash60(F.col("gram")))
+    bench = (
+        grams.where(F.col("doc_id") < CONTAM_BENCHMARK_DOCS)
+        .select("g")
+        .distinct()
+    )
+    shared = (
+        grams.where(F.col("doc_id") >= CONTAM_BENCHMARK_DOCS)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        docs.where(F.col("doc_id") >= CONTAM_BENCHMARK_DOCS)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= CONTAM_MIN_SHARED).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -320,6 +447,60 @@ ORACLES["ngram_topk"] = f"""
     LIMIT {NGRAM_TOP_N}
 """
 
+ORACLES["pack_sequences"] = f"""
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(floor(coalesce(
+               SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS seq_id
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLES["repetition_stats"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    topc AS (SELECT doc_id, max(cnt) AS max_cnt FROM (
+                 SELECT doc_id, tok, count(*) AS cnt FROM tok
+                 GROUP BY 1, 2) GROUP BY 1),
+    big AS (SELECT doc_id,
+                   list_transform(range(len(toks) - 1),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+                       AS bgs
+            FROM t)
+    SELECT t.doc_id,
+           {rnd_sql("max_cnt * 1.0 / len(t.toks)", 4)} AS top_token_ratio,
+           {rnd_sql("CASE WHEN len(bgs) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs) END", 4)}
+               AS dup_bigram_ratio
+    FROM t JOIN topc USING (doc_id) JOIN big USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+ORACLES["contamination_check"] = f"""
+    WITH gr AS (SELECT doc_id,
+                       unnest(list_transform({{SH}},
+                                             t -> {_hash60_sql('t')})) AS g
+                FROM documents),
+    bench AS (SELECT DISTINCT g FROM gr
+              WHERE doc_id < {CONTAM_BENCHMARK_DOCS}),
+    shared AS (SELECT doc_id, count(*) AS n
+               FROM gr JOIN bench USING (g)
+               WHERE doc_id >= {CONTAM_BENCHMARK_DOCS}
+               GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n, 0) AS n_shared_grams,
+           coalesce(s.n, 0) >= {CONTAM_MIN_SHARED} AS contaminated
+    FROM documents d LEFT JOIN shared s USING (doc_id)
+    WHERE d.doc_id >= {CONTAM_BENCHMARK_DOCS}
+    ORDER BY d.doc_id
+"""
+
+ORACLES["contamination_check"] = ORACLES["contamination_check"].replace(
+    "{SH}", _shingles_sql("text")
+)
+
 ORACLES["stratified_sample"] = f"""
     SELECT lang, count(*) AS n_sampled,
            {rnd_sql("avg(n_chars)", 4)} AS avg_chars,
@@ -337,4 +518,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "ngram_topk": ngram_topk,
     "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
+    "repetition_stats": repetition_stats,
+    "contamination_check": contamination_check,
 }

@@ -591,6 +591,96 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: table_profile: numeric lineitem columns to profile
+PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: snapshot_diff: simulated next-snapshot knobs (hash-keyed, deterministic)
+SNAPSHOT_DELETE_MOD = 10  # keys with h%10 == 0 deleted in snapshot B
+SNAPSHOT_UPDATE_MOD = 7  # keys with h%7 == 1 get a 10% price bump
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem's numeric measures: one row per
+    column with null count, exact distinct count, min and max.
+
+    All columns profile in ONE aggregate pass (Catalyst plans the
+    multi-distinct via EXPAND — one scan, not one scan per column),
+    then the single stats row unpivots into per-column rows.  This is
+    the standard pre-ingestion profiling step of a data pipeline; at
+    100 TB the same plan holds, with exact distinct swappable for
+    approx_count_distinct per SCALING.md.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    stats = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return stats.selectExpr(
+        f"stack({len(PROFILE_COLUMNS)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE-pattern snapshot comparison: classify every order key
+    as unchanged / updated / deleted between snapshot A (orders as-is)
+    and a deterministically simulated snapshot B (hash-keyed ~10%
+    deletes, ~14% 10%-price-bump updates).
+
+    The classification is ONE full outer join on the key — the scalable
+    shape of MERGE INTO / dataset-version diffing (both sides shuffle
+    by key once; at 100 TB this is the same co-partitioned join every
+    table-format merge executes underneath).  Output is the per-type
+    rollup (count + total price delta).
+    """
+    from .dedup import hash60
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    h = hash60(F.col("o_orderkey").cast("string"))
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .where(h % SNAPSHOT_DELETE_MOD != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                h % SNAPSHOT_UPDATE_MOD == 1, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price_b"),
+        )
+    )
+    joined = a.join(b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("price_b").isNull(), "deleted")
+        .when(F.col("price_a").isNull(), "inserted")
+        .when(F.col("price_a") != F.col("price_b"), "updated")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            (F.coalesce("price_b", F.lit(0.0)) - F.coalesce("price_a", F.lit(0.0))).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            rnd(F.sum("delta"), 2).alias("price_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
 def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region sorted CSV of nation names (order-deterministic listagg:
     collect → sort → join, matching string_agg ... ORDER BY)."""
@@ -854,6 +944,37 @@ ORACLES = {
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
+    "table_profile": "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) FILTER ({c} IS NULL) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_val,
+               CAST(max({c}) AS DOUBLE) AS max_val
+        FROM lineitem"""
+        for c in PROFILE_COLUMNS
+    )
+    + "\n        ORDER BY col_name",
+    "snapshot_diff": f"""
+        WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders),
+        hb AS (SELECT o_orderkey, o_totalprice,
+                      CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM orders),
+        b AS (SELECT o_orderkey,
+                     CASE WHEN h % {SNAPSHOT_UPDATE_MOD} = 1
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END AS price_b
+              FROM hb WHERE h % {SNAPSHOT_DELETE_MOD} <> 0),
+        j AS (SELECT CASE WHEN price_b IS NULL THEN 'deleted'
+                          WHEN price_a IS NULL THEN 'inserted'
+                          WHEN price_a <> price_b THEN 'updated'
+                          ELSE 'unchanged' END AS change_type,
+                     coalesce(price_b, 0) - coalesce(price_a, 0) AS delta
+              FROM a FULL OUTER JOIN b USING (o_orderkey))
+        SELECT change_type, count(*) AS n_keys,
+               {rnd_sql("sum(delta)", 2)} AS price_delta
+        FROM j GROUP BY change_type ORDER BY change_type
+    """,
 }
 
 QUERIES = {
@@ -880,4 +1001,6 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "string_agg_sorted": string_agg_sorted,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "table_profile": table_profile,
+    "snapshot_diff": snapshot_diff,
 }

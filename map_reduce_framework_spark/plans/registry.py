@@ -93,19 +93,21 @@ DRIVER_WINDOW = [
     "stratified_sample",
     "ngram_topk",
     "python_udtf_tokens",
-    # one exemplar per §2.4 category (green in round 1; keep a row each)
-    # (search family is covered by search_dir_listing's contains filter)
+    "pack_sequences",
+    "repetition_stats",
+    "contamination_check",
+    # one exemplar per §2.4 category (green in round 1; keep a row each;
+    # search is covered by search_dir_listing's contains filter, and the
+    # distinct/set-op/scalar families — trivially stable built-ins — rest
+    # on their round-1 green rows)
     "wordcount",
     "filter_project",
     "pricing_summary",
     "tpch_q3_shipping_priority",
     "join_equi",
     "join_skew_salted",
-    "distinct_keys",
     "window_rank_lag",
     "top_k",
-    "set_union_all",
-    "scalar_functions",
 ]
 
 

@@ -46,6 +46,10 @@ HEADLINE = [
     "doc_fingerprint",
     "multimodal_features",
     "mr_wordcount_facade",
+    # round-2 additions — NOT in the round-1 baseline total; compare
+    # per-query and use the comparable-subset total in BASELINE.md
+    "ngram_topk",
+    "dedup_pipeline_keeplist",
 ]
 
 

@@ -681,6 +681,43 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session_window_agg inactivity gap
+SESSION_GAP_MINUTES = 30
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session windows (`F.session_window`) per user:
+    merged-window start/end + event count + value sum.
+
+    Complements `relational.sessionize` (the manual lag/gap/cumsum
+    formulation): same islands, but the window is a first-class column
+    and the identical groupBy works under Structured Streaming with a
+    watermark (`streaming/session_stream.py` is the twin, tested equal).
+    Boundary semantics: a gap of EXACTLY the threshold starts a new
+    session (merge requires next_start < current_end) — the oracle's
+    island break mirrors with `>=`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region sorted CSV of nation names (order-deterministic listagg:
     collect → sort → join, matching string_agg ... ORDER BY)."""
@@ -955,6 +992,28 @@ ORACLES = {
         for c in PROFILE_COLUMNS
     )
     + "\n        ORDER BY col_name",
+    "session_window_agg": f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events),
+        s AS (SELECT user_id, ts, value,
+                     SUM(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                   AS session_end,
+               count(*) AS n_events,
+               {rnd_sql("sum(value)", 2)} AS sum_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "snapshot_diff": f"""
         WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders),
         hb AS (SELECT o_orderkey, o_totalprice,
@@ -1003,4 +1062,5 @@ QUERIES = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "table_profile": table_profile,
     "snapshot_diff": snapshot_diff,
+    "session_window_agg": session_window_agg,
 }

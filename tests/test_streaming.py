@@ -44,6 +44,28 @@ def test_stateful_user_stats_matches_batch(spark):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_streaming_session_windows_match_batch(spark):
+    """The watermarked streaming session_window aggregation must equal
+    the batch twin row-for-row."""
+    from map_reduce_framework_spark.operators.relational_ext import (
+        session_window_agg,
+    )
+    from map_reduce_framework_spark.streaming.session_stream import (
+        run_session_stream_demo,
+    )
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"],
+        r["session_start"],
+        r["session_end"],
+        r["n_events"],
+        r["sum_value"],
+    )
+    got = sorted(map(key, run_session_stream_demo(spark, SF_DIR).collect()))
+    want = sorted(map(key, session_window_agg(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_exactly_once(spark):
     """dropDuplicatesWithinWatermark over a doubled feed (every event
     delivered twice) must yield exactly the batch DISTINCT rows."""

@@ -82,6 +82,34 @@ def test_streaming_dedup_exactly_once(spark):
     assert s_ids == b_ids
 
 
+def test_upsert_sink_equals_batch_aggregate(spark):
+    """foreachBatch MERGE sink: after draining the doubled feed through
+    streaming dedup + per-user upsert, the keyed table must equal the
+    batch per-user aggregate over the (unduplicated) events."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.upsert_sink import (
+        run_upsert_sink_demo,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in run_upsert_sink_demo(spark, SF_DIR).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
 def test_stream_stream_interval_join_equals_batch(spark):
     """The watermarked stream-stream join must emit exactly the batch
     interval join's pairs (availableNow drains the backlog once)."""

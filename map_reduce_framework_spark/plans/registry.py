@@ -96,18 +96,17 @@ DRIVER_WINDOW = [
     "pack_sequences",
     "repetition_stats",
     "contamination_check",
-    # one exemplar per §2.4 category (green in round 1; keep a row each;
-    # search is covered by search_dir_listing's contains filter, and the
-    # distinct/set-op/scalar families — trivially stable built-ins — rest
-    # on their round-1 green rows)
+    "session_window_agg",
+    "table_profile",
+    "snapshot_diff",
+    # exemplars (green in round 1; families not otherwise in-window —
+    # search/filter/distinct/set-op/scalar/sort/window rest on their
+    # round-1 green rows; session_window_agg covers the window family)
     "wordcount",
-    "filter_project",
     "pricing_summary",
     "tpch_q3_shipping_priority",
     "join_equi",
     "join_skew_salted",
-    "window_rank_lag",
-    "top_k",
 ]
 
 

@@ -115,7 +115,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def frame_sample_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling SCHEDULE for the video rows: one row per frame to
+    decode, with its byte offset into the payload.
+
+    This is the part of video processing that is pure Spark plumbing
+    regardless of codec: deciding WHICH frames to pull (every 64 bytes,
+    capped at 8 — the stub's fake GOP) and fanning one row per media
+    item out to one row per frame via ``sequence`` + ``explode`` —
+    JVM-side, no Python.  A real pipeline feeds exactly this schedule to
+    the decode UDF so each Arrow batch carries (payload-slice, frame)
+    work items; videos too short for one frame produce no rows.
+    """
+    media = media_table(spark, sf_dir)
+    n_frames = F.least(F.floor(F.length("payload") / 64), F.lit(8)).cast("int")
+    return (
+        media.where(F.col("kind") == "video")
+        .withColumn("n_frames", n_frames)
+        .where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .withColumn("byte_offset", F.col("frame_idx") * 64)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 ORACLES = {
+    "frame_sample_schedule": """
+        SELECT d.doc_id, gs.frame_idx,
+               gs.frame_idx * 64 AS byte_offset
+        FROM documents d,
+             LATERAL (SELECT unnest(range(
+                 CAST(least(octet_length(encode(d.text)) // 64, 8) AS BIGINT)
+             )) AS frame_idx) gs
+        WHERE CAST(d.doc_id % 3 AS INT) = 2
+        ORDER BY d.doc_id, gs.frame_idx
+    """,
     # the oracle recomputes the deterministic fake-decode outputs from the
     # same utf-8 payload: octet_length + first byte + fake frame sampling
     "multimodal_features": """
@@ -132,4 +171,7 @@ ORACLES = {
     """,
 }
 
-QUERIES = {"multimodal_features": multimodal_features}
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "frame_sample_schedule": frame_sample_schedule,
+}

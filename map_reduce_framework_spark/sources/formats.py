@@ -69,3 +69,19 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file source (``binaryFile``): one row per file with
+    ``(path, modificationTime, length, content binary)`` — the ingest
+    source for multimodal corpora (images/audio/video land as files;
+    this reader turns a bucket prefix into the ``payload`` column that
+    ``operators/multimodal.py`` processes).  At 100 TB the listing
+    parallelizes over prefixes and ``pathGlobFilter`` prunes by
+    extension before any byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

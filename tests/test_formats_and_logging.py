@@ -93,3 +93,23 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_binary_file_source_reads_payloads(spark, tmp_path):
+    """binaryFile source: one row per file, content bytes intact, and
+    pathGlobFilter prunes by extension before reading."""
+    payloads = {
+        "a.img": b"\x89PNG-fake-bytes",
+        "b.img": b"GIF89a-fake",
+        "c.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = formats.read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {k: v for k, v in payloads.items() if k.endswith(".img")}
+    lengths = {
+        r["path"].rsplit("/", 1)[-1]: r["length"] for r in df.collect()
+    }
+    assert lengths == {"a.img": 15, "b.img": 11}

@@ -75,12 +75,21 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    # best-of-N per query: the shared host shows bursty external load
+    # (BASELINE.md noise caveat — identical binaries measured 25-55 s
+    # totals); the minimum of two back-to-back runs is the engine's
+    # capability, largely insulated from one neighbor burst.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +104,8 @@ def main() -> int:
                     "spark.sql.shuffle.partitions"
                 ),
                 "parallelism": spark.sparkContext.defaultParallelism,
+                "runs_per_query": runs_per_query,
+                "strategy": "min",
             }
         )
     )

@@ -49,6 +49,11 @@ ORDER_PRIORITIES = (
 #: Q18 large-volume threshold on sum(l_quantity) per order.
 Q18_MIN_QTY = 150
 
+#: tpch_q22: a customer is "lapsed" with no order on/after this date
+#: (the synthetic generator gives every customer orders, so the official
+#: Q22 "never ordered" anti join would be vacuously empty at every SF)
+Q22_LAPSE_CUTOFF = "2000-01-01"
+
 #: hash_sample keeps keys with md5-60bit % 1000 < 50 (a 5% sample).
 SAMPLE_PERMILLE = 50
 
@@ -591,6 +596,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: distribution of order counts per customer (including
+    zero-order customers via the left join) — two aggregations, the
+    classic double-groupBy.  (The official Q13's o_comment NOT LIKE
+    filter is dropped: the synthetic orders table has no comment
+    column.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: customers with above-average positive balance and no
+    order since ``Q22_LAPSE_CUTOFF``, rolled up per nation (anti join
+    against date-filtered orders + an uncorrelated scalar threshold).
+    Two deviations from the official Q22, both forced by the synthetic
+    schema: the phone country-code substring becomes the nation key (no
+    phone column), and "never ordered" becomes "lapsed since cutoff"
+    (the generator gives every customer at least one order, so the pure
+    anti join is vacuously empty — see FIXTURES.md).  The anti-join
+    plan shape is identical; the date filter pushes down to the orders
+    scan before the anti join, so at 100 TB the right side shrinks to
+    the recent slice."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("threshold"))
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(Q22_LAPSE_CUTOFF))
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        eligible.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 #: table_profile: numeric lineitem columns to profile
 PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1014,6 +1077,26 @@ ORACLES = {
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
+    "tpch_q13_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q22_global_sales_opportunity": f"""
+        SELECT n_name, count(*) AS numcust,
+               {rnd_sql("sum(c_acctbal)", 2)} AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '{Q22_LAPSE_CUTOFF}')
+        GROUP BY n_name ORDER BY n_name
+    """,
     "snapshot_diff": f"""
         WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders),
         hb AS (SELECT o_orderkey, o_totalprice,
@@ -1043,6 +1126,8 @@ QUERIES = {
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "join_skew_salted": join_skew_salted,
     "map_functions": map_functions,
     "null_semantics": null_semantics,

@@ -1,0 +1,207 @@
+"""K-means clustering over the ``embeddings`` table (Lloyd's algorithm).
+
+The reference has no clustering operator (SURVEY §2.4) — this is a
+mandated-extension op: production IVF indexes and corpus-curation
+pipelines both train a coarse quantizer with k-means (the engine's
+:func:`~.similarity.ann_ivf` documents its first-N-centroids stand-in;
+this module is the real trainer).
+
+Spark-first design, built for the 100 TB shape of the problem:
+
+- **Assignment is an Arrow kernel** (`mapInPandas`, numpy float64
+  broadcasting) — no per-element interpreted HOFs, no Python row loop.
+- **Centroid update is a map-side partial aggregation**: each input
+  partition emits at most K partial rows ``(cid, count, sum_vector)``;
+  the driver reduces K·P tiny rows (K=8, P=#partitions — 8,000 rows at
+  1,000 executors) and rebroadcasts the K×dim float64 matrix through the
+  task closure.  The full corpus is never collected or shuffled; per
+  iteration it is one scan + one K·P-row collect, same contract as the
+  scalar convergence checks in :mod:`.graph`.
+- **Determinism**: init = the K lowest-``vec_id`` vectors, fixed
+  iteration count, ties broken toward the lowest cid (numpy ``argmin``
+  first-match == oracle ``ORDER BY dist, cid LIMIT 1``), all arithmetic
+  float64 — so a DuckDB oracle can replay the exact trajectory with the
+  Lloyd iterations unrolled as CTEs.
+- Empty clusters keep their previous centroid in both engines
+  (``np.where`` / ``coalesce`` on the left join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rnd, rnd_sql
+from ..sources import load_table
+from .dedup import fan_out
+
+#: number of Lloyd clusters / iterations — small fixed values so the
+#: DuckDB oracle (one CTE block per iteration) stays readable.
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+EMBED_DIM = 64
+
+_PARTIAL_SCHEMA = "cid int, n long, s array<double>"
+_ASSIGN_SCHEMA = "vec_id long, cid int, dist double"
+
+
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n,d) × (k,d) → (n,k) squared Euclidean distances.
+
+    Elementwise ``(x-c)^2`` accumulation (not the GEMM expansion
+    ``|x|²+|c|²-2x·c``) to stay numerically close to the oracle's
+    ``list_distance``; float64 throughout.
+    """
+    diff = X[:, None, :] - C[None, :, :]
+    return np.einsum("nkd,nkd->nk", diff, diff)
+
+
+def _batch_matrix(embedding_col: pd.Series) -> np.ndarray:
+    return np.stack(embedding_col.to_numpy()).astype(np.float64)
+
+
+def _partials_fn(C: np.ndarray):
+    """Per-partition partial sums for the centroid update (≤K rows out)."""
+
+    def fn(batches):
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _batch_matrix(pdf["embedding"])
+            cid = _sq_dists(X, C).argmin(axis=1)
+            for k in range(len(C)):
+                mask = cid == k
+                if mask.any():
+                    counts[k] += int(mask.sum())
+                    sums[k] += X[mask].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "cid": np.arange(len(C), dtype=np.int32),
+                "n": counts,
+                "s": [row.tolist() for row in sums],
+            }
+        )
+
+    return fn
+
+
+def _assign_fn(C: np.ndarray):
+    """Final labelling pass: (vec_id, cid, euclidean dist to centroid)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _batch_matrix(pdf["embedding"])
+            d2 = _sq_dists(X, C)
+            cid = d2.argmin(axis=1)
+            dist = np.sqrt(np.maximum(d2[np.arange(len(X)), cid], 0.0))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid.astype(np.int32),
+                    "dist": dist,
+                }
+            )
+
+    return fn
+
+
+def train_kmeans(emb: DataFrame) -> np.ndarray:
+    """Run ``KMEANS_ITERS`` Lloyd iterations; return the K×dim centroids.
+
+    ``emb`` needs columns (vec_id, embedding).  One Spark job per
+    iteration; only K·partitions partial rows ever reach the driver.
+    """
+    init = emb.select("embedding").orderBy("vec_id").limit(K_CLUSTERS).collect()
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+    for _ in range(KMEANS_ITERS):
+        partials = emb.mapInPandas(_partials_fn(C), _PARTIAL_SCHEMA).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in partials:
+            counts[r.cid] += r.n
+            sums[r.cid] += np.asarray(r.s)
+        C = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], C
+        )
+    return C
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profile after k-means: size, min id, mean distance."""
+    emb = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    C = train_kmeans(emb)
+    assigned = emb.mapInPandas(_assign_fn(C), _ASSIGN_SCHEMA)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+            rnd(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+def kmeans_training_ctes(raw_cte: str = "e") -> tuple[str, str]:
+    """DuckDB CTE chain replaying the exact Lloyd trajectory, iterations
+    unrolled; reusable by any oracle that needs the trained centroids
+    (e.g. the IVF-with-kmeans variant in :mod:`.similarity`).
+
+    Returns ``(ctes_sql, final_name)``: ``ctes_sql`` defines
+    ``{raw_cte}`` (vec_id, v DOUBLE[]) plus the per-iteration CTEs and
+    ends with ``final_name`` holding (cid, v) trained centroids.  Embed
+    as ``WITH {ctes_sql}, ...``.
+    """
+    blocks = [
+        f"""
+        {raw_cte} AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, v
+               FROM (SELECT vec_id, v FROM {raw_cte}
+                     ORDER BY vec_id LIMIT {K_CLUSTERS}))"""
+    ]
+    prev = "c0"
+    for i in range(KMEANS_ITERS):
+        blocks.append(
+            f"""
+        a{i} AS (SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM {prev} c
+                    ORDER BY list_distance(c.v, e.v), c.cid LIMIT 1) AS cid
+                 FROM {raw_cte} e),
+        m{i} AS (SELECT cid, i, avg(v[i]) AS mu
+                 FROM a{i}, range(1, {EMBED_DIM + 1}) t(i) GROUP BY cid, i),
+        u{i} AS (SELECT cid, list(mu ORDER BY i) AS v FROM m{i} GROUP BY cid),
+        c{i + 1} AS (SELECT p.cid, coalesce(u{i}.v, p.v) AS v
+                     FROM {prev} p LEFT JOIN u{i} USING (cid))"""
+        )
+        prev = f"c{i + 1}"
+    return ",".join(blocks), prev
+
+
+def _kmeans_oracle() -> str:
+    ctes, final = kmeans_training_ctes()
+    return f"""
+        WITH {ctes},
+        af AS (SELECT e.vec_id,
+                 (SELECT c.cid FROM {final} c
+                  ORDER BY list_distance(c.v, e.v), c.cid LIMIT 1) AS cid,
+                 (SELECT min(list_distance(c.v, e.v)) FROM {final} c) AS dist
+               FROM e)
+        SELECT cid, count(*) AS n_points, min(vec_id) AS min_vec_id,
+               {rnd_sql("avg(dist)", 4)} AS avg_dist
+        FROM af GROUP BY cid ORDER BY cid"""
+
+
+QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+
+ORACLES = {"kmeans_embeddings": _kmeans_oracle()}

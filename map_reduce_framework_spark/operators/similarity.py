@@ -19,12 +19,14 @@ extension ops.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import rnd
 from ..sources import load_table
+from .clustering import kmeans_training_ctes, train_kmeans
 from .dedup import dot_col, fan_out, unit_vector_col
 
 #: queries = this many lowest vec_ids (a stand-in for an external query set)
@@ -186,6 +188,39 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"),
         unit_vector_col("embedding").alias("vcent"),
     )
+    return _ivf_search(centroids, corpus, queries)
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a **k-means-trained** coarse quantizer: the
+    :func:`~.clustering.train_kmeans` Lloyd trajectory replaces
+    :func:`ann_ivf`'s first-N-centroids stand-in; the search plumbing
+    (cell assignment, n-probe pruned equi-join) is shared.
+
+    The trained K×dim matrix is driver-resident (tiny) and enters the
+    plan as a broadcast unit-normalized centroid table, so the 100 TB
+    story is unchanged: train = one scan per Lloyd iteration with
+    map-side partial sums; search = pruned equi-join on the cell key.
+    """
+    emb_raw = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    C = train_kmeans(emb_raw)
+    Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(Cn)],
+        "cent_id int, vcent array<double>",
+    )
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    return _ivf_search(centroids, corpus, queries)
+
+
+def _ivf_search(
+    centroids: DataFrame, corpus: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Shared IVF search: assign cells, probe ``N_PROBE`` cells/query."""
 
     def cells(side: DataFrame, id_col: str, vec: str, keep: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(centroids)).withColumn(
@@ -291,10 +326,9 @@ ORACLES = {
     """,
 }
 
-ORACLES["ann_ivf"] = f"""
-    WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM e
-              WHERE vec_id < {N_CENTROIDS}),
+#: IVF search SQL, shared by both centroid sources (first-N / k-means):
+#: expects CTEs ``e`` (vec_id, unit v) and ``cents`` (cent_id, vcent).
+_IVF_SEARCH_BODY = f"""
     corpus_scored AS (
         SELECT e.vec_id AS cand_id, e.v, c.cent_id,
                (floor((list_dot_product(e.v, c.vcent)) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
@@ -328,8 +362,27 @@ ORACLES["ann_ivf"] = f"""
     FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
+ORACLES["ann_ivf"] = f"""
+    WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM e
+              WHERE vec_id < {N_CENTROIDS}),{_IVF_SEARCH_BODY}"""
+
+_KM_CTES, _KM_FINAL = kmeans_training_ctes("eraw")
+
+#: unit-normalize the centroid CTE's DOUBLE[] column ``v`` (DuckDB)
+_NORM_V_SQL = (
+    "list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))"
+)
+
+ORACLES["ann_ivf_kmeans"] = f"""
+    WITH {_KM_CTES},
+    e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
+    cents AS (SELECT cid AS cent_id, {_NORM_V_SQL} AS vcent
+              FROM {_KM_FINAL}),{_IVF_SEARCH_BODY}"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
 }

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
+    clustering,
     dedup,
     graph,
     multimodal,
@@ -33,6 +34,7 @@ _MODULES = [
     dedup,
     graph,
     similarity,
+    clustering,
     text,
     multimodal,
     udfs,
@@ -99,13 +101,15 @@ DRIVER_WINDOW = [
     "session_window_agg",
     "table_profile",
     "snapshot_diff",
-    # exemplars (green in round 1; families not otherwise in-window —
-    # search/filter/distinct/set-op/scalar/sort/window rest on their
-    # round-1 green rows; session_window_agg covers the window family)
+    # exemplars + the k-means trainer (new, never driver-checked;
+    # displaced join_equi, whose family rests on its round-1 green row
+    # plus in-window asof_join/join_skew_salted/snapshot_diff).  Other
+    # families — search/filter/distinct/set-op/scalar/sort/window —
+    # rest on their round-1 green rows.
     "wordcount",
     "pricing_summary",
     "tpch_q3_shipping_priority",
-    "join_equi",
+    "kmeans_embeddings",
     "join_skew_salted",
 ]
 

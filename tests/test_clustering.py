@@ -1,0 +1,49 @@
+"""K-means trainer: structure, determinism, and that training helps."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from map_reduce_framework_spark.operators import clustering
+from map_reduce_framework_spark.operators.dedup import fan_out
+from map_reduce_framework_spark.sources import load_table
+
+from .conftest import SF_DIR
+
+
+def test_kmeans_partitions_the_corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    total = emb.count()
+    rows = clustering.kmeans_embeddings(spark, SF_DIR).collect()
+    assert len(rows) == clustering.K_CLUSTERS
+    assert sum(r.n_points for r in rows) == total
+    assert [r.cid for r in rows] == sorted(r.cid for r in rows)
+
+
+def test_kmeans_training_reduces_mean_distance(spark):
+    """After KMEANS_ITERS Lloyd steps, mean point→centroid distance must
+    beat the untrained init (the K lowest-vec_id vectors)."""
+    emb = (
+        fan_out(load_table(spark, SF_DIR, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    init = emb.select("embedding").orderBy("vec_id").limit(
+        clustering.K_CLUSTERS
+    ).collect()
+    C0 = np.array([r.embedding for r in init], dtype=np.float64)
+    C = clustering.train_kmeans(emb)
+
+    def mean_dist(centroids):
+        assigned = emb.mapInPandas(
+            clustering._assign_fn(centroids), clustering._ASSIGN_SCHEMA
+        )
+        return assigned.agg({"dist": "avg"}).collect()[0][0]
+
+    assert mean_dist(C) < mean_dist(C0)
+
+
+def test_kmeans_deterministic(spark):
+    a = clustering.kmeans_embeddings(spark, SF_DIR).collect()
+    b = clustering.kmeans_embeddings(spark, SF_DIR).collect()
+    assert a == b

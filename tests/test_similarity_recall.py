@@ -58,3 +58,11 @@ def test_ivf_recall_floor(spark):
     r = _recall(exact, ivf)
     # measured 0.96 (sf0.001) / 0.92 (sf0.01) probing 2 of 8 cells
     assert r >= 0.8, f"IVF recall {r}"
+
+
+def test_ivf_kmeans_recall_floor(spark):
+    """Trained centroids must hold the same recall floor as first-N."""
+    exact = _topk_sets(sim.ann_cosine_topk(spark, SF_DIR).collect(), sim.IVF_TOP_K)
+    ivf = _topk_sets(sim.ann_ivf_kmeans(spark, SF_DIR).collect(), sim.IVF_TOP_K)
+    r = _recall(exact, ivf)
+    assert r >= 0.8, f"IVF-kmeans recall {r}"

@@ -361,6 +361,105 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: tfidf_topterms: restrict the per-doc output to this id range / top-N
+TFIDF_DOC_LIMIT = 100
+TFIDF_TOP_TERMS = 3
+
+#: mixture_sample: per-source keep rate = 100..499 permille (10-50%),
+#: derived from the source name hash — a stand-in for the externally
+#: supplied domain-mixing weight table of a real pretraining run
+MIXTURE_BASE_PERMILLE = 100
+MIXTURE_SPREAD = 400
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_TERMS`` terms per document by smoothed TF-IDF
+    (sklearn-style ``tf · (ln((N+1)/(df+1)) + 1)``).
+
+    Corpus-side: one token explode feeding two partial aggregations —
+    per-(doc, term) tf and per-term document frequency — plus a
+    broadcast scalar N.  The df table is vocabulary-sized (≪ token
+    count; Zipf), so the tf⋈df equi-join shuffles the vocab, not the
+    corpus, and AQE broadcast-converts it when the vocab is small.
+    Ranking uses the 6-dp-rounded score with term tie-break, so order is
+    float-ulp-stable across engines.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    n_docs = docs.agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+    df_t = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        toks.where(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .withColumn("score6", rnd(F.col("tfidf"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            rnd(F.col("tfidf"), 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample: each source keeps a source-specific
+    deterministic fraction of its documents (the pretraining "mixture
+    weights" step), summarized per source.
+
+    Both the per-source rate and the per-doc keep decision are pure
+    md5-hash functions, so the sample is reproducible across engines,
+    runs, and repartitionings, and the keep predicate evaluates at the
+    scan with no shuffle (exactly like :func:`stratified_sample`).  With
+    a real weight table the rate column becomes a broadcast join against
+    it; nothing else changes.
+    """
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    permille = (
+        hash60(F.col("source")) % MIXTURE_SPREAD + MIXTURE_BASE_PERMILLE
+    )
+    keep_key = F.concat_ws(":", F.col("source"), F.col("doc_id"))
+    kept = (hash60(keep_key) % 1000 < permille).cast("int")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            permille.alias("permille"),
+            kept.alias("kept"),
+        )
+        .groupBy("source", "permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -510,6 +609,45 @@ ORACLES["stratified_sample"] = f"""
     GROUP BY lang ORDER BY lang
 """
 
+ORACLES["tfidf_topterms"] = f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    dft AS (SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE doc_id < {TFIDF_DOC_LIMIT} GROUP BY doc_id, term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+               tf.tf * (ln((nd.n_docs + 1) / (dft.df + 1)) + 1) AS tfidf
+        FROM tf JOIN dft USING (term) CROSS JOIN nd),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY {rnd_sql("tfidf", 6)} DESC, term) AS rank
+        FROM scored)
+    SELECT doc_id, term, tf, df, rank, {rnd_sql("tfidf", 4)} AS tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP_TERMS} ORDER BY doc_id, rank
+"""
+
+ORACLES["mixture_sample"] = f"""
+    WITH flagged AS (
+        SELECT source, n_chars,
+               ({_hash60_sql("source")} % {MIXTURE_SPREAD}
+                + {MIXTURE_BASE_PERMILLE}) AS permille,
+               CASE WHEN {_hash60_sql("concat(source, ':', doc_id)")} % 1000
+                         < ({_hash60_sql("source")} % {MIXTURE_SPREAD}
+                            + {MIXTURE_BASE_PERMILLE})
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents)
+    SELECT source, permille, count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+    FROM flagged GROUP BY source, permille ORDER BY source
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -521,4 +659,6 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
     "contamination_check": contamination_check,
+    "tfidf_topterms": tfidf_topterms,
+    "mixture_sample": mixture_sample,
 }

@@ -101,14 +101,16 @@ DRIVER_WINDOW = [
     "session_window_agg",
     "table_profile",
     "snapshot_diff",
-    # exemplars + the k-means trainer (new, never driver-checked;
-    # displaced join_equi, whose family rests on its round-1 green row
-    # plus in-window asof_join/join_skew_salted/snapshot_diff).  Other
-    # families — search/filter/distinct/set-op/scalar/sort/window —
-    # rest on their round-1 green rows.
+    # new-this-round extension ops + exemplars.  kmeans/tfidf/mixture
+    # displaced join_equi/pricing_summary/tpch_q3 — all three displaced
+    # queries are round-1 driver-green and pytest-oracle-covered, and
+    # their families keep in-window rows (joins: asof_join,
+    # join_skew_salted, snapshot_diff; agg: grouping_sets, table_profile,
+    # approx_distinct_hll).  Other families — search/filter/distinct/
+    # set-op/scalar/sort — rest on their round-1 green rows.
     "wordcount",
-    "pricing_summary",
-    "tpch_q3_shipping_priority",
+    "tfidf_topterms",
+    "mixture_sample",
     "kmeans_embeddings",
     "join_skew_salted",
 ]

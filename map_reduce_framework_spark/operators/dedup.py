@@ -359,6 +359,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_incremental: docs whose md5-60bit hash of "batch:<doc_id>" is
+#: ≡ 0 mod this form the "incoming batch" (~20%); the rest are the
+#: already-indexed corpus.  Hash-keyed, not id-range-keyed, so the batch
+#: spans every source/language stratum at every SF (a deterministic,
+#: SF-independent stand-in for a new crawl snapshot).
+INCR_BATCH_MOD = 5
+
+
+def _incr_is_new() -> Column:
+    return hash60(F.concat_ws(":", F.lit("batch"), F.col("doc_id")))         % INCR_BATCH_MOD == 0
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an incoming batch against the indexed
+    corpus — the shape every production ingestion run has (dedup the new
+    crawl WITHOUT re-deduping the existing 100 TB against itself).
+
+    Two screens, summarized per source over the batch:
+
+    - exact: content md5 semi-join against the corpus hash set (only
+      hashes shuffle, never text);
+    - near: the same df-capped gram posting list and Jaccard ≥ 0.8 rule
+      as :func:`dedup_ngram_jaccard`, but the candidate equi-join is
+      new×old instead of a self-join — the posting list build is shared,
+      and at scale the corpus side is the pre-materialized gram index a
+      real pipeline keeps between runs.
+
+    n_new = n_exact_dup + n_near_dup + n_kept (near counts exclude exact
+    dups).  The synthetic corpus plants near-dups but no byte-identical
+    copies, so n_exact_dup is a true 0 at every SF (FIXTURES.md).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    is_new = _incr_is_new()
+    new_docs = docs.where(is_new)
+    old_hashes = (
+        docs.where(~is_new).select(F.md5(F.col("text")).alias("h")).distinct()
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .join(old_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    e = _shingle_exploded(spark, sf_dir)
+    e.count()  # same cache-race barrier as dedup_ngram_jaccard
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ng = e.where(_incr_is_new()).select(F.col("doc_id").alias("new_id"), "g")
+    og = e.where(~_incr_is_new()).select(F.col("doc_id").alias("old_id"), "g")
+    pairs = (
+        ng.join(og, "g")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    near = (
+        pairs.join(sa, "new_id")
+        .join(sb, "old_id")
+        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    flagged = (
+        new_docs.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    ex = F.coalesce("is_exact", F.lit(0))
+    nr = F.coalesce("is_near", F.lit(0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(ex).alias("n_exact_dup"),
+            F.sum(F.when((ex == 0) & (nr == 1), 1).otherwise(0)).alias(
+                "n_near_dup"
+            ),
+            F.sum(F.when((ex == 0) & (nr == 0), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -708,6 +795,51 @@ ORACLES = {
         WHERE jaccard >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
+    "dedup_incremental": f"""
+        WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+        e0 AS (SELECT doc_id,
+                      unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+               FROM s),
+        e AS (SELECT doc_id, g FROM (
+                  SELECT doc_id, g,
+                         count(*) OVER (PARTITION BY g) AS df FROM e0)
+              WHERE df <= {NGRAM_DF_CAP}),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+        newd AS (SELECT doc_id, source, md5(text) AS h FROM documents
+                 WHERE {_hash60_sql("concat('batch:', doc_id)")} % {INCR_BATCH_MOD} = 0),
+        oldh AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE {_hash60_sql("concat('batch:', doc_id)")} % {INCR_BATCH_MOD} <> 0),
+        exact AS (SELECT doc_id FROM newd
+                  WHERE h IN (SELECT h FROM oldh)),
+        p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.g = b.g
+              WHERE {_hash60_sql("concat('batch:', a.doc_id)")}
+                        % {INCR_BATCH_MOD} = 0
+                AND {_hash60_sql("concat('batch:', b.doc_id)")}
+                        % {INCR_BATCH_MOD} <> 0
+              GROUP BY 1, 2),
+        near AS (SELECT DISTINCT new_id AS doc_id
+                 FROM p JOIN sz sa ON sa.doc_id = p.new_id
+                        JOIN sz sb ON sb.doc_id = p.old_id
+                 WHERE {rnd_sql('(shared / (sa.n_sh + sb.n_sh - shared))', 4)}
+                       >= {JACCARD_THRESHOLD}),
+        v AS (SELECT n.source,
+                     CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS is_exact,
+                     CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS is_near
+              FROM newd n
+              LEFT JOIN exact ex ON ex.doc_id = n.doc_id
+              LEFT JOIN near nr ON nr.doc_id = n.doc_id)
+        SELECT source, count(*) AS n_new,
+               CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+               CAST(sum(CASE WHEN is_exact = 0 AND is_near = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+               CAST(sum(CASE WHEN is_exact = 0 AND is_near = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM v GROUP BY source ORDER BY source
+    """,
     "dedup_minhash_lsh": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
         sigh AS (SELECT doc_id, sh,
@@ -769,6 +901,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

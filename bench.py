@@ -50,6 +50,9 @@ HEADLINE = [
     # per-query and use the comparable-subset total in BASELINE.md
     "ngram_topk",
     "dedup_pipeline_keeplist",
+    "kmeans_embeddings",
+    "tfidf_topterms",
+    "dedup_incremental",
 ]
 
 

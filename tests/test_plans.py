@@ -209,3 +209,57 @@ def test_ngram_dedup_self_join_reuses_posting_partitioning(spark):
         assert "hashpartitioning(g" not in above_cache
     finally:
         spark.catalog.clearCache()
+
+
+def test_tfidf_topk_cut_below_window_and_broadcast_vocab(spark):
+    """tfidf's per-doc top-3 must run as a WindowGroupLimit partial cut
+    BELOW the window exchange (only ≤3 rows per doc per partition
+    shuffle), and the vocabulary-sized df table must broadcast-join, not
+    sort-merge."""
+    from map_reduce_framework_spark.operators import text
+
+    plan = plan_of(text.tfidf_topterms(spark, SF_DIR), mode="simple")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # tf and df branches must both map-side combine
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_mixture_sample_no_extra_exchanges(spark):
+    """The keep decision is a pure hash expression evaluated pre-shuffle;
+    only fan_out + the aggregate + the orderBy may exchange."""
+    from map_reduce_framework_spark.operators import text
+
+    plan = plan_of(text.mixture_sample(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange") <= 3
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan  # rate is derived, not joined, in this form
+
+
+def test_incremental_dedup_reuses_posting_partitioning(spark):
+    """The new×old candidate join must consume the cached df-capped
+    posting list without re-shuffling it by gram hash (same contract as
+    the ngram self-join gate)."""
+    from map_reduce_framework_spark.operators import dedup
+
+    try:
+        df = dedup.dedup_incremental(spark, SF_DIR)
+        plan = plan_of(df, mode="simple")
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "hashpartitioning(g" not in above_cache
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_kmeans_output_plan_is_one_agg_over_arrow_pass(spark):
+    """The returned profile plan: one Arrow map pass (MapInPandas), one
+    partial+final aggregate, no joins — the corpus is never shuffled for
+    training (iterations reduce K·P partial rows driver-side)."""
+    from map_reduce_framework_spark.operators import clustering
+
+    df = clustering.kmeans_embeddings(spark, SF_DIR)
+    plan = plan_of(df, mode="simple")
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan

@@ -654,6 +654,70 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile(4) of each customer's balance within its nation.  The order key
+    includes c_custkey so ranks are total (no peer groups) and the
+    fractional outputs are exact integer ratios, identical across
+    engines.  One hash-partition shuffle by nation; no joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
+            rnd(F.cume_dist().over(w), 4).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+#: histogram_totalprice: fixed-width bin size over o_totalprice
+HIST_BIN_WIDTH = 25_000
+
+
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: the one-pass binned
+    aggregate (bin = floor(x / width)) — partial agg per bin, no sort of
+    the raw values, bin count independent of row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("bigint")
+    return (
+        orders.select(bin_col.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.min("o_totalprice"), 2).alias("min_price"),
+            rnd(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics: multiplicity = min of the two
+    sides) of customer keys from two order predicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return hi.intersectAll(urgent).orderBy("o_custkey")
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference: multiplicity = left − right,
+    floored at 0) of the same two customer-key multisets."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return hi.exceptAll(urgent).orderBy("o_custkey")
+
+
 #: table_profile: numeric lineitem columns to profile
 PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1077,6 +1141,35 @@ ORACLES = {
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
+    "window_distribution": f"""
+        SELECT c_custkey, c_nationkey,
+               {rnd_sql("percent_rank() OVER w", 4)} AS pct_rank,
+               {rnd_sql("cume_dist() OVER w", 4)} AS cume,
+               ntile(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    "histogram_totalprice": f"""
+        SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+               count(*) AS n_orders,
+               {rnd_sql("min(o_totalprice)", 2)} AS min_price,
+               {rnd_sql("max(o_totalprice)", 2)} AS max_price
+        FROM orders GROUP BY 1 ORDER BY bin
+    """,
+    "set_intersect_all": """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+    """,
+    "set_except_all": """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+    """,
     "tpch_q13_customer_distribution": """
         WITH per_cust AS (
             SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1128,6 +1221,10 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "window_distribution": window_distribution,
+    "histogram_totalprice": histogram_totalprice,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "join_skew_salted": join_skew_salted,
     "map_functions": map_functions,
     "null_semantics": null_semantics,

@@ -654,6 +654,28 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment rollup: every event joined to its user's
+    profile (first-seen day, historical event count — a batch-derived
+    static dimension), rolled up per (event_type, first-seen day).
+
+    Batch twin of ``streaming.static_join`` (the stream-static broadcast
+    join demo, which must produce exactly these rows).  The profile is a
+    per-user aggregate — at 100 TB it is the classic broadcast-able
+    dimension next to the event fact stream."""
+    events = load_table(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.count(F.lit(1)).alias("n_hist"),
+    )
+    return (
+        events.join(F.broadcast(profile), "user_id")
+        .groupBy("event_type", "first_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "first_day")
+    )
+
+
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank / cume_dist /
     ntile(4) of each customer's balance within its nation.  The order key
@@ -1141,6 +1163,13 @@ ORACLES = {
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
+    "events_user_enrichment": """
+        WITH prof AS (SELECT user_id, date_trunc('day', min(ts)) AS first_day
+                      FROM events GROUP BY user_id)
+        SELECT e.event_type, p.first_day, count(*) AS n_events
+        FROM events e JOIN prof p USING (user_id)
+        GROUP BY 1, 2 ORDER BY event_type, first_day
+    """,
     "window_distribution": f"""
         SELECT c_custkey, c_nationkey,
                {rnd_sql("percent_rank() OVER w", 4)} AS pct_rank,
@@ -1221,6 +1250,7 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "events_user_enrichment": events_user_enrichment,
     "window_distribution": window_distribution,
     "histogram_totalprice": histogram_totalprice,
     "set_intersect_all": set_intersect_all,

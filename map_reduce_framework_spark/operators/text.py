@@ -460,6 +460,40 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per document: the mean negative log
+    probability of the doc's tokens under the corpus unigram model
+    (CCNet-style perplexity filtering, with the n-gram LM reduced to
+    unigrams so the score is exactly SQL-expressible).
+
+    Corpus pass = one token-count aggregate + a broadcast scalar total;
+    scoring = a vocab-sized equi-join (broadcast/AQE at real scale) and
+    one per-doc average.  Nothing wider than (doc_id, term) ever
+    shuffles.  Out-of-vocabulary tokens cannot occur (the model is
+    trained on the same corpus), so no smoothing term is needed.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        toks.where(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("nll", -F.log(F.col("tc") / F.col("total")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -648,6 +682,22 @@ ORACLES["mixture_sample"] = f"""
     FROM flagged GROUP BY source, permille ORDER BY source
 """
 
+ORACLES["perplexity_proxy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''),
+    counts AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM toks),
+    scored AS (
+        SELECT toks.doc_id, -ln(counts.tc / tot.total) AS nll
+        FROM toks JOIN counts USING (term) CROSS JOIN tot
+        WHERE toks.doc_id < {TFIDF_DOC_LIMIT})
+    SELECT doc_id, count(*) AS n_tokens,
+           {rnd_sql("avg(nll)", 4)} AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -661,4 +711,5 @@ QUERIES = {
     "contamination_check": contamination_check,
     "tfidf_topterms": tfidf_topterms,
     "mixture_sample": mixture_sample,
+    "perplexity_proxy": perplexity_proxy,
 }

@@ -166,3 +166,21 @@ def test_stream_stream_interval_join_multi_batch(spark, tmp_path):
     s_rows = sorted(map(key, streamed.collect()))
     b_rows = sorted(map(key, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_stream_static_join_equals_batch(spark):
+    """The stream-static broadcast enrichment must equal its batch twin
+    row-for-row (availableNow drains the backlog once)."""
+    from map_reduce_framework_spark.operators.relational_ext import (
+        events_user_enrichment,
+    )
+    from map_reduce_framework_spark.streaming.static_join import (
+        run_static_join_demo,
+    )
+
+    streamed = run_static_join_demo(spark, SF_DIR)
+    batch = events_user_enrichment(spark, SF_DIR)
+    key = lambda r: (r["event_type"], r["first_day"], r["n_events"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )

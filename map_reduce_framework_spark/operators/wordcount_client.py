@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..mapreduce import run_map_reduce, run_map_reduce_df
 from ..sources import load_table
@@ -64,7 +65,59 @@ def wordcount_mr_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"mr_wordcount_facade": wordcount_mr_df}
+#: inverted index: bound the posting-list width for the driver compare
+INVIDX_DOC_LIMIT = 50
+
+
+def _map_postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit2 analogue: one (word, doc_id) pair per token occurrence."""
+    for pdf in batches:
+        ex = pdf.set_index("doc_id")["text"].str.split().explode().dropna()
+        ex = ex[ex != ""]
+        yield pd.DataFrame(
+            {"word": ex.values, "doc_id": ex.index.values}
+        )
+
+
+def _reduce_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group Emit3: distinct sorted doc ids → one posting row.
+    Distinctness lives IN the reduce (non-associative whole-group
+    semantics, §2.3f — a combiner could not compute this row shape)."""
+    ids = sorted({int(x) for x in pdf["doc_id"]})
+    return pd.DataFrame(
+        {
+            "word": [pdf["word"].iloc[0]],
+            "n_docs": [len(ids)],
+            "postings": [",".join(map(str, ids))],
+        }
+    )
+
+
+def inverted_index_mr_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER canonical MapReduce workload: word → sorted posting
+    list, run through the DataFrame-path facade (Map emits per-occurrence
+    (word, doc_id); Reduce dedupes + sorts the group — exactly the shape
+    that needs the reference's all-values-in-one-call contract)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < INVIDX_DOC_LIMIT)
+        .select("doc_id", "text")
+    )
+    return run_map_reduce_df(
+        docs,
+        _map_postings,
+        "word string, doc_id long",
+        ["word"],
+        _reduce_postings,
+        "word string, n_docs long, postings string",
+        ["word"],
+    )
+
+
+QUERIES = {
+    "mr_wordcount_facade": wordcount_mr_df,
+    "mr_inverted_index_facade": inverted_index_mr_df,
+}
 
 ORACLES = {
     # identical semantics to relational.wordcount: whitespace-split tokens
@@ -74,5 +127,16 @@ ORACLES = {
               FROM documents)
         WHERE word <> ''
         GROUP BY word ORDER BY word
+    """,
+    "mr_inverted_index_facade": f"""
+        WITH toks AS (
+            SELECT DISTINCT word, doc_id
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(text, '\\s+')) AS word
+                  FROM documents WHERE doc_id < {INVIDX_DOC_LIMIT})
+            WHERE word <> '')
+        SELECT word, count(*) AS n_docs,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+        FROM toks GROUP BY word ORDER BY word
     """,
 }

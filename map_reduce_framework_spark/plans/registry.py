@@ -101,18 +101,19 @@ DRIVER_WINDOW = [
     "session_window_agg",
     "table_profile",
     "snapshot_diff",
-    # new-this-round extension ops + exemplars.  kmeans/tfidf/mixture
-    # displaced join_equi/pricing_summary/tpch_q3 — all three displaced
-    # queries are round-1 driver-green and pytest-oracle-covered, and
-    # their families keep in-window rows (joins: asof_join,
-    # join_skew_salted, snapshot_diff; agg: grouping_sets, table_profile,
-    # approx_distinct_hll).  Other families — search/filter/distinct/
-    # set-op/scalar/sort — rest on their round-1 green rows.
-    "wordcount",
+    # new-this-round extension ops.  kmeans/tfidf/mixture/incremental/
+    # perplexity displaced join_equi/pricing_summary/tpch_q3/wordcount/
+    # join_skew_salted — all five displaced queries are round-1
+    # driver-green and pytest-oracle-covered, and their families keep
+    # in-window rows (joins: asof_join, snapshot_diff; agg:
+    # grouping_sets, table_profile, approx_distinct_hll; wordcount:
+    # mr_wordcount_facade shares its oracle).  Other families — search/
+    # filter/distinct/set-op/scalar/sort — rest on round-1 green rows.
+    "dedup_incremental",
     "tfidf_topterms",
     "mixture_sample",
     "kmeans_embeddings",
-    "join_skew_salted",
+    "perplexity_proxy",
 ]
 
 

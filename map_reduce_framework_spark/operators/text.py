@@ -494,6 +494,46 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bpe_pair_stats: report the top-N most frequent adjacent char pairs
+BPE_PAIR_TOP_N = 20
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic: corpus frequency of adjacent
+    character pairs — exactly the quantity a BPE trainer maximizes when
+    picking its next merge.
+
+    The heavy lifting happens on the VOCABULARY, not the corpus: one
+    token-count aggregate collapses the corpus to (term, count), then
+    pair generation runs per distinct term weighted by its count — at
+    100 TB the pair explode touches millions of vocab entries instead of
+    trillions of token occurrences (the standard word-counts-first BPE
+    formulation).  Top-N cut is a TakeOrderedAndProject.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    pairs = (
+        vocab.where(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(term) - 1),"
+                    " i -> substr(term, i, 2))"
+                )
+            ).alias("pair"),
+            "tc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("tc").alias("n"))
+    )
+    return pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(
+        BPE_PAIR_TOP_N
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -698,6 +738,20 @@ ORACLES["perplexity_proxy"] = f"""
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+ORACLES["bpe_pair_stats"] = f"""
+    WITH toks AS (
+        SELECT t.term, count(*) AS tc
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> '' GROUP BY t.term),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(term)),
+                                     i -> substr(term, i, 2))) AS pair, tc
+        FROM toks WHERE length(term) >= 2)
+    SELECT pair, CAST(sum(tc) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP_N}
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -712,4 +766,5 @@ QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
+    "bpe_pair_stats": bpe_pair_stats,
 }

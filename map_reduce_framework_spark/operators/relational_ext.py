@@ -676,6 +676,47 @@ def events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: band_join_pricing: number of equal-width price bands
+N_PRICE_BANDS = 10
+#: band width (covers o_totalprice up to 600k; the top band is open)
+PRICE_BAND_WIDTH = 60_000
+
+
+def band_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: orders matched to a broadcast band dimension
+    on ``lo <= price < hi`` — the generic range-classification join.
+
+    With the band table broadcast, the non-equi predicate runs as a
+    BroadcastNestedLoopJoin — the right plan when one side is a handful
+    of rows: the fact side never shuffles and the predicate is evaluated
+    map-side.  (When both sides are large, a range join belongs on a
+    bucketized equi-key — exactly what :func:`histogram_totalprice` does
+    with floor(x/width); this query is the dimension-driven variant with
+    arbitrary, possibly unequal band edges.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.range(N_PRICE_BANDS).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * PRICE_BAND_WIDTH).cast("double").alias("lo"),
+        F.when(
+            F.col("id") < N_PRICE_BANDS - 1,
+            ((F.col("id") + 1) * PRICE_BAND_WIDTH).cast("double"),
+        ).alias("hi"),  # open-ended top band: hi IS NULL
+    )
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("hi").isNull() | (F.col("o_totalprice") < F.col("hi"))),
+    )
+    return (
+        joined.groupBy("band_id", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank / cume_dist /
     ntile(4) of each customer's balance within its nation.  The order key
@@ -1170,6 +1211,21 @@ ORACLES = {
         FROM events e JOIN prof p USING (user_id)
         GROUP BY 1, 2 ORDER BY event_type, first_day
     """,
+    "band_join_pricing": f"""
+        WITH bands AS (
+            SELECT CAST(i AS INTEGER) AS band_id,
+                   CAST(i * {PRICE_BAND_WIDTH} AS DOUBLE) AS lo,
+                   CASE WHEN i < {N_PRICE_BANDS - 1}
+                        THEN CAST((i + 1) * {PRICE_BAND_WIDTH} AS DOUBLE)
+                   END AS hi
+            FROM range({N_PRICE_BANDS}) t(i))
+        SELECT band_id, lo, count(*) AS n_orders,
+               {rnd_sql("avg(o_totalprice)", 2)} AS avg_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo
+         AND (hi IS NULL OR o_totalprice < hi)
+        GROUP BY band_id, lo ORDER BY band_id
+    """,
     "window_distribution": f"""
         SELECT c_custkey, c_nationkey,
                {rnd_sql("percent_rank() OVER w", 4)} AS pct_rank,
@@ -1251,6 +1307,7 @@ QUERIES = {
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "events_user_enrichment": events_user_enrichment,
+    "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,
     "histogram_totalprice": histogram_totalprice,
     "set_intersect_all": set_intersect_all,

@@ -781,6 +781,161 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.exceptAll(urgent).orderBy("o_custkey")
 
 
+#: Q7/Q8 parameters (synthetic nation/region/type vocabulary)
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_1"
+Q8_PART_TYPE = "PROMO"
+def _rev_col() -> "F.Column":
+    """Spark twin of the ``_REV`` oracle expression."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+#: Q21: a line is "late" when shipped more than this many days after the
+#: order date (the official commit/receipt-date pair is absent from the
+#: synthetic lineitem, so lateness is re-anchored on the order date —
+#: the double-correlated EXISTS / NOT EXISTS structure is unchanged)
+Q21_LATE_DAYS = 90
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: revenue shipped between two nations, per direction per year —
+    the five-way fact/dimension join with a symmetric nation-pair
+    predicate.  Nations broadcast; the lineitem⋈orders⋈customer spine
+    shuffles on its join keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(rnd(F.sum(_rev_col()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of a region's order volume for one part
+    type, per order year — the widest classic join (7 tables) with a
+    conditional-aggregate ratio on top.  part filters before the join
+    (pushdown), every dimension broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == Q8_PART_TYPE
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q8_REGION
+    )
+    n1 = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    vol = _rev_col()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("nation") == Q8_NATION, vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who were the ONLY late shipper on a finished
+    multi-supplier order — the classic double-correlated EXISTS /
+    NOT EXISTS, composed as a left-semi then a left-anti join on the
+    order key (each with the supplier-inequality predicate inside the
+    join).  Lateness is re-anchored on ``Q21_LATE_DAYS`` after the order
+    date (see the constant).  All three legs shuffle on l_orderkey, so
+    AQE can coalesce them; supplier broadcasts for the final name join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    l1 = lo.where((F.col("o_orderstatus") == "F") & late).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l1 = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    late_others = lo.where(late).select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    l1 = l1.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 #: table_profile: numeric lineitem columns to profile
 PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1211,6 +1366,59 @@ ORACLES = {
         FROM events e JOIN prof p USING (user_id)
         GROUP BY 1, 2 ORDER BY event_type, first_day
     """,
+    "tpch_q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {rnd_sql(f"sum({_REV})", 2)} AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+            OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_market_share": f"""
+        WITH base AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REV} AS volume, n2.n_name AS nation
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_PART_TYPE}'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year,
+               {rnd_sql(
+                   f"sum(CASE WHEN nation = '{Q8_NATION}' THEN volume"
+                   " ELSE 0.0 END) / sum(volume)", 4)} AS mkt_share
+        FROM base GROUP BY o_year ORDER BY o_year
+    """,
+    "tpch_q21_waiting_suppliers": f"""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders o
+        WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate
+                                + INTERVAL {Q21_LATE_DAYS} DAY)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
     "band_join_pricing": f"""
         WITH bands AS (
             SELECT CAST(i AS INTEGER) AS band_id,
@@ -1306,6 +1514,9 @@ QUERIES = {
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
     "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

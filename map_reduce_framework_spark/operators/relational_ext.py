@@ -936,6 +936,30 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) with maximum revenue in a half-year window —
+    an aggregate-of-aggregate with a scalar-max filter (the official
+    CREATE VIEW becomes a reused DataFrame).  The argmax compares
+    2-dp-rounded totals so the equality is float-drift-safe across
+    engines while ties remain possible, as in the official query."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        rnd(F.sum(_rev_col()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 #: table_profile: numeric lineitem columns to profile
 PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1419,6 +1443,18 @@ ORACLES = {
                                 + INTERVAL {Q21_LATE_DAYS} DAY)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    "tpch_q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, {rnd_sql(f"sum({_REV})", 2)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
     "band_join_pricing": f"""
         WITH bands AS (
             SELECT CAST(i AS INTEGER) AS band_id,
@@ -1517,6 +1553,7 @@ QUERIES = {
     "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

@@ -144,7 +144,67 @@ def frame_sample_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: payload_chunks: fixed chunk size in bytes for the audio rows
+CHUNK_BYTES = 64
+
+
+def payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking of the audio payloads: one row per
+    ``CHUNK_BYTES`` segment with its offset, length, and content digest —
+    the segmentation step an ASR/batch-inference pipeline runs before
+    feeding audio to a model.
+
+    Pure JVM plumbing (``sequence`` + ``posexplode`` + ``substr`` —
+    Python never touches the bytes); the digest lets a downstream
+    exactly-once consumer dedupe re-delivered chunks.  Payloads are
+    ASCII text bytes (see :func:`media_table`), so the oracle chunks the
+    same characters and md5s match byte-for-byte.
+    """
+    media = media_table(spark, sf_dir)
+    n_chunks = F.ceil(F.length("payload") / CHUNK_BYTES).cast("int")
+    return (
+        media.where((F.col("kind") == "audio") & (F.length("payload") > 0))
+        .withColumn("n_chunks", n_chunks)
+        .select(
+            "doc_id",
+            "payload",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, n_chunks - 1), "
+                    f"i -> substring(payload, i * {CHUNK_BYTES} + 1, "
+                    f"{CHUNK_BYTES}))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_BYTES).alias("byte_offset"),
+            F.length("chunk").alias("n_chunk_bytes"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 ORACLES = {
+    "payload_chunks": f"""
+        WITH audio AS (
+            SELECT doc_id, text FROM documents
+            WHERE CAST(doc_id % 3 AS INT) = 1 AND length(text) > 0),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   substr(text, CAST(i * {CHUNK_BYTES} + 1 AS INTEGER),
+                          {CHUNK_BYTES}) AS chunk
+            FROM audio, LATERAL (SELECT unnest(range(
+                CAST(ceil(length(text) / {CHUNK_BYTES}.0) AS BIGINT))) AS i) t)
+        SELECT doc_id, chunk_idx,
+               chunk_idx * {CHUNK_BYTES} AS byte_offset,
+               length(chunk) AS n_chunk_bytes,
+               md5(chunk) AS chunk_md5
+        FROM chunks ORDER BY doc_id, chunk_idx
+    """,
     "frame_sample_schedule": """
         SELECT d.doc_id, gs.frame_idx,
                gs.frame_idx * 64 AS byte_offset
@@ -174,4 +234,5 @@ ORACLES = {
 QUERIES = {
     "multimodal_features": multimodal_features,
     "frame_sample_schedule": frame_sample_schedule,
+    "payload_chunks": payload_chunks,
 }

@@ -936,6 +936,31 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: per delivery-lateness bucket, how many lines belong to
+    high- vs low-priority orders (the official Q12's conditional-count
+    CASE aggregation; the grouping key is the lateness bucket because
+    the synthetic lineitem has no l_shipmode, and lateness reuses the
+    Q21 anchor — shipped more than ``Q21_LATE_DAYS`` after the order
+    date)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late_bucket", F.when(late, "late").otherwise("on-time"))
+        .groupBy("late_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("late_bucket")
+    )
+
+
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: the supplier(s) with maximum revenue in a half-year window —
     an aggregate-of-aggregate with a scalar-max filter (the official
@@ -1443,6 +1468,19 @@ ORACLES = {
                                 + INTERVAL {Q21_LATE_DAYS} DAY)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    "tpch_q12_priority_lateness": f"""
+        SELECT CASE WHEN l_shipdate > o_orderdate
+                         + INTERVAL {Q21_LATE_DAYS} DAY
+                    THEN 'late' ELSE 'on-time' END AS late_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY late_bucket
+    """,
     "tpch_q15_top_supplier": f"""
         WITH rev AS (
             SELECT l_suppkey, {rnd_sql(f"sum({_REV})", 2)} AS total_revenue
@@ -1554,6 +1592,7 @@ QUERIES = {
     "tpch_q8_market_share": tpch_q8_market_share,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q12_priority_lateness": tpch_q12_priority_lateness,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

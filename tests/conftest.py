@@ -102,4 +102,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
 def assert_matches_oracle(spark, duck, query_fn, sql: str, name: str, sf_dir=SF_DIR):
     spark_pdf = query_fn(spark, sf_dir).toPandas()
     oracle_pdf = duck.execute(sql).df()
+    # a 0-row result matching a 0-row oracle proves nothing — every
+    # registered query must be non-vacuous at the test SF
+    assert len(spark_pdf) > 0, f"{name}: vacuous (0-row) result at {sf_dir}"
     assert_frames_match(spark_pdf, oracle_pdf, name)

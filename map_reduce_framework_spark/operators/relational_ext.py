@@ -782,8 +782,10 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Q7/Q8 parameters (synthetic nation/region/type vocabulary)
-Q7_NATION_A = "NATION_1"
-Q7_NATION_B = "NATION_2"
+#: chosen to be non-vacuous at every test SF (sf0.001 has only ~10
+#: suppliers, so most nation pairs ship nothing there)
+Q7_NATION_A = "NATION_18"
+Q7_NATION_B = "NATION_19"
 Q8_REGION = "EUROPE"
 Q8_NATION = "NATION_1"
 Q8_PART_TYPE = "PROMO"

@@ -938,6 +938,25 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates with different keys in one pass —
+    planned via Spark's Expand operator (each input row fans out once
+    per distinct clause, then a single aggregation tree handles all of
+    them).  One query → one shuffle pipeline, not one job per distinct
+    column, which is the property that matters at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+            F.count_distinct(F.year("o_orderdate")).alias("n_years"),
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def tpch_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12-shaped: per delivery-lateness bucket, how many lines belong to
     high- vs low-priority orders (the official Q12's conditional-count
@@ -1470,6 +1489,14 @@ ORACLES = {
                                 + INTERVAL {Q21_LATE_DAYS} DAY)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    "multi_distinct_agg": f"""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT year(o_orderdate)) AS n_years,
+               count(*) AS n_orders,
+               {rnd_sql("sum(o_totalprice)", 2)} AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "tpch_q12_priority_lateness": f"""
         SELECT CASE WHEN l_shipdate > o_orderdate
                          + INTERVAL {Q21_LATE_DAYS} DAY
@@ -1595,6 +1622,7 @@ QUERIES = {
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q12_priority_lateness": tpch_q12_priority_lateness,
+    "multi_distinct_agg": multi_distinct_agg,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

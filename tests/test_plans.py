@@ -263,3 +263,40 @@ def test_kmeans_output_plan_is_one_agg_over_arrow_pass(spark):
     assert "MapInPandas" in plan
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_multi_distinct_single_expand_pass(spark):
+    """Two different DISTINCT keys + plain aggregates must plan as ONE
+    Expand + one aggregation tree — not a job per distinct column."""
+    from map_reduce_framework_spark.operators import relational_ext
+
+    plan = plan_of(relational_ext.multi_distinct_agg(spark, SF_DIR), mode="simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q21_plans_semi_and_anti_joins(spark):
+    """The double-correlated EXISTS/NOT EXISTS must appear as one
+    LeftSemi and one LeftAnti join; the supplier name join broadcasts."""
+    from map_reduce_framework_spark.operators import relational_ext
+
+    plan = plan_of(
+        relational_ext.tpch_q21_waiting_suppliers(spark, SF_DIR), mode="simple"
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q8_pushes_part_filter_and_broadcasts_dims(spark):
+    """The p_type filter must reach the part scan, and every dimension
+    side of the seven-table join must broadcast."""
+    from map_reduce_framework_spark.operators import relational_ext
+
+    plan = plan_of(relational_ext.tpch_q8_market_share(spark, SF_DIR))
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("p_type" in seg for seg in pushed)
+    assert plan.count("BroadcastHashJoin") >= 4

@@ -393,6 +393,27 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles of l_extendedprice per return flag
+    (``percentile_approx``).  No oracle: the sketch differs from
+    DuckDB's; the driver records a rows-only check, and
+    ``tests/test_relational_ext.py`` asserts each estimate lands within
+    2% of the exact quantile.  At 100 TB this is the quantile operator —
+    fixed-size mergeable sketches per group versus an exact percentile's
+    per-group sort of the full value set (the exact twin,
+    ``percentile_summary``, stays for bounded groups and oracles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5% sample of lineitem, aggregated per return flag.
 
@@ -1638,6 +1659,7 @@ QUERIES = {
     "unpivot_measures": unpivot_measures,
     "percentile_summary": percentile_summary,
     "approx_distinct_hll": approx_distinct_hll,
+    "approx_percentile_summary": approx_percentile_summary,
     "hash_sample": hash_sample,
     "asof_join": asof_join,
     "events_sliding_window": events_sliding_window,

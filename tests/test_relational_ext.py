@@ -168,3 +168,33 @@ def test_connected_components_property(spark):
             for r in connected_components(df, "src", "dst").collect()
         }
         assert got == expected, f"trial {trial}: {sorted(got.items())[:5]}..."
+
+
+def test_approx_percentile_within_2pct_of_exact(spark):
+    """The sketch quantiles must land within 2% of the exact quantiles
+    (accuracy gate for the oracle-less rows-only driver check)."""
+    from map_reduce_framework_spark.operators.relational_ext import (
+        approx_percentile_summary,
+    )
+    from map_reduce_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_percentile_summary(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        for q in ("p50", "p95"):
+            rel = abs(a[q] - exact[flag][q]) / exact[flag][q]
+            assert rel <= 0.02, f"{flag} {q}: {rel:.4f}"

@@ -53,6 +53,8 @@ HEADLINE = [
     "kmeans_embeddings",
     "tfidf_topterms",
     "dedup_incremental",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import rnd, rnd_sql
 from . import dedup
 
 #: safety bound; near-dup cluster diameter is far smaller in practice
@@ -147,7 +148,110 @@ def dedup_pipeline_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank: damping factor and fixed iteration count (deterministic, so
+#: the oracle can unroll the trajectory like the k-means oracle does)
+PR_DAMPING = 0.85
+PR_ITERATIONS = 3
+
+
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash near-dup graph: which documents are
+    duplication *hubs* (connected to many other near-dups) — the signal
+    a curation pipeline uses to spot template/boilerplate families, as
+    opposed to :func:`dedup_clusters`' membership answer.
+
+    Pregel-style: each iteration is one join (ranks → edge
+    contributions) + one groupBy (sum per destination) — two shuffles
+    over the edge list, same per-round payload as
+    :func:`connected_components` (two longs + a double per edge), with
+    per-round ``localCheckpoint`` lineage truncation.  Fixed
+    ``PR_ITERATIONS`` and float64 arithmetic keep the trajectory
+    deterministic, so the DuckDB oracle replays it exactly with one CTE
+    block per iteration (4-dp-rounded output absorbs summation-order
+    drift)."""
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    ).localCheckpoint()
+    pr = deg.select("node", F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(
+                pr.join(deg, "node").select(
+                    F.col("node").alias("src"),
+                    (F.col("pr") / F.col("deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    + PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pr.join(deg, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            rnd(F.col("pr"), 4).alias("pagerank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_oracle() -> str:
+    blocks = [
+        f"""
+        WITH mh AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM mh),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges
+                GROUP BY src),
+        p0 AS (SELECT node, 1.0::DOUBLE AS pr FROM deg)"""
+    ]
+    for i in range(PR_ITERATIONS):
+        blocks.append(
+            f"""
+        c{i} AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS inflow
+                 FROM edges e
+                 JOIN p{i} p ON p.node = e.src
+                 JOIN deg d ON d.node = e.src
+                 GROUP BY e.dst),
+        p{i + 1} AS (SELECT d.node,
+                       {1 - PR_DAMPING} + {PR_DAMPING}
+                           * coalesce(c{i}.inflow, 0.0) AS pr
+                     FROM deg d LEFT JOIN c{i} ON c{i}.node = d.node)"""
+        )
+    blocks.append(
+        f"""
+        SELECT p.node AS doc_id, deg.deg AS degree,
+               {rnd_sql("p.pr", 4)} AS pagerank
+        FROM p{PR_ITERATIONS} p JOIN deg ON deg.node = p.node
+        ORDER BY doc_id"""
+    )
+    return ",".join(blocks[:-1]) + blocks[-1]
+
+
 ORACLES = {
+    "pagerank_dup_graph": _pagerank_oracle(),
     "dedup_pipeline_keeplist": f"""
         WITH RECURSIVE
         near AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
@@ -196,4 +300,5 @@ ORACLES = {
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_pipeline_keeplist": dedup_pipeline_keeplist,
+    "pagerank_dup_graph": pagerank_dup_graph,
 }

@@ -184,3 +184,20 @@ def test_stream_static_join_equals_batch(spark):
     assert sorted(map(key, streamed.collect())) == sorted(
         map(key, batch.collect())
     )
+
+
+def test_streaming_arrow_scoring_equals_batch(spark):
+    """The Arrow-kernel (mapInPandas) scoring pipeline must produce the
+    same per-language profile when fed by readStream as by the batch
+    reader — the builder function is literally shared."""
+    from map_reduce_framework_spark.streaming.scoring_stream import (
+        batch_twin,
+        run_scoring_stream_demo,
+    )
+
+    streamed = run_scoring_stream_demo(spark, SF_DIR)
+    batch = batch_twin(spark, SF_DIR)
+    key = lambda r: (r["lang"], r["n_docs"], r["avg_quality"])  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )

@@ -300,3 +300,21 @@ def test_q8_pushes_part_filter_and_broadcasts_dims(spark):
     ]
     assert any("p_type" in seg for seg in pushed)
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """A lang-partitioned parquet layout must serve a lang-filtered scan
+    via PartitionFilters (directory pruning — at 100 TB the difference
+    between touching one partition and scanning the corpus)."""
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.sources.formats import write_parquet
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dest = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, dest, partition_by=["lang"])
+    back = spark.read.parquet(dest).where("lang = 'en'")
+    plan = plan_of(back)
+    part_seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "lang" in part_seg
+    # the lang predicate is satisfied by pruning, not data filters
+    assert back.count() == docs.where("lang = 'en'").count()

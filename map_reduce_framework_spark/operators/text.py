@@ -534,6 +534,45 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled per-document training record — what a downstream
+    trainer's data loader actually consumes: text stats + modality
+    availability + the sampling verdict, one row per document.
+
+    Composes the engine's standalone decisions declaratively: the
+    mixture-sample keep flag (hash predicate, evaluated at the scan),
+    token counts (Column expressions), and embedding availability via a
+    doc_id↔vec_id left join (at 100 TB both sides hash-partition on the
+    shared id; with bucketed layouts the join is exchange-free).  No
+    Python anywhere — the manifest is a pure Catalyst plan.
+    """
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.size("embedding").alias("embedding_dim"),
+    )
+    permille = (
+        hash60(F.col("source")) % MIXTURE_SPREAD + MIXTURE_BASE_PERMILLE
+    )
+    keep_key = F.concat_ws(":", F.col("source"), F.col("doc_id"))
+    kept = hash60(keep_key) % 1000 < permille
+    return (
+        docs.join(emb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.col("embedding_dim").isNotNull().alias("has_embedding"),
+            F.coalesce("embedding_dim", F.lit(0)).alias("embedding_dim"),
+            kept.alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -752,6 +791,18 @@ ORACLES["bpe_pair_stats"] = f"""
     ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP_N}
 """
 
+ORACLES["training_manifest"] = f"""
+    SELECT d.doc_id, d.lang, d.source,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           e.vec_id IS NOT NULL AS has_embedding,
+           coalesce(len(e.embedding), 0) AS embedding_dim,
+           {_hash60_sql("concat(d.source, ':', d.doc_id)")} % 1000
+               < ({_hash60_sql("d.source")} % {MIXTURE_SPREAD}
+                  + {MIXTURE_BASE_PERMILLE}) AS kept
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -767,4 +818,5 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
     "bpe_pair_stats": bpe_pair_stats,
+    "training_manifest": training_manifest,
 }

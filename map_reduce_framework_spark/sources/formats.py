@@ -85,3 +85,19 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_text_lines(df: DataFrame, path: str, column: str = "text") -> None:
+    """Raw text-lines sink: one line per row from a single string column
+    (the one-document-per-line corpus layout; compression via the usual
+    codec options at scale)."""
+    df.select(column).write.mode("overwrite").text(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-lines source: ``value`` column, one row per line — the
+    ingest reader for plain-text corpora (C4/OSCAR-style dumps land as
+    line-oriented text; JSONL goes through :func:`read_json` instead).
+    Splits parallelize per file block exactly like any text-based
+    source."""
+    return spark.read.text(path)

@@ -113,3 +113,21 @@ def test_binary_file_source_reads_payloads(spark, tmp_path):
         r["path"].rsplit("/", 1)[-1]: r["length"] for r in df.collect()
     }
     assert lengths == {"a.img": 15, "b.img": 11}
+
+
+def test_text_lines_roundtrip(spark, tmp_path):
+    """Raw text-lines sink → source roundtrip preserves the document
+    multiset (line-oriented corpora are the plain-text ingest format)."""
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.sources.formats import (
+        read_text_lines,
+        write_text_lines,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    dest = str(tmp_path / "corpus_txt")
+    write_text_lines(docs, dest)
+    back = read_text_lines(spark, dest)
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )

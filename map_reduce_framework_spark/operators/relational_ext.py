@@ -959,6 +959,24 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly tumbling window — the unique-visitors
+    rollup.  Exact distinct inside an event-time window (two-phase
+    distinct aggregate: partial dedup of (window, user) then count); the
+    sketch alternative for unbounded cardinalities is
+    :func:`approx_distinct_hll`."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("win.start").alias("hour"), "n_users", "n_events")
+        .orderBy("hour")
+    )
+
+
 def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Several DISTINCT aggregates with different keys in one pass —
     planned via Spark's Expand operator (each input row fans out once
@@ -1510,6 +1528,12 @@ ORACLES = {
                                 + INTERVAL {Q21_LATE_DAYS} DAY)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    "events_window_distinct": """
+        SELECT date_trunc('hour', ts) AS hour,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY hour
+    """,
     "multi_distinct_agg": f"""
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,
@@ -1644,6 +1668,7 @@ QUERIES = {
     "tpch_q15_top_supplier": tpch_q15_top_supplier,
     "tpch_q12_priority_lateness": tpch_q12_priority_lateness,
     "multi_distinct_agg": multi_distinct_agg,
+    "events_window_distinct": events_window_distinct,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

@@ -101,3 +101,20 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     Splits parallelize per file block exactly like any text-based
     source."""
     return spark.read.text(path)
+
+
+def read_jsonl_audited(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Permissive JSONL reader with corrupt-record capture: malformed
+    lines land in ``_corrupt_record`` instead of failing the job or
+    being silently dropped — real crawl dumps always contain breakage,
+    and an ingest step must account for every input line.  Pair with a
+    ``_corrupt_record IS NOT NULL`` split to route rejects to a
+    quarantine sink."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

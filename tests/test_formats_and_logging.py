@@ -131,3 +131,25 @@ def test_text_lines_roundtrip(spark, tmp_path):
     assert sorted(r["value"] for r in back.collect()) == sorted(
         r["text"] for r in docs.collect()
     )
+
+
+def test_jsonl_corrupt_record_audit(spark, tmp_path):
+    """Permissive JSONL ingest must keep good rows, capture bad lines in
+    _corrupt_record, and account for every input line."""
+    from map_reduce_framework_spark.sources.formats import read_jsonl_audited
+
+    src = tmp_path / "feed.jsonl"
+    good = ['{"doc_id": 1, "text": "alpha"}', '{"doc_id": 2, "text": "beta"}']
+    bad = ['{"doc_id": 3, "text": ', "not json at all"]
+    src.write_text("\n".join(good + bad) + "\n")
+    df = read_jsonl_audited(
+        spark, str(src), "doc_id long, text string"
+    ).cache()
+    n_bad = df.where("_corrupt_record IS NOT NULL").count()
+    n_good = df.where("_corrupt_record IS NULL").count()
+    assert n_bad == len(bad)
+    assert n_good == len(good)
+    assert {r["text"] for r in df.where("_corrupt_record IS NULL").collect()} == {
+        "alpha",
+        "beta",
+    }

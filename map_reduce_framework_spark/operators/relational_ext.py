@@ -959,6 +959,38 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users counted at a step
+    only if their FIRST occurrence of each stage happens strictly after
+    the previous stage's first occurrence.
+
+    One conditional-min aggregate per user (single shuffle) followed by
+    a scalar rollup + ``stack`` unpivot — no joins, no windows; the
+    per-user firsts table is the only intermediate and it is one row per
+    user regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("v"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    s1 = F.col("v").isNotNull()
+    s2 = s1 & (F.col("c") > F.col("v"))
+    s3 = s2 & (F.col("p") > F.col("c"))
+    totals = per_user.agg(
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+    )
+    return totals.selectExpr(
+        "stack(3, 'step1_view', n1, 'step2_click', n2,"
+        " 'step3_purchase', n3) AS (step, n_users)"
+    ).orderBy("step")
+
+
 def events_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per hourly tumbling window — the unique-visitors
     rollup.  Exact distinct inside an event-time window (two-phase
@@ -1528,6 +1560,27 @@ ORACLES = {
                                 + INTERVAL {Q21_LATE_DAYS} DAY)
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    "funnel_analysis": """
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+            FROM events GROUP BY user_id),
+        s AS (
+            SELECT
+                CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN v IS NOT NULL AND c > v
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN v IS NOT NULL AND c > v AND p > c
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n3
+            FROM f)
+        SELECT 'step1_view' AS step, n1 AS n_users FROM s
+        UNION ALL SELECT 'step2_click', n2 FROM s
+        UNION ALL SELECT 'step3_purchase', n3 FROM s
+        ORDER BY step
+    """,
     "events_window_distinct": """
         SELECT date_trunc('hour', ts) AS hour,
                count(DISTINCT user_id) AS n_users,
@@ -1669,6 +1722,7 @@ QUERIES = {
     "tpch_q12_priority_lateness": tpch_q12_priority_lateness,
     "multi_distinct_agg": multi_distinct_agg,
     "events_window_distinct": events_window_distinct,
+    "funnel_analysis": funnel_analysis,
     "events_user_enrichment": events_user_enrichment,
     "band_join_pricing": band_join_pricing,
     "window_distribution": window_distribution,

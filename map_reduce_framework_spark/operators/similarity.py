@@ -380,9 +380,46 @@ ORACLES["ann_ivf_kmeans"] = f"""
     cents AS (SELECT cid AS cent_id, {_NORM_V_SQL} AS vcent
               FROM {_KM_FINAL}),{_IVF_SEARCH_BODY}"""
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Euclidean-norm profile of the embedding corpus — the
+    sanity check every vector pipeline runs before indexing (un-normed
+    or degenerate vectors poison cosine search).  Norms via the shared
+    double-precision array aggregate; one grouped aggregation."""
+    from .dedup import norm_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm_col("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            rnd(F.avg("nrm"), 4).alias("avg_norm"),
+            rnd(F.min("nrm"), 4).alias("min_norm"),
+            rnd(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+from ..functions import rnd_sql as _rnd_sql  # noqa: E402
+
+ORACLES["embedding_norm_stats"] = f"""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            v -> v * v))) AS nrm
+        FROM embeddings)
+    SELECT label, count(*) AS n_vectors,
+           {_rnd_sql("avg(nrm)", 4)} AS avg_norm,
+           {_rnd_sql("min(nrm)", 4)} AS min_norm,
+           {_rnd_sql("max(nrm)", 4)} AS max_norm
+    FROM n GROUP BY label ORDER BY label
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "embedding_norm_stats": embedding_norm_stats,
 }

@@ -1,0 +1,150 @@
+"""Corpus-cleaning operators for training-data pipelines over ``documents``.
+
+Two standard pre-training cleanup passes the reference lacks entirely (its
+only text operator is substring containment, Search.cpp:217-227); both are
+mandated-extension material:
+
+- :func:`dedup_passage` — passage-level (fixed token-window) corpus
+  deduplication, the line/paragraph-dedup step of C4/Dolma-style pipelines
+  adapted to newline-free text: a passage duplicated anywhere in the corpus
+  survives only at its first occurrence ``(doc_id, pos)``; every document
+  reports how much of it survived and its reconstructed kept text.
+- :func:`blocklist_redact` — wordlist-based redaction (the C4 "bad words"
+  filter shape): count and replace blocklisted terms, emitting per-document
+  hit counts plus the redacted text.
+
+Scale posture (100 TB): ``dedup_passage`` is ONE hash shuffle on the
+passage string (the row payload already carries the passage — keying the
+window by the string adds no bytes over keying by a hash) followed by a
+partial-aggregated groupBy on doc_id. ``blocklist_redact`` is a pure
+narrow codegen'd regex pass — scan-bound, no shuffle at all before the
+presentation sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .dedup import fan_out
+
+#: tokens per passage window.  Newline-free synthetic text has no natural
+#: paragraph boundary, so the passage is a fixed 8-token window — the same
+#: granularity class as Dolma's paragraph dedup on real corpora.
+PASSAGE_TOKENS = 8
+
+#: redaction wordlist — corpus-vocabulary terms so the operator is
+#: non-vacuous on the synthetic tables (mixes a rare term and common ones).
+BLOCKLIST = ("dup", "slow", "big")
+
+#: word-boundary alternation, identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB) — both support ``\b`` and non-capturing alternation.
+_BLOCK_RE = r"\b(?:" + "|".join(BLOCKLIST) + r")\b"
+
+REDACTED = "[REDACTED]"
+
+
+def _passages(docs: DataFrame) -> DataFrame:
+    """Explode each document into (doc_id, pos, passage) fixed windows.
+
+    The outer ``transform(array(split(...)), toks -> ...)`` is the same
+    let-binding trick as :func:`..operators.dedup.shingles`: evaluate the
+    split ONCE per row instead of once per passage.
+    """
+    windows = F.expr(
+        f"""element_at(transform(array(split(text, ' ')), toks ->
+            transform(sequence(0, CAST(ceil(size(toks) / {PASSAGE_TOKENS}.0) AS INT) - 1),
+                      i -> concat_ws(' ', slice(toks, i * {PASSAGE_TOKENS} + 1,
+                                                {PASSAGE_TOKENS})))), 1)"""
+    )
+    return docs.select(
+        "doc_id", F.posexplode(windows).alias("pos", "passage")
+    )
+
+
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level corpus dedup: keep each distinct passage only at its
+    first occurrence, ordered by (doc_id, pos); report per-document
+    survival and the reconstructed kept text.
+
+    One wide shuffle (window partitioned by passage) + one partial-agg
+    groupBy — the plan a 1000-executor run wants.  A fully-duplicated
+    document keeps nothing and reports NULL kept text (mirrors the
+    oracle's empty ``string_agg``).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("passage").orderBy("doc_id", "pos")
+    flagged = _passages(docs).withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col("pos"), F.col("passage"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.array_join(F.transform(F.col("_kept"), lambda s: s["passage"]), " "),
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist hit counting + redaction — narrow, codegen'd, scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).alias("n_hits"),
+        F.regexp_replace(F.col("text"), _BLOCK_RE, REDACTED).alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
+ORACLES = {
+    "dedup_passage": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(u.i AS INT) AS pos,
+                   array_to_string(
+                       t[u.i * {PASSAGE_TOKENS} + 1 : u.i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}],
+                       ' ') AS passage
+            FROM toks,
+                 unnest(range(0, CAST(ceil(len(t) / {PASSAGE_TOKENS}.0) AS INT))) AS u(i)),
+        flagged AS (
+            SELECT doc_id, pos, passage,
+                   row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) = 1
+                       AS kept
+            FROM chunks)
+        SELECT doc_id,
+               count(*) AS n_passages,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(CASE WHEN kept THEN passage END, ' ' ORDER BY pos)
+                   AS kept_text
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    "blocklist_redact": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BLOCK_RE}')) AS n_hits,
+               regexp_replace(text, '{_BLOCK_RE}', '{REDACTED}', 'g')
+                   AS redacted_text
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "dedup_passage": dedup_passage,
+    "blocklist_redact": blocklist_redact,
+}

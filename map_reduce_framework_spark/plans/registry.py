@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
+    cleaning,
     clustering,
     dedup,
     graph,
@@ -27,6 +28,7 @@ from ..operators import (
 )
 
 _MODULES = [
+    cleaning,
     relational,
     relational_ext,
     wordcount_client,

@@ -13,11 +13,14 @@ mandated-extension material:
   filter shape): count and replace blocklisted terms, emitting per-document
   hit counts plus the redacted text.
 
-Scale posture (100 TB): ``dedup_passage`` is ONE hash shuffle on the
-passage string (the row payload already carries the passage — keying the
-window by the string adds no bytes over keying by a hash) followed by a
-partial-aggregated groupBy on doc_id. ``blocklist_redact`` is a pure
-narrow codegen'd regex pass — scan-bound, no shuffle at all before the
+Scale posture (100 TB): ``dedup_passage`` is built entirely from
+partial-aggregatable groupBys — no window over ``partitionBy(passage)``,
+which would funnel every copy of a hot passage (the exact case passage
+dedup exists for) into a single task with no map-side combine.  The
+survivor of each passage is ``min(struct(doc_id, pos))``, which combines
+map-side, so a passage duplicated a million times contributes one row per
+input partition to the shuffle.  ``blocklist_redact`` is a pure narrow
+codegen'd regex pass — scan-bound, no shuffle at all before the
 presentation sort.
 """
 
@@ -25,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .dedup import fan_out
@@ -46,21 +48,25 @@ _BLOCK_RE = r"\b(?:" + "|".join(BLOCKLIST) + r")\b"
 REDACTED = "[REDACTED]"
 
 
-def _passages(docs: DataFrame) -> DataFrame:
-    """Explode each document into (doc_id, pos, passage) fixed windows.
+def _windows_expr():
+    """Column expr: the document's array of fixed token-window passages.
 
     The outer ``transform(array(split(...)), toks -> ...)`` is the same
     let-binding trick as :func:`..operators.dedup.shingles`: evaluate the
     split ONCE per row instead of once per passage.
     """
-    windows = F.expr(
+    return F.expr(
         f"""element_at(transform(array(split(text, ' ')), toks ->
             transform(sequence(0, CAST(ceil(size(toks) / {PASSAGE_TOKENS}.0) AS INT) - 1),
                       i -> concat_ws(' ', slice(toks, i * {PASSAGE_TOKENS} + 1,
                                                 {PASSAGE_TOKENS})))), 1)"""
     )
+
+
+def _passages(docs: DataFrame) -> DataFrame:
+    """Explode each document into (doc_id, pos, passage) fixed windows."""
     return docs.select(
-        "doc_id", F.posexplode(windows).alias("pos", "passage")
+        "doc_id", F.posexplode(_windows_expr()).alias("pos", "passage")
     )
 
 
@@ -69,34 +75,51 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrence, ordered by (doc_id, pos); report per-document
     survival and the reconstructed kept text.
 
-    One wide shuffle (window partitioned by passage) + one partial-agg
-    groupBy — the plan a 1000-executor run wants.  A fully-duplicated
-    document keeps nothing and reports NULL kept text (mirrors the
-    oracle's empty ``string_agg``).
+    Three skew-tolerant steps, all map-side-combinable (no window over
+    ``partitionBy(passage)`` — a hot passage would land whole in one task):
+
+    1. per-passage survivor = ``min(struct(doc_id, pos))`` — partial agg,
+       so N copies of a passage shuffle ≤ one row per input partition;
+    2. survivors regrouped by their winning doc → n_kept + kept text
+       (each distinct passage now exists exactly once — no skew possible);
+    3. doc-level passage counts come straight off the pre-explode array
+       (narrow), left-joined on doc_id (unique per side, never hot).
+
+    A fully-duplicated document keeps nothing and reports NULL kept text
+    (mirrors the oracle's empty ``string_agg``).
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    w = Window.partitionBy("passage").orderBy("doc_id", "pos")
-    flagged = _passages(docs).withColumn(
-        "kept", F.row_number().over(w) == 1
+    # cast: Spark size() is INT, the oracle's count(*) is BIGINT, and the
+    # driver's value-hash is dtype-sensitive
+    counts = docs.select(
+        "doc_id", F.size(_windows_expr()).cast("long").alias("n_passages")
     )
-    kept_struct = F.when(
-        F.col("kept"), F.struct(F.col("pos"), F.col("passage"))
+    survivors = _passages(docs).groupBy("passage").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    return (
-        flagged.groupBy("doc_id")
+    kept = (
+        survivors.groupBy(F.col("first.doc_id").alias("doc_id"))
         .agg(
-            F.count("*").alias("n_passages"),
-            F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("first.pos").alias("pos"), "passage"))
+            ).alias("_kept"),
         )
         .select(
             "doc_id",
-            "n_passages",
             "n_kept",
-            F.when(
-                F.col("n_kept") > 0,
-                F.array_join(F.transform(F.col("_kept"), lambda s: s["passage"]), " "),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["passage"]), " "
             ).alias("kept_text"),
+        )
+    )
+    return (
+        counts.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "kept_text",
         )
         .orderBy("doc_id")
     )
@@ -107,7 +130,7 @@ def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).alias("n_hits"),
+        F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).cast("long").alias("n_hits"),
         F.regexp_replace(F.col("text"), _BLOCK_RE, REDACTED).alias("redacted_text"),
     ).orderBy("doc_id")
 

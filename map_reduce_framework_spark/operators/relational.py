@@ -743,10 +743,12 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
             SELECT user_id, event_id,
-                   sum(new_session) OVER (PARTITION BY user_id
+                   -- CAST: DuckDB window sum over INT yields HUGEINT; Spark's
+                   -- is BIGINT, and the driver's value-hash is dtype-sensitive
+                   CAST(sum(new_session) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                       AS BIGINT) AS session_id
             FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
                min(event_id) AS first_event, max(event_id) AS last_event

@@ -29,28 +29,36 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    Works on ANY session, not just the one built by :func:`..session.get_spark`:
-    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark rejects outright
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  That conf is
-    runtime-settable, so we set it here (idempotent) rather than relying on
-    the caller's session builder — an external caller with a vanilla session
-    must still be able to read every table.
+    Works on ANY session, not just the one built by :func:`..session.get_spark`,
+    and across the timestamp encodings the generator has shipped:
+
+    * TIMESTAMP(NANOS) (round 1-3 ``events.ts``) — Spark rejects it outright
+      unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (runtime-settable,
+      so we set it here idempotently); the resulting epoch-nanos long is
+      truncated ns → µs exactly like DuckDB's µs-precision TIMESTAMP.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+ data) — Spark reads
+      it as TIMESTAMP_NTZ, which many chronon functions (``unix_micros``,
+      ``to_utc_timestamp``-less arithmetic) reject.  Convert to the engine's
+      standard session-tz TIMESTAMP by interpreting the naive wall clock as
+      UTC — exactly what DuckDB does with the same bytes, so oracles agree.
+
+    Both normalizations are gated on the *read* dtype, so whichever encoding
+    is on disk (or a future Spark that reads nanos natively) keeps working.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # With nanosAsLong, ts reads as a long of epoch-nanos.  Truncate
-        # ns → µs exactly like DuckDB's µs-precision TIMESTAMP so oracles
-        # agree.  Gate on the read dtype so a future Spark that reads nanos
-        # natively (as timestamp) keeps working.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.to_utc_timestamp(field.name, "UTC"))
     return df
 
 

@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events_stream import EVENTS_SCHEMA
+from .events_stream import events_stream_source
 
 
 def _doubled_stream_dir(sf_dir: str) -> str:
@@ -48,13 +48,7 @@ def streaming_dedup(
     copies arrive in the same backlog, so any horizon works; on a real
     at-least-once source it is the redelivery SLA + disorder bound).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_doubled_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_source(spark, _doubled_stream_dir(sf_dir))
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -24,10 +24,62 @@ from pyspark.sql import functions as F
 
 from ..functions import rnd
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+_EVENTS_COLS = (
+    "event_id long, {ts}, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _probe_ts_encoding(stream_dir: str) -> str:
+    """Inspect the parquet footer to learn the on-disk ``ts`` encoding.
+
+    ``readStream`` requires a user-supplied schema, so unlike the batch
+    loader we can't let Spark infer it — probe the first file's footer and
+    mirror :func:`..sources.tables.load_table`'s normalization (its
+    docstring lists the encodings the generator has shipped).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(stream_dir, "*.parquet"))) or sorted(
+        glob.glob(os.path.join(stream_dir, "**", "*.parquet"), recursive=True)
+    )
+    t = pq.read_schema(files[0]).field("ts").type
+    if t.unit == "ns":
+        return "ns"
+    return "us_tz" if t.tz is not None else "us_ntz"
+
+
+def events_stream_source(
+    spark: SparkSession,
+    stream_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events-shaped parquet directory with
+    ``ts`` normalized to the engine-standard session timestamp — the
+    streaming twin of :func:`..sources.tables.load_table`."""
+    enc = _probe_ts_encoding(stream_dir)
+    if enc == "ns":
+        # required on any caller's session, not just the repo's get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _EVENTS_COLS.format(ts="ts long")
+    elif enc == "us_ntz":
+        schema = _EVENTS_COLS.format(ts="ts timestamp_ntz")
+    else:
+        schema = _EVENTS_COLS.format(ts="ts timestamp")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        # forces multiple micro-batches under availableNow — exercises the
+        # cross-batch state retention the watermarks must guarantee
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(stream_dir)
+    if enc == "ns":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif enc == "us_ntz":
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return df
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -52,16 +104,7 @@ def streaming_event_counts(
 ) -> DataFrame:
     """Build the streaming DataFrame: 1-hour tumbling windows per
     event_type with a watermark (unbounded-late rows dropped)."""
-    # ts arrives as long ns (see sources.tables nanosAsLong note); set the
-    # conf here too so the stream builds on any caller's session, not just
-    # the repo's get_spark().
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_source(spark, _events_stream_dir(sf_dir))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")

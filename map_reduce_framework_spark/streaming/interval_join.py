@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events_stream import EVENTS_SCHEMA, _events_stream_dir
+from .events_stream import _events_stream_dir, events_stream_source
 
 
 def _typed_stream(
@@ -32,19 +32,11 @@ def _typed_stream(
     stream_dir: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    # events parquet is TIMESTAMP(NANOS); required on any caller's session
-    # (see sources.tables.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if max_files_per_trigger:
-        # forces multiple micro-batches under availableNow — exercises the
-        # cross-batch state retention the watermarks must guarantee
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return (
-        reader.load(stream_dir or _events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .where(F.col("event_type") == event_type)
-    )
+    return events_stream_source(
+        spark,
+        stream_dir or _events_stream_dir(sf_dir),
+        max_files_per_trigger=max_files_per_trigger,
+    ).where(F.col("event_type") == event_type)
 
 
 def streaming_interval_join(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import rnd
-from .events_stream import EVENTS_SCHEMA, _events_stream_dir
+from .events_stream import _events_stream_dir, events_stream_source
 
 
 def streaming_session_windows(
@@ -25,13 +25,7 @@ def streaming_session_windows(
 ) -> DataFrame:
     from ..operators.relational_ext import SESSION_GAP_MINUTES
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_source(spark, _events_stream_dir(sf_dir))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(

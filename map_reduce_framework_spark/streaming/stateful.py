@@ -24,8 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events_stream import EVENTS_SCHEMA, _events_stream_dir
+from .events_stream import _events_stream_dir, events_stream_source
 
+# last_ts is epoch-micros: state rows must be Arrow-serializable scalars,
+# so the timestamp crosses into state as a long
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts long"
 STATE_SCHEMA = "n long, total double, last_ts long"
 
@@ -57,10 +59,10 @@ def _update_user_state(
 
 def user_running_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user running stats (update mode)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_events_stream_dir(sf_dir))
+    from pyspark.sql import functions as F
+
+    stream = events_stream_source(spark, _events_stream_dir(sf_dir)).withColumn(
+        "ts", F.unix_micros("ts")
     )
     return stream.groupBy("user_id").applyInPandasWithState(
         _update_user_state,

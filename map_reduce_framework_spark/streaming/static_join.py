@@ -21,24 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .events_stream import EVENTS_SCHEMA, _events_stream_dir
+from .events_stream import _events_stream_dir, events_stream_source
 
 
 def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream events ⋈ broadcast(per-user profile) → counts per
     (event_type, first-seen day)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     profile = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.date_trunc("day", F.min("ts")).alias("first_day"))
     )
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_source(spark, _events_stream_dir(sf_dir))
     return (
         stream.join(F.broadcast(profile), "user_id")
         .groupBy("event_type", "first_day")

@@ -55,6 +55,8 @@ HEADLINE = [
     "dedup_incremental",
     "tpch_q8_market_share",
     "tpch_q21_waiting_suppliers",
+    # round-4 addition — NOT in earlier baseline totals
+    "clean_corpus",
 ]
 
 
@@ -62,6 +64,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    from map_reduce_framework_spark import cache
     from map_reduce_framework_spark.plans import registry
     from map_reduce_framework_spark.session import get_spark
 
@@ -93,6 +96,7 @@ def main() -> int:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            cache.release()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

@@ -125,6 +125,70 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning capstone: the C4/Dolma-shaped pipeline
+    composed from the repo's standalone stages, one record per document.
+
+    quality gate (Arrow stopword kernel → composite score) → language ID
+    (same kernel pass — counted ONCE, both scores derived from it) →
+    blocklist hit count → dedup keep/drop (exact ∪ MinHash-LSH →
+    connected components) → deterministic mixture resample.  The final
+    verdict keeps a document iff it survives dedup, is not quality-'low',
+    and wins its source's mixture draw.
+
+    Scale shape: the stage outputs are 1:1 per doc_id and join on it —
+    never skewed, AQE-broadcastable; the only wide work is the stages'
+    own (individually scale-audited) plans.
+    """
+    from .graph import keeplist_unsorted
+    from .text import (
+        MIXTURE_BASE_PERMILLE,
+        MIXTURE_SPREAD,
+        _stopword_counts,
+        pred_lang_expr,
+        quality_bucket_expr,
+        quality_expr,
+    )
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = _stopword_counts(docs).select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        pred_lang_expr().alias("pred_lang"),
+    )
+    permille = hash60(F.col("source")) % MIXTURE_SPREAD + MIXTURE_BASE_PERMILLE
+    keep_key = F.concat_ws(":", F.col("source"), F.col("doc_id"))
+    flags = docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).cast("long").alias("n_hits"),
+        (hash60(keep_key) % 1000 < permille).alias("kept_sample"),
+    )
+    dedup_verdict = keeplist_unsorted(spark, sf_dir).withColumnRenamed(
+        "kept", "kept_dedup"
+    )
+    out = (
+        scored.join(flags, "doc_id")
+        .join(dedup_verdict, "doc_id")
+        .withColumn("quality_bucket", quality_bucket_expr(F.col("quality")))
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "quality_bucket",
+        "n_hits",
+        "cluster_id",
+        "kept_dedup",
+        "kept_sample",
+        (
+            F.col("kept_dedup")
+            & (F.col("quality_bucket") != "low")
+            & F.col("kept_sample")
+        ).alias("kept_final"),
+    ).orderBy("doc_id")
+
+
 def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist hit counting + redaction — narrow, codegen'd, scan-bound."""
     docs = load_table(spark, sf_dir, "documents")
@@ -135,7 +199,69 @@ def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# shared SQL fragments for the clean_corpus capstone oracle — single
+# source of truth with each stage's own oracle
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+from .dedup import _hash60_sql  # noqa: E402
+from .text import (  # noqa: E402
+    _LANG_SCORES,
+    _PRED,
+    MIXTURE_BASE_PERMILLE,
+    MIXTURE_SPREAD,
+    QUALITY_BUCKET_SQL,
+    QUALITY_SQL,
+)
+
+_KEEP_KEY_SQL = "concat(d.source, ':', d.doc_id)"
+_KEPT_SAMPLE_SQL = (
+    f"({_hash60_sql(_KEEP_KEY_SQL)} % 1000"
+    f" < ({_hash60_sql('d.source')} % {MIXTURE_SPREAD}"
+    f" + {MIXTURE_BASE_PERMILLE}))"
+)
+
 ORACLES = {
+    "clean_corpus": f"""
+        WITH RECURSIVE
+        near AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+        exact AS (
+            SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+                   doc_id AS doc_b
+            FROM documents),
+        pairs AS (SELECT doc_a, doc_b FROM near
+                  UNION ALL
+                  SELECT doc_a, doc_b FROM exact WHERE doc_a <> doc_b),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, label) AS (
+            SELECT doc_id, doc_id AS label FROM verts
+            UNION
+            SELECT e.dst AS doc_id, r.label
+            FROM reach r JOIN edges e ON e.src = r.doc_id),
+        labels AS (SELECT doc_id, min(label) AS cl FROM reach
+                   GROUP BY doc_id),
+        q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+        s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents),
+        base AS (
+            SELECT d.doc_id,
+                   {_PRED} AS pred_lang,
+                   q.quality,
+                   len(regexp_extract_all(d.text, '{_BLOCK_RE}')) AS n_hits,
+                   coalesce(l.cl, d.doc_id) AS cluster_id,
+                   (coalesce(l.cl, d.doc_id) = d.doc_id) AS kept_dedup,
+                   {_KEPT_SAMPLE_SQL} AS kept_sample
+            FROM documents d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN s ON s.doc_id = d.doc_id
+            LEFT JOIN labels l ON l.doc_id = d.doc_id)
+        SELECT doc_id, pred_lang, quality,
+               {QUALITY_BUCKET_SQL} AS quality_bucket,
+               n_hits, cluster_id, kept_dedup, kept_sample,
+               (kept_dedup AND ({QUALITY_BUCKET_SQL}) <> 'low'
+                AND kept_sample) AS kept_final
+        FROM base ORDER BY doc_id
+    """,
     "dedup_passage": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -168,6 +294,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "clean_corpus": clean_corpus,
     "dedup_passage": dedup_passage,
     "blocklist_redact": blocklist_redact,
 }

@@ -134,10 +134,12 @@ def train_kmeans(emb: DataFrame) -> np.ndarray:
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after k-means: size, min id, mean distance."""
-    emb = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "embedding")
-        .persist()
+    from ..cache import persist_tracked
+
+    emb = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
     )
     C = train_kmeans(emb)
     assigned = emb.mapInPandas(_assign_fn(C), _ASSIGN_SCHEMA)

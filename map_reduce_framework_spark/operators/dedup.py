@@ -307,7 +307,9 @@ def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling + the df pass run once, not once per join side (at 100 TB
     # the posting list is a materialized intermediate table for the same
     # reason — recomputing shingles dominates otherwise)
-    return capped.persist()
+    from ..cache import persist_tracked
+
+    return persist_tracked(capped)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +488,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages run concurrently and EACH recomputes the signatures before
     # the cache is populated.  Signature tables are materialized
     # artifacts in production dedup for the same reason.
-    sigs = _shingled_docs(docs, with_sig=True).persist()
+    from ..cache import persist_tracked
+
+    sigs = persist_tracked(_shingled_docs(docs, with_sig=True))
     sigs.count()
     # band key = 'i:s1-s2-s3' string per band
     band_exprs = [
@@ -578,9 +582,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # tiny (doc_id, simhash) table consumed by both join sides — persist +
     # materialize so the signature pass runs once
-    sims = docs.mapInPandas(
-        simhash_batches, "doc_id bigint, simhash bigint"
-    ).persist()
+    from ..cache import persist_tracked
+
+    sims = persist_tracked(
+        docs.mapInPandas(simhash_batches, "doc_id bigint, simhash bigint")
+    )
     sims.count()
     chunks = sims.select(
         "doc_id",

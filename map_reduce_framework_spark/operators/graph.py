@@ -123,6 +123,13 @@ def dedup_pipeline_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition adds one left join of the corpus against the (much
     smaller) clustered-vertex labels.
     """
+    return keeplist_unsorted(spark, sf_dir).orderBy("doc_id")
+
+
+def keeplist_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_pipeline_keeplist` without the presentation sort —
+    for composition (e.g. ``clean_corpus``) where a downstream join
+    would destroy the order anyway."""
     from ..sources import load_table
 
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
@@ -144,7 +151,6 @@ def dedup_pipeline_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cl", "doc_id").alias("cluster_id"),
             (F.coalesce("cl", "doc_id") == F.col("doc_id")).alias("kept"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -202,10 +202,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     story is unchanged: train = one scan per Lloyd iteration with
     map-side partial sums; search = pruned equi-join on the cell key.
     """
-    emb_raw = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "embedding")
-        .persist()
+    from ..cache import persist_tracked
+
+    emb_raw = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
     )
     C = train_kmeans(emb_raw)
     Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))

@@ -102,6 +102,38 @@ def _stopword_counts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "lang", "text").mapInPandas(batches, schema)
 
 
+def quality_expr():
+    """Composite quality Column over :func:`_stopword_counts` output:
+    stopword ratio + length saturation + lexical diversity."""
+    stop_ratio = F.col("s_en") / F.col("n_tokens").cast("double")
+    len_sat = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    diversity = F.col("n_uniq_tokens") / F.col("n_tokens").cast("double")
+    return rnd(0.3 * stop_ratio + 0.4 * len_sat + 0.3 * diversity, 4)
+
+
+def quality_bucket_expr(quality_col):
+    """high/mid/low bucket for a quality Column."""
+    return (
+        F.when(quality_col >= 0.6, "high")
+        .when(quality_col >= 0.4, "mid")
+        .otherwise("low")
+    )
+
+
+def pred_lang_expr():
+    """argmax language Column over :func:`_stopword_counts` output
+    (alphabetical tie-break: the CASE chain checks langs in order)."""
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred_expr = None
+    for l in langs:
+        cond = F.col(f"s_{l}") == best
+        pred_expr = (
+            F.when(cond, F.lit(l)) if pred_expr is None else pred_expr.when(cond, F.lit(l))
+        )
+    return pred_expr
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic: stopword ratio + length saturation +
     lexical diversity, bucketed high/mid/low.  Counting runs in the
@@ -109,18 +141,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     counts = _stopword_counts(docs)
-    stop_ratio = F.col("s_en") / F.col("n_tokens").cast("double")
-    len_sat = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-    diversity = F.col("n_uniq_tokens") / F.col("n_tokens").cast("double")
-    score = rnd(0.3 * stop_ratio + 0.4 * len_sat + 0.3 * diversity, 4)
     return (
-        counts.select("doc_id", score.alias("quality"))
-        .withColumn(
-            "quality_bucket",
-            F.when(F.col("quality") >= 0.6, "high")
-            .when(F.col("quality") >= 0.4, "mid")
-            .otherwise("low"),
-        )
+        counts.select("doc_id", quality_expr().alias("quality"))
+        .withColumn("quality_bucket", quality_bucket_expr(F.col("quality")))
         .orderBy("doc_id")
     )
 
@@ -130,19 +153,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counting runs in the shared Arrow kernel (:func:`_stopword_counts`)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = _stopword_counts(docs)
-    langs = sorted(LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
-    # CASE chain in alphabetical order: the first (alphabetical) max wins
-    pred_expr = None
-    for l in langs:
-        cond = F.col(f"s_{l}") == best
-        pred_expr = (
-            F.when(cond, F.lit(l)) if pred_expr is None else pred_expr.when(cond, F.lit(l))
-        )
+    pred = pred_lang_expr()
     return scored.select(
         "doc_id",
-        pred_expr.alias("pred_lang"),
-        (pred_expr == F.col("lang")).alias("is_correct"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
     ).orderBy("doc_id")
 
 
@@ -593,6 +608,16 @@ _PRED = (
     + " END"
 )
 
+#: DuckDB twin of :func:`quality_expr` (shared with the clean_corpus
+#: capstone oracle)
+QUALITY_SQL = f"(floor((0.3::DOUBLE * (len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + 0.4::DOUBLE * least(len(string_split(text, ' ')) / 100.0::DOUBLE, 1.0::DOUBLE) + 0.3::DOUBLE * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)"
+
+#: DuckDB twin of :func:`quality_bucket_expr`
+QUALITY_BUCKET_SQL = (
+    "CASE WHEN quality >= 0.6 THEN 'high' "
+    "WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END"
+)
+
 ORACLES = {
     "text_stats": """
         SELECT doc_id, lang,
@@ -604,13 +629,10 @@ ORACLES = {
     """,
     "quality_score": f"""
         WITH q AS (
-            SELECT doc_id,
-                   (floor((0.3::DOUBLE * (len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + 0.4::DOUBLE * least(len(string_split(text, ' ')) / 100.0::DOUBLE, 1.0::DOUBLE) + 0.3::DOUBLE * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS quality
+            SELECT doc_id, {QUALITY_SQL} AS quality
             FROM documents)
         SELECT doc_id, quality,
-               CASE WHEN quality >= 0.6 THEN 'high'
-                    WHEN quality >= 0.4 THEN 'mid'
-                    ELSE 'low' END AS quality_bucket
+               {QUALITY_BUCKET_SQL} AS quality_bucket
         FROM q ORDER BY doc_id
     """,
     "lang_id": f"""

@@ -43,79 +43,77 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order (verified against CORRECTNESS_r01.json, which
-# contains exactly entries 1-50 of round-1's module ordering).  This list
-# curates that window: every LLM-pipeline query (dedup/graph/similarity/
-# text/multimodal), the MapReduce facade, the pandas UDFs, the six
-# relational_ext queries that fell beyond round-1's window, the nine
-# queries that were red in round 1 (events nanos bug, now fixed in
-# sources/tables.load_table), and one exemplar per SURVEY §2.4 category.
-# Queries NOT listed here follow in module order — they all have green
-# round-1 driver rows, so pushing them past the cap loses nothing.
+# entries in insertion order.  Round-4 curation: after rounds 1+3, 89 of
+# 91 distinct driver-checked queries are green, so this window rotates to
+# (a) sessionize — the one red row, its oracle's HUGEINT→BIGINT cast just
+# fixed; (b) every query that has NEVER had a driver row (the 26
+# checkable ones — approx_percentile_summary and approx_distinct_hll are
+# excluded PERMANENTLY: their sketches can never hash-match DuckDB's by
+# design, their correctness rests on accuracy pytests vs exact twins, and
+# a window slot spent on a guaranteed `no_oracle` row is wasted); (c) the
+# new clean_corpus capstone; (d) 22 round-1-only greens re-proving the
+# current code — prioritized on timestamp-touching queries (TPC-H date
+# predicates, date_arithmetic) because the testdata's timestamp encoding
+# changed this round (see sources/tables.load_table), plus one exemplar
+# per join/window/sort/search family.  Queries NOT listed follow in
+# module order; every one of them has a green r01 or r03 driver row.
 DRIVER_WINDOW = [
-    # LLM-pipeline extensions (never driver-checked in round 1)
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "text_stats",
-    "quality_score",
-    "lang_id",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "multimodal_features",
-    "pandas_udf_scalar",
-    "pandas_udf_grouped_agg",
-    "mr_wordcount_facade",
-    # relational_ext tail, beyond round-1's window (never checked)
-    "events_sliding_window",
-    "events_interval_join",
-    "gap_fill_hourly",
-    "cohort_retention",
-    "string_agg_sorted",
-    "scalar_subquery_above_avg",
-    # round-1 red rows (events nanos bug) — re-prove green
+    # (a) the last red row — oracle dtype fixed this round
     "sessionize",
-    "grouping_sets",
-    "not_exists_subquery",
-    "sql_api_revenue",
-    "json_extract",
-    "events_time_window",
-    "window_range_interval",
-    "approx_distinct_hll",
-    "asof_join",
-    # new this round (no prior driver row) — S1-with-oracle, the
-    # end-to-end dedup capstone, sampling, corpus n-grams
-    "search_dir_listing",
-    "dedup_pipeline_keeplist",
-    "stratified_sample",
-    "ngram_topk",
-    "python_udtf_tokens",
-    "pack_sequences",
-    "repetition_stats",
-    "contamination_check",
-    "session_window_agg",
-    "table_profile",
-    "snapshot_diff",
-    # new-this-round extension ops.  kmeans/tfidf/mixture/incremental/
-    # perplexity displaced join_equi/pricing_summary/tpch_q3/wordcount/
-    # join_skew_salted — all five displaced queries are round-1
-    # driver-green and pytest-oracle-covered, and their families keep
-    # in-window rows (joins: asof_join, snapshot_diff; agg:
-    # grouping_sets, table_profile, approx_distinct_hll; wordcount:
-    # mr_wordcount_facade shares its oracle).  Other families — search/
-    # filter/distinct/set-op/scalar/sort — rest on round-1 green rows.
-    "dedup_incremental",
-    "tfidf_topterms",
-    "mixture_sample",
-    "kmeans_embeddings",
-    "perplexity_proxy",
+    # (c) new end-to-end cleaning capstone
+    "clean_corpus",
+    # (b) never driver-checked: cleaning, TPC-H tail, relational_ext
+    # tail, facade, graph/ANN/text/multimodal tail
+    "dedup_passage",
+    "blocklist_redact",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "multi_distinct_agg",
+    "events_window_distinct",
+    "funnel_analysis",
+    "events_user_enrichment",
+    "band_join_pricing",
+    "window_distribution",
+    "histogram_totalprice",
+    "set_intersect_all",
+    "set_except_all",
+    "mr_inverted_index_facade",
+    "pagerank_dup_graph",
+    "ann_ivf_kmeans",
+    "embedding_norm_stats",
+    "bpe_pair_stats",
+    "training_manifest",
+    "frame_sample_schedule",
+    "payload_chunks",
+    # (d) round-1-only greens, re-proven on current code — timestamp-
+    # sensitive first (the data's timestamp encoding changed this round)
+    "date_arithmetic",
+    "pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "join_equi",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_full_outer",
+    "join_skew_salted",
+    "window_rank_lag",
+    "top_k_per_group",
+    "wordcount",
+    "search_substring",
+    "filter_project",
+    "distinct_keys",
 ]
 
 

@@ -36,19 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (runtime-settable,
       so we set it here idempotently); the resulting epoch-nanos long is
       truncated ns → µs exactly like DuckDB's µs-precision TIMESTAMP.
-    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+ data) — Spark reads
-      it as TIMESTAMP_NTZ, which many chronon functions (``unix_micros``,
-      ``to_utc_timestamp``-less arithmetic) reject.  Convert to the engine's
-      standard session-tz TIMESTAMP by interpreting the naive wall clock as
-      UTC — exactly what DuckDB does with the same bytes, so oracles agree.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+ data) — by default
+      Spark reads it as TIMESTAMP_NTZ, which many chronon functions
+      (``unix_micros``) reject.  Disabling
+      ``spark.sql.parquet.inferTimestampNTZ.enabled`` (runtime-settable)
+      makes the scan read the column as a NATIVE session-tz TIMESTAMP with
+      the same epoch-micros (naive wall clock interpreted as UTC — exactly
+      what DuckDB does with the same bytes, so oracles agree).  Native
+      beats a ``to_utc_timestamp`` projection because timestamp predicates
+      still reach the scan as PushedFilters — a computed column would turn
+      every date-range filter into a post-scan filter, which at 100 TB is
+      the difference between pruning row groups and reading them all.
 
-    Both normalizations are gated on the *read* dtype, so whichever encoding
-    is on disk (or a future Spark that reads nanos natively) keeps working.
+    Both paths are gated on the *read* dtype, and a ``to_utc_timestamp``
+    fallback covers any future encoding that still surfaces as NTZ.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
     from pyspark.sql import functions as F

@@ -100,7 +100,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
 
 
 def assert_matches_oracle(spark, duck, query_fn, sql: str, name: str, sf_dir=SF_DIR):
-    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    from map_reduce_framework_spark import cache
+
+    try:
+        spark_pdf = query_fn(spark, sf_dir).toPandas()
+    finally:
+        # keep the session-wide executor storage flat across the suite
+        cache.release()
     oracle_pdf = duck.execute(sql).df()
     # a 0-row result matching a 0-row oracle proves nothing — every
     # registered query must be non-vacuous at the test SF

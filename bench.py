@@ -55,8 +55,10 @@ HEADLINE = [
     "dedup_incremental",
     "tpch_q8_market_share",
     "tpch_q21_waiting_suppliers",
-    # round-4 addition — NOT in earlier baseline totals
+    # round-4 additions — NOT in earlier baseline totals
     "clean_corpus",
+    "dedup_semantic",
+    "chunk_documents",
 ]
 
 

@@ -154,6 +154,76 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_semantic: drop a vector when a same-cluster lower-id vector has
+#: rounded cosine ≥ this (shares the constant with dedup_embedding_cosine
+#: so the two operators' notions of "semantic duplicate" agree)
+def _sem_threshold() -> float:
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    return COSINE_DUP_THRESHOLD
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): train
+    the k-means quantizer, block by learned cluster, and drop any vector
+    with a same-cluster LOWER-id neighbor at cosine ≥ threshold —
+    reporting each dropped vector's survivor (``dup_of`` = the lowest
+    such id) and the cosine to it.
+
+    vs :func:`~.dedup.dedup_embedding_cosine` (label-blocked pair list):
+    the blocks here are LEARNED, so the operator works on corpora with no
+    labels — the real pretraining shape — and the output is a drop list,
+    not a pair list.  Scale path: training is the :func:`train_kmeans`
+    partial-agg loop; blocking shuffles each vector once by cid; the
+    within-block work is a block-local GEMM (one BLAS call per cluster,
+    same Arrow pattern as dedup_embedding_cosine).  K bounds block size
+    skew: production SemDeDup uses K large enough that clusters fit an
+    executor (paper: 50k clusters for 5B docs).
+    """
+    from ..cache import persist_tracked
+
+    th = _sem_threshold()
+    emb = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+    )
+    C = train_kmeans(emb)
+    assigned = emb.mapInPandas(_assign_fn(C), _ASSIGN_SCHEMA).select(
+        "vec_id", "cid"
+    )
+    blocks = emb.join(assigned, "vec_id")
+
+    def block_drops(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = _batch_matrix(pdf["embedding"])
+        m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+        # same portable rounding formula as functions.rnd / rnd_sql
+        cos4 = np.floor((m @ m.T) * 1e4 + 0.5) / 1e4
+        dup = np.tril(cos4 >= th, k=-1)  # [j, i]: i < j and cos ≥ th
+        has_dup = dup.any(axis=1)
+        j_idx = np.nonzero(has_dup)[0]
+        i_idx = dup[j_idx].argmax(axis=1)  # first True = lowest vec_id
+        return pd.DataFrame(
+            {
+                "vec_id": ids[j_idx],
+                "cid": np.full(len(j_idx), int(pdf["cid"].iloc[0]), dtype=np.int64),
+                "dup_of": ids[i_idx],
+                "cosine": cos4[j_idx, i_idx],
+            }
+        )
+
+    return (
+        blocks.groupBy("cid")
+        .applyInPandas(
+            block_drops,
+            "vec_id bigint, cid bigint, dup_of bigint, cosine double",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_training_ctes(raw_cte: str = "e") -> tuple[str, str]:
     """DuckDB CTE chain replaying the exact Lloyd trajectory, iterations
     unrolled; reusable by any oracle that needs the trained centroids
@@ -204,6 +274,51 @@ def _kmeans_oracle() -> str:
         FROM af GROUP BY cid ORDER BY cid"""
 
 
-QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+#: unit-normalized DOUBLE[] of the raw embedding (same expression as
+#: similarity._UNIT_V_SQL — duplicated here because similarity imports
+#: this module, so the constant can't flow the other way)
+_UNIT_V_SQL = (
+    "list_transform(embedding::DOUBLE[], x -> "
+    "x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))))"
+)
 
-ORACLES = {"kmeans_embeddings": _kmeans_oracle()}
+
+def _dedup_semantic_oracle() -> str:
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    ctes, final = kmeans_training_ctes()
+    return f"""
+        WITH {ctes},
+        e2 AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+                      {_UNIT_V_SQL} AS vu
+               FROM embeddings),
+        assigned AS (
+            SELECT e2.vec_id, e2.vu,
+                   (SELECT c.cid FROM {final} c
+                    ORDER BY list_distance(c.v, e2.ve), c.cid LIMIT 1) AS cid
+            FROM e2),
+        pairs AS (
+            SELECT b.vec_id AS vec_id, a.vec_id AS dup_id, b.cid,
+                   (floor(list_dot_product(a.vu, b.vu) * 10000::DOUBLE
+                          + 0.5::DOUBLE) / 10000::DOUBLE) AS cos4
+            FROM assigned a JOIN assigned b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        dropped AS (
+            SELECT vec_id, cid, min(dup_id) AS dup_of
+            FROM pairs WHERE cos4 >= {COSINE_DUP_THRESHOLD}
+            GROUP BY vec_id, cid)
+        SELECT d.vec_id, d.cid, d.dup_of, p.cos4 AS cosine
+        FROM dropped d JOIN pairs p
+             ON p.vec_id = d.vec_id AND p.dup_id = d.dup_of
+        ORDER BY d.vec_id"""
+
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "dedup_semantic": dedup_semantic,
+}
+
+ORACLES = {
+    "kmeans_embeddings": _kmeans_oracle(),
+    "dedup_semantic": _dedup_semantic_oracle(),
+}

@@ -259,6 +259,43 @@ CONTAM_BENCHMARK_DOCS = 5
 CONTAM_MIN_SHARED = 3
 
 
+#: chunk_documents: context-window length and stride (tokens).  Stride <
+#: window ⇒ overlapping chunks, the standard LM context-window prep.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slide a ``CHUNK_TOKENS``-token window with ``CHUNK_STRIDE`` over
+    each document — the context-window chunking step between cleaning and
+    tokenization in an LM data pipeline (each chunk becomes a training
+    example; the overlap preserves cross-boundary context).
+
+    Narrow throughout: the windows are computed per row by one codegen'd
+    array expression (the same let-binding trick as
+    :func:`~.dedup.shingles`) and exploded — no shuffle before the
+    presentation sort, so at 100 TB this is scan-bound and perfectly
+    parallel.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    windows = F.expr(
+        f"""element_at(transform(array(split(text, ' ')), toks ->
+            transform(sequence(0, CAST(ceil(size(toks) / {CHUNK_STRIDE}.0) AS INT) - 1),
+                      i -> slice(toks, i * {CHUNK_STRIDE} + 1,
+                                 {CHUNK_TOKENS}))), 1)"""
+    )
+    return (
+        docs.select("doc_id", F.posexplode(windows).alias("chunk_idx", "ctoks"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("ctoks").cast("long").alias("n_chunk_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign documents to token-budgeted training sequences.
 
@@ -681,6 +718,21 @@ ORACLES["ngram_topk"] = f"""
     LIMIT {NGRAM_TOP_N}
 """
 
+ORACLES["chunk_documents"] = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+           CAST(len(t[u.i * {CHUNK_STRIDE} + 1 :
+                      u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(t[u.i * {CHUNK_STRIDE} + 1 :
+                             u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+               AS chunk_text
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(t) / {CHUNK_STRIDE}.0) AS INT))) AS u(i)
+    ORDER BY doc_id, chunk_idx
+"""
+
 ORACLES["pack_sequences"] = f"""
     SELECT doc_id, source,
            len(string_split(text, ' ')) AS n_tokens,
@@ -833,6 +885,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "ngram_topk": ngram_topk,
     "stratified_sample": stratified_sample,
+    "chunk_documents": chunk_documents,
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
     "contamination_check": contamination_check,

@@ -112,8 +112,12 @@ DRIVER_WINDOW = [
     "top_k_per_group",
     "wordcount",
     "search_substring",
-    "filter_project",
-    "distinct_keys",
+    # round-4 new operators (SemDeDup-style learned-cluster dedup, LM
+    # context-window chunking) — displacing the two simplest re-proof
+    # candidates (filter_project, distinct_keys: single-table scan
+    # queries with r01-green rows and no timestamp exposure)
+    "dedup_semantic",
+    "chunk_documents",
 ]
 
 

@@ -63,3 +63,54 @@ def test_cleaning_non_vacuous_on_corpus(spark):
     assert dup_docs > 0, "corpus has no duplicate passages — query vacuous"
     br = cleaning.blocklist_redact(spark, SF_DIR)
     assert br.filter("n_hits > 0").count() > 0, "blocklist never fires"
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunks tile each document: ≤ CHUNK_TOKENS long, stride apart, and
+    their union covers the full token sequence in order."""
+    from map_reduce_framework_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    from .conftest import SF_DIR
+
+    chunks = chunk_documents(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        assert 1 <= r.n_chunk_tokens <= CHUNK_TOKENS
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = docs[doc_id]
+        for r in rows:
+            start = r.chunk_idx * CHUNK_STRIDE
+            assert r.chunk_text.split(" ") == toks[start : start + CHUNK_TOKENS]
+        covered = max(
+            r.chunk_idx * CHUNK_STRIDE + r.n_chunk_tokens for r in rows
+        )
+        assert covered == len(toks)
+
+
+def test_clean_corpus_verdict_composition(spark):
+    """kept_final must equal the AND of its three stage verdicts."""
+    from map_reduce_framework_spark.operators.cleaning import clean_corpus
+
+    from .conftest import SF_DIR
+
+    rows = clean_corpus(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    n_kept = 0
+    for r in rows:
+        expect = r.kept_dedup and r.quality_bucket != "low" and r.kept_sample
+        assert r.kept_final == expect
+        n_kept += int(r.kept_final)
+    # the pipeline must neither drop everything nor keep everything
+    assert 0 < n_kept < len(rows)

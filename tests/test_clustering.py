@@ -47,3 +47,28 @@ def test_kmeans_deterministic(spark):
     a = clustering.kmeans_embeddings(spark, SF_DIR).collect()
     b = clustering.kmeans_embeddings(spark, SF_DIR).collect()
     assert a == b
+
+
+def test_dedup_semantic_survivors_precede_drops(spark):
+    """Every dropped vector's survivor has a lower id, lives in the same
+    cluster, and is itself never dropped by that survivor chain's head."""
+    from map_reduce_framework_spark.operators.clustering import dedup_semantic
+
+    from .conftest import SF_DIR
+
+    drops = dedup_semantic(spark, SF_DIR).collect()
+    assert len(drops) > 0
+    dropped_ids = {r.vec_id for r in drops}
+    for r in drops:
+        assert r.dup_of < r.vec_id
+        assert r.cosine >= 0.35
+    # the lowest id of every cluster's drop chain survives: a dup_of that
+    # is itself dropped must point transitively to an undropped vector
+    dup_of = {r.vec_id: r.dup_of for r in drops}
+    for r in drops:
+        seen, cur = set(), r.dup_of
+        while cur in dup_of:
+            assert cur not in seen, "cycle in dup chains"
+            seen.add(cur)
+            cur = dup_of[cur]
+        assert cur not in dropped_ids

@@ -57,7 +57,12 @@ def test_driver_window_is_first_50():
 def test_window_covers_unchecked_queries():
     window = set(registry.DRIVER_WINDOW)
     assert NEVER_CHECKED_BEFORE_R4 <= window
-    assert {"sessionize", "clean_corpus"} <= window
+    assert {
+        "sessionize",
+        "clean_corpus",
+        "dedup_semantic",
+        "chunk_documents",
+    } <= window
 
 
 def test_no_oracle_queries_stay_out_of_window():

@@ -59,6 +59,7 @@ HEADLINE = [
     "clean_corpus",
     "dedup_semantic",
     "chunk_documents",
+    "bm25_topk",
 ]
 
 

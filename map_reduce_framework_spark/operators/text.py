@@ -264,6 +264,78 @@ CONTAM_MIN_SHARED = 3
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 
+#: bm25_topk: fixed query terms (corpus-vocabulary words so scores are
+#: non-vacuous), Okapi parameters, and result size
+BM25_QUERY_TERMS = ("spark", "shuffle", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 25
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against the fixed
+    ``BM25_QUERY_TERMS`` and return the top ``BM25_TOP_N``  (Lucene's
+    idf variant, ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Corpus side: one token explode feeding per-(doc, term) tf restricted
+    to the |Q| query terms (the filter evaluates AT the explode, so only
+    query-term hits ever shuffle) and a |Q|-row df table; doc lengths are
+    a narrow projection and avgdl a broadcast scalar — the same
+    vocabulary-not-corpus shuffle shape as tf-idf.  Per-term partial
+    scores are pivoted into FIXED columns and added in a fixed order, so
+    the float sum is bit-reproducible across engines and partitionings
+    (a float SUM over a group has no deterministic order).
+    """
+    q_terms = list(BM25_QUERY_TERMS)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
+    )
+    avgdl = lens.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term").isin(q_terms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", rnd(idf * tf_norm, 6).alias("s"))
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{i}")
+        for i, t in enumerate(q_terms)
+    ]
+    total = sum(
+        (F.col(f"s_{i}") for i in range(1, len(q_terms))),
+        F.col("s_0"),
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(*per_term)
+        .select("doc_id", rnd(total, 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOP_N)
+        .orderBy("rank")
+    )
+
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slide a ``CHUNK_TOKENS``-token window with ``CHUNK_STRIDE`` over
@@ -718,6 +790,42 @@ ORACLES["ngram_topk"] = f"""
     LIMIT {NGRAM_TOP_N}
 """
 
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+_BM25_PIVOT_SQL = ", ".join(
+    f"coalesce(max(CASE WHEN term = '{t}' THEN sc END), 0) AS s_{i}"
+    for i, t in enumerate(BM25_QUERY_TERMS)
+)
+_BM25_SUM_SQL = " + ".join(f"s_{i}" for i in range(len(BM25_QUERY_TERMS)))
+
+ORACLES["bm25_topk"] = f"""
+    WITH lens AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                  FROM documents),
+    stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs
+              FROM lens),
+    toks AS (SELECT doc_id, t.term
+             FROM documents, unnest(string_split(text, ' ')) AS t(term)
+             WHERE t.term IN ({_BM25_TERMS_SQL})),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               {rnd_sql(f"ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                        f" * (tf.tf * ({BM25_K1} + 1))"
+                        f" / (tf.tf + {BM25_K1} * (1 - {BM25_B}"
+                        f" + {BM25_B} * l.dl / s.avgdl))", 6)} AS sc
+        FROM tf JOIN dft d USING (term)
+             JOIN lens l ON l.doc_id = tf.doc_id
+             CROSS JOIN stats s),
+    agg AS (SELECT doc_id, {_BM25_PIVOT_SQL} FROM scored GROUP BY doc_id),
+    ranked AS (
+        SELECT doc_id, {rnd_sql(_BM25_SUM_SQL, 4)} AS score FROM agg)
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM ranked QUALIFY rank <= {BM25_TOP_N} ORDER BY rank
+"""
+
 ORACLES["chunk_documents"] = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents)
@@ -885,6 +993,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "ngram_topk": ngram_topk,
     "stratified_sample": stratified_sample,
+    "bm25_topk": bm25_topk,
     "chunk_documents": chunk_documents,
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,

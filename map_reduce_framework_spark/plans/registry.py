@@ -105,7 +105,6 @@ DRIVER_WINDOW = [
     "join_equi",
     "join_semi",
     "join_anti",
-    "join_outer",
     "join_full_outer",
     "join_skew_salted",
     "window_rank_lag",
@@ -113,11 +112,13 @@ DRIVER_WINDOW = [
     "wordcount",
     "search_substring",
     # round-4 new operators (SemDeDup-style learned-cluster dedup, LM
-    # context-window chunking) — displacing the two simplest re-proof
-    # candidates (filter_project, distinct_keys: single-table scan
-    # queries with r01-green rows and no timestamp exposure)
+    # context-window chunking, BM25 retrieval) — displacing the three
+    # simplest re-proof candidates (filter_project, distinct_keys,
+    # join_outer: r01-green rows, no timestamp exposure, and their
+    # families keep other in-window rows)
     "dedup_semantic",
     "chunk_documents",
+    "bm25_topk",
 ]
 
 

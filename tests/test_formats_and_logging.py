@@ -153,3 +153,35 @@ def test_jsonl_corrupt_record_audit(spark, tmp_path):
         "alpha",
         "beta",
     }
+
+
+def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    """Shard export: every row lands exactly once, every shard respects
+    the record cap, and the manifest's counts reconcile with the data."""
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.sources.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    cap = 40
+    write_training_shards(docs, out, max_records_per_file=cap)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    man = shard_manifest(spark, out).collect()
+    assert len(man) > 0
+    assert sum(r.n_rows for r in man) == docs.count()
+    for r in man:
+        assert r.n_rows <= cap
+        assert r.bytes > 0
+        assert r.min_id <= r.max_id
+        assert f"source={r.source}" in r.shard

@@ -38,6 +38,26 @@ def test_pricing_summary_pushes_date_filter(spark):
     assert "l_shipdate" in pushed
 
 
+def test_events_ts_is_scan_native_and_pushes_filters(spark):
+    """The loader must surface timestamp columns as NATIVE scan columns
+    (session-tz TIMESTAMP), never as a computed conversion — a projection
+    over the scan would strip ts predicates from PushedFilters, which at
+    100 TB is the difference between pruning row groups and reading them
+    all (see sources.tables.load_table)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from map_reduce_framework_spark.sources import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    assert isinstance(events.schema["ts"].dataType, TimestampType)
+    plan = plan_of(
+        events.where(F.col("ts") >= "2024-01-02").select("event_id")
+    )
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "ts" in pushed
+
+
 def test_join_equi_broadcasts_dimensions(spark):
     plan = plan_of(relational.join_equi(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2  # customer and nation

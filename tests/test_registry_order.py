@@ -62,6 +62,7 @@ def test_window_covers_unchecked_queries():
         "clean_corpus",
         "dedup_semantic",
         "chunk_documents",
+        "bm25_topk",
     } <= window
 
 

@@ -1167,6 +1167,136 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: scd2_apply: effective date of the simulated change batch and the
+#: sentinel dates of the versioned dimension
+SCD2_EFFECTIVE = "1998-01-01"
+SCD2_OPEN_END = "9999-12-31"
+SCD2_INITIAL_FROM = "1990-01-01"
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    versioned dimension, closing superseded versions and opening new
+    ones — the temporal counterpart of :func:`snapshot_diff`'s MERGE
+    classification, over the same deterministic simulated batch
+    (hash-keyed ~10% deletes, ~14% price updates; the batch introduces
+    no new keys, so no insert branch arises).
+
+    One full-outer join on the key produces a per-key ARRAY of 1-2
+    version structs which ``inline`` explodes — the whole history
+    rewrite is a single co-partitioned join plus a narrow explode, the
+    same shape every table-format MERGE executes underneath, with no
+    window function and no second shuffle.
+    """
+    from .dedup import hash60
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    h = hash60(F.col("o_orderkey").cast("string"))
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .where(h % SNAPSHOT_DELETE_MOD != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                h % SNAPSHOT_UPDATE_MOD == 1, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price_b"),
+        )
+    )
+    joined = a.join(b, "o_orderkey", "full_outer")
+
+    def ver(price, vfrom, vto, current):
+        return F.struct(
+            rnd(price, 2).alias("price"),
+            F.lit(vfrom).alias("valid_from"),
+            F.lit(vto).alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    versions = (
+        F.when(
+            F.col("price_b").isNull(),  # deleted: close the open version
+            F.array(ver(F.col("price_a"), SCD2_INITIAL_FROM, SCD2_EFFECTIVE, False)),
+        )
+        .when(
+            F.col("price_a") != F.col("price_b"),  # updated: close + open
+            F.array(
+                ver(F.col("price_a"), SCD2_INITIAL_FROM, SCD2_EFFECTIVE, False),
+                ver(F.col("price_b"), SCD2_EFFECTIVE, SCD2_OPEN_END, True),
+            ),
+        )
+        .otherwise(
+            F.array(ver(F.col("price_a"), SCD2_INITIAL_FROM, SCD2_OPEN_END, True))
+        )
+    )
+    return (
+        joined.select("o_orderkey", F.inline(versions))
+        .orderBy("o_orderkey", "valid_from")
+    )
+
+
+#: rolling_zscore: anomaly threshold on the per-type rolling z-score
+ZSCORE_THRESHOLD = 2.5
+ZSCORE_WINDOW_HOURS = 6
+
+
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream anomaly flags: for each event, the z-score of its
+    value against the trailing ``ZSCORE_WINDOW_HOURS``-hour mean/stddev
+    of its event_type; emit only |z| ≥ threshold — the monitoring-query
+    shape (rolling baselines + outlier filter) over event time.
+
+    One window sort-shuffle keyed by event_type (RANGE frame over the
+    epoch-seconds order key, exclusive of the current row).  The rolling
+    sums run over EXACT INTEGER CENTS (`round(value*100)` — the data is
+    2-dp money), not doubles: a float window-sum's association order
+    differs between engines (Spark per-frame rescan vs DuckDB segment
+    tree), and the 2-dp inputs make half-ulp rounding-boundary hits
+    common rather than rare.  Integer sums are order-independent, and
+    mean/variance derive from them in a fixed double expression, so the
+    score is bit-reproducible.  (mu = s/100n; var is the computational
+    form ((ssq - s²/n)/(n-1))/10⁴ over cents.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-ZSCORE_WINDOW_HOURS * 3600, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    scored = (
+        events.withColumn("c", cents)
+        .select(
+            "event_id",
+            "event_type",
+            "c",
+            F.count("c").over(w).alias("n"),
+            F.sum("c").over(w).alias("s"),
+            F.sum(F.col("c") * F.col("c")).over(w).alias("ssq"),
+        )
+    )
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    mu = s / (100.0 * n)
+    var = (ssq - (s * s) / n) / (n - 1) / 10000.0
+    sd = F.sqrt(var)
+    z = (F.col("c") / 100.0 - mu) / sd
+    return (
+        scored.where((n >= 2) & (var > 0))
+        .select(
+            "event_id",
+            "event_type",
+            rnd(mu, 4).alias("mu"),
+            rnd(sd, 4).alias("sd"),
+            rnd(z, 4).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
+        .orderBy("event_id")
+    )
+
+
 #: session_window_agg inactivity gap
 SESSION_GAP_MINUTES = 30
 
@@ -1704,6 +1834,66 @@ ORACLES = {
                {rnd_sql("sum(delta)", 2)} AS price_delta
         FROM j GROUP BY change_type ORDER BY change_type
     """,
+    "scd2_apply": f"""
+        WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders),
+        hb AS (SELECT o_orderkey, o_totalprice,
+                      CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM orders),
+        b AS (SELECT o_orderkey,
+                     CASE WHEN h % {SNAPSHOT_UPDATE_MOD} = 1
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END AS price_b
+              FROM hb WHERE h % {SNAPSHOT_DELETE_MOD} <> 0),
+        j AS (SELECT * FROM a FULL OUTER JOIN b USING (o_orderkey))
+        SELECT o_orderkey, {rnd_sql("price_a", 2)} AS price,
+               '{SCD2_INITIAL_FROM}' AS valid_from,
+               '{SCD2_EFFECTIVE}' AS valid_to, FALSE AS is_current
+        FROM j WHERE price_b IS NULL
+        UNION ALL
+        SELECT o_orderkey, {rnd_sql("price_a", 2)},
+               '{SCD2_INITIAL_FROM}', '{SCD2_EFFECTIVE}', FALSE
+        FROM j WHERE price_b IS NOT NULL AND price_a <> price_b
+        UNION ALL
+        SELECT o_orderkey, {rnd_sql("price_b", 2)},
+               '{SCD2_EFFECTIVE}', '{SCD2_OPEN_END}', TRUE
+        FROM j WHERE price_b IS NOT NULL AND price_a <> price_b
+        UNION ALL
+        SELECT o_orderkey, {rnd_sql("price_a", 2)},
+               '{SCD2_INITIAL_FROM}', '{SCD2_OPEN_END}', TRUE
+        FROM j WHERE price_b IS NOT NULL AND price_a = price_b
+        ORDER BY o_orderkey, valid_from
+    """,
+    "rolling_zscore": f"""
+        WITH cents AS (
+            SELECT event_id, event_type, ts,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+        agg AS (
+            SELECT event_id, event_type, c,
+                   count(c) OVER w AS n,
+                   sum(c) OVER w AS s,
+                   sum(c * c) OVER w AS ssq
+            FROM cents
+            WINDOW w AS (PARTITION BY event_type
+                         -- floor, not CAST: epoch() is fractional and
+                         -- CAST rounds, Spark's unix_seconds floors
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN {ZSCORE_WINDOW_HOURS * 3600} PRECEDING
+                               AND 1 PRECEDING)),
+        scored AS (
+            SELECT event_id, event_type, c, n,
+                   s / (100.0 * n) AS mu,
+                   (ssq - (s * s) / n) / (n - 1) / 10000.0 AS var,
+                   sqrt((ssq - (s * s) / n) / (n - 1) / 10000.0) AS sd
+            FROM agg)
+        SELECT event_id, event_type,
+               {rnd_sql("mu", 4)} AS mu, {rnd_sql("sd", 4)} AS sd,
+               {rnd_sql("(c / 100.0 - mu) / sd", 4)} AS z
+        FROM scored
+        WHERE n >= 2 AND var > 0
+          AND abs({rnd_sql("(c / 100.0 - mu) / sd", 4)}) >= {ZSCORE_THRESHOLD}
+        ORDER BY event_id
+    """,
 }
 
 QUERIES = {
@@ -1749,5 +1939,7 @@ QUERIES = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "table_profile": table_profile,
     "snapshot_diff": snapshot_diff,
+    "scd2_apply": scd2_apply,
+    "rolling_zscore": rolling_zscore,
     "session_window_agg": session_window_agg,
 }

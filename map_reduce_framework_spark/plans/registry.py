@@ -103,8 +103,6 @@ DRIVER_WINDOW = [
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
     "join_equi",
-    "join_semi",
-    "join_anti",
     "join_full_outer",
     "join_skew_salted",
     "window_rank_lag",
@@ -112,13 +110,17 @@ DRIVER_WINDOW = [
     "wordcount",
     "search_substring",
     # round-4 new operators (SemDeDup-style learned-cluster dedup, LM
-    # context-window chunking, BM25 retrieval) — displacing the three
-    # simplest re-proof candidates (filter_project, distinct_keys,
-    # join_outer: r01-green rows, no timestamp exposure, and their
-    # families keep other in-window rows)
+    # context-window chunking, BM25 retrieval, SCD2 dimension
+    # versioning, rolling z-score anomaly flags) — displacing the five
+    # most redundant re-proof candidates (filter_project, distinct_keys,
+    # join_outer, join_semi, join_anti: r01-green rows, no timestamp
+    # exposure, and their families keep other in-window rows — tpch_q21
+    # plans semi+anti, join_equi/full_outer/skew stay)
     "dedup_semantic",
     "chunk_documents",
     "bm25_topk",
+    "scd2_apply",
+    "rolling_zscore",
 ]
 
 

@@ -63,6 +63,8 @@ def test_window_covers_unchecked_queries():
         "dedup_semantic",
         "chunk_documents",
         "bm25_topk",
+        "scd2_apply",
+        "rolling_zscore",
     } <= window
 
 

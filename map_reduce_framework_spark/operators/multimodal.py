@@ -139,7 +139,11 @@ def frame_sample_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.col("n_frames") - 1)
             ).alias("frame_idx"),
         )
-        .withColumn("byte_offset", F.col("frame_idx") * 64)
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * 64).cast("long").alias("byte_offset"),
+        )
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -178,9 +182,9 @@ def payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "chunk_idx",
-            (F.col("chunk_idx") * CHUNK_BYTES).alias("byte_offset"),
-            F.length("chunk").alias("n_chunk_bytes"),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * CHUNK_BYTES).cast("long").alias("byte_offset"),
+            F.length("chunk").cast("long").alias("n_chunk_bytes"),
             F.md5("chunk").alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_idx")
@@ -194,7 +198,7 @@ ORACLES = {
             WHERE CAST(doc_id % 3 AS INT) = 1 AND length(text) > 0),
         chunks AS (
             SELECT doc_id,
-                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(i AS BIGINT) AS chunk_idx,
                    substr(text, CAST(i * {CHUNK_BYTES} + 1 AS INTEGER),
                           {CHUNK_BYTES}) AS chunk
             FROM audio, LATERAL (SELECT unnest(range(

@@ -286,7 +286,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
@@ -306,7 +306,7 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.rank().over(w).alias("order_seq"),
+        F.rank().over(w).cast("long").alias("order_seq"),
         rnd(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
         rnd(F.sum("o_totalprice").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -422,12 +422,12 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
-        F.quarter("o_orderdate").alias("order_quarter"),
-        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_dom"),
         F.date_format("o_orderdate", "EEEE").alias("order_dayname"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
         # stringified: DATE-typed outputs land as date vs datetime64
         # depending on the engine/pandas path — a compare hazard
         F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),

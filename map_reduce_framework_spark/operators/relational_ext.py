@@ -752,7 +752,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
             rnd(F.cume_dist().over(w), 4).alias("cume"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .orderBy("c_custkey")
     )

@@ -688,9 +688,9 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "source",
-            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
             F.col("embedding_dim").isNotNull().alias("has_embedding"),
-            F.coalesce("embedding_dim", F.lit(0)).alias("embedding_dim"),
+            F.coalesce("embedding_dim", F.lit(0)).cast("long").alias("embedding_dim"),
             kept.alias("kept"),
         )
         .orderBy("doc_id")

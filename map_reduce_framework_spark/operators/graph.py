@@ -222,6 +222,71 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    SimHash near-dup graph — the structural signal that separates
+    template/boilerplate FAMILIES (dense, high-clustering neighborhoods)
+    from chains of pairwise-coincidental matches (triangle-free).
+
+    Edge-iterator triangle enumeration on canonically oriented edges
+    (doc_a < doc_b): two self-equi-joins on node keys find each triangle
+    a<b<c exactly once — the standard distributed formulation (no node's
+    full neighborhood is ever materialized in one task; the orientation
+    bounds per-key join fan-in by forward-degree).  Membership explodes
+    3 rows per triangle into a partial-aggregated count per node;
+    clustering = 2T / deg(deg-1).
+    """
+    pairs = dedup.dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    from ..cache import persist_tracked
+
+    p = persist_tracked(pairs)
+    p.count()  # materialize once; three join branches consume it
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    member = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    tri_per_node = member.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        p.select(F.col("doc_a").alias("doc_id"))
+        .union(p.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri_per_node, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            rnd(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _pagerank_oracle() -> str:
     blocks = [
         f"""
@@ -301,10 +366,39 @@ ORACLES = {
                (doc_id = min(label)) AS is_canonical
         FROM reach GROUP BY doc_id ORDER BY doc_id
     """,
+    "graph_triangle_stats": f"""
+        WITH p AS (SELECT doc_a, doc_b
+                   FROM ({dedup.ORACLES["dedup_simhash"]})),
+        tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM p e1
+            JOIN p e2 ON e1.doc_b = e2.doc_a
+            JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        member AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+        tpn AS (SELECT doc_id, count(*) AS n_triangles FROM member
+                GROUP BY doc_id),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM p
+                UNION ALL SELECT doc_b FROM p)
+            GROUP BY doc_id)
+        SELECT deg.doc_id, deg.degree,
+               coalesce(tpn.n_triangles, 0) AS n_triangles,
+               {rnd_sql("CASE WHEN deg.degree >= 2 THEN"
+                        " 2.0 * coalesce(tpn.n_triangles, 0)"
+                        " / (deg.degree * (deg.degree - 1))"
+                        " ELSE 0.0 END", 4)} AS clustering
+        FROM deg LEFT JOIN tpn ON tpn.doc_id = deg.doc_id
+        ORDER BY deg.doc_id
+    """,
 }
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_pipeline_keeplist": dedup_pipeline_keeplist,
     "pagerank_dup_graph": pagerank_dup_graph,
+    "graph_triangle_stats": graph_triangle_stats,
 }

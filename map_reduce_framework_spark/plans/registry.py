@@ -107,7 +107,6 @@ DRIVER_WINDOW = [
     "join_skew_salted",
     "window_rank_lag",
     "top_k_per_group",
-    "wordcount",
     "search_substring",
     # round-4 new operators (SemDeDup-style learned-cluster dedup, LM
     # context-window chunking, BM25 retrieval, SCD2 dimension
@@ -121,6 +120,9 @@ DRIVER_WINDOW = [
     "bm25_topk",
     "scd2_apply",
     "rolling_zscore",
+    # (wordcount evicted for this: mr_wordcount_facade shares its oracle
+    # and has a green r03 row)
+    "graph_triangle_stats",
 ]
 
 

@@ -65,6 +65,7 @@ def test_window_covers_unchecked_queries():
         "bm25_topk",
         "scd2_apply",
         "rolling_zscore",
+        "graph_triangle_stats",
     } <= window
 
 

@@ -60,6 +60,9 @@ HEADLINE = [
     "dedup_semantic",
     "chunk_documents",
     "bm25_topk",
+    "scd2_apply",
+    "rolling_zscore",
+    "graph_triangle_stats",
 ]
 
 

@@ -228,31 +228,58 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     template/boilerplate FAMILIES (dense, high-clustering neighborhoods)
     from chains of pairwise-coincidental matches (triangle-free).
 
-    Edge-iterator triangle enumeration on canonically oriented edges
-    (doc_a < doc_b): two self-equi-joins on node keys find each triangle
-    a<b<c exactly once — the standard distributed formulation (no node's
-    full neighborhood is ever materialized in one task; the orientation
-    bounds per-key join fan-in by forward-degree).  Membership explodes
-    3 rows per triangle into a partial-aggregated count per node;
-    clustering = 2T / deg(deg-1).
+    Edge-iterator triangle enumeration on DEGREE-ordered edges: each
+    edge is oriented from its lower-degree endpoint to its higher-degree
+    endpoint (tiebreak: lower doc_id), giving an acyclic total order, so
+    two self-equi-joins find each triangle exactly once.  Degree
+    ordering (vs plain id ordering) bounds every node's FORWARD degree
+    by O(sqrt(m)) — the classic hub-killing refinement (Schank &
+    Wagner's forward algorithm / Latapy 2008): a boilerplate hub with
+    degree d contributes d-choose-2 join candidates under id ordering
+    but only ~m candidates total under degree ordering, which is what
+    keeps the self-join fan-in bounded on template-heavy corpora at
+    100 TB.  Membership explodes 3 rows per triangle into a
+    partial-aggregated count per node; clustering = 2T / deg(deg-1).
     """
     pairs = dedup.dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
     from ..cache import persist_tracked
 
     p = persist_tracked(pairs)
-    p.count()  # materialize once; three join branches consume it
-    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    p.count()  # materialize once; degree + orientation branches consume it
+    deg = persist_tracked(
+        p.select(F.col("doc_a").alias("doc_id"))
+        .union(p.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    deg.count()  # reused: orientation (twice) + final output join
+    # simhash pairs are already canonical doc_a < doc_b, so the
+    # (degree, id) orientation reduces to: forward edge keeps (a, b)
+    # when deg(a) <= deg(b), else flips to (b, a).
+    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("deg_b"))
+    fwd = F.col("deg_a") <= F.col("deg_b")
+    oriented = persist_tracked(
+        p.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        )
+    )
+    oriented.count()  # three self-join branches consume it
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e3.doc_a") == F.col("e1.doc_a"))
-            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.doc_a").alias("a"),
-            F.col("e1.doc_b").alias("b"),
-            F.col("e2.doc_b").alias("c"),
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
     )
     member = tri.select(
@@ -260,12 +287,6 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri_per_node = member.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
-    )
-    deg = (
-        p.select(F.col("doc_a").alias("doc_id"))
-        .union(p.select(F.col("doc_b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return (
         deg.join(tri_per_node, "doc_id", "left")
@@ -369,22 +390,30 @@ ORACLES = {
     "graph_triangle_stats": f"""
         WITH p AS (SELECT doc_a, doc_b
                    FROM ({dedup.ORACLES["dedup_simhash"]})),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM p
+                UNION ALL SELECT doc_b FROM p)
+            GROUP BY doc_id),
+        o AS (
+            SELECT CASE WHEN da.degree <= db.degree
+                        THEN p.doc_a ELSE p.doc_b END AS src,
+                   CASE WHEN da.degree <= db.degree
+                        THEN p.doc_b ELSE p.doc_a END AS dst
+            FROM p
+            JOIN deg da ON da.doc_id = p.doc_a
+            JOIN deg db ON db.doc_id = p.doc_b),
         tri AS (
-            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-            FROM p e1
-            JOIN p e2 ON e1.doc_b = e2.doc_a
-            JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM o e1
+            JOIN o e2 ON e1.dst = e2.src
+            JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
         member AS (
             SELECT a AS doc_id FROM tri
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri),
         tpn AS (SELECT doc_id, count(*) AS n_triangles FROM member
-                GROUP BY doc_id),
-        deg AS (
-            SELECT doc_id, count(*) AS degree FROM (
-                SELECT doc_a AS doc_id FROM p
-                UNION ALL SELECT doc_b FROM p)
-            GROUP BY doc_id)
+                GROUP BY doc_id)
         SELECT deg.doc_id, deg.degree,
                coalesce(tpn.n_triangles, 0) AS n_triangles,
                {rnd_sql("CASE WHEN deg.degree >= 2 THEN"

@@ -1258,7 +1258,11 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     common rather than rare.  Integer sums are order-independent, and
     mean/variance derive from them in a fixed double expression, so the
     score is bit-reproducible.  (mu = s/100n; var is the computational
-    form ((ssq - s²/n)/(n-1))/10⁴ over cents.)
+    form ((ssq - s²/n)/(n-1))/10⁴ over cents, with s cast to double
+    BEFORE squaring: a BIGINT s² would wrap silently under Spark's
+    non-ANSI arithmetic where DuckDB errors — s ≳ 3e9 cents in one frame
+    is enough — while the double product is consumed in double
+    arithmetic anyway.)
     """
     events = load_table(spark, sf_dir, "events")
     w = (
@@ -1280,7 +1284,7 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
     mu = s / (100.0 * n)
-    var = (ssq - (s * s) / n) / (n - 1) / 10000.0
+    var = (ssq - (s.cast("double") * s) / n) / (n - 1) / 10000.0
     sd = F.sqrt(var)
     z = (F.col("c") / 100.0 - mu) / sd
     return (

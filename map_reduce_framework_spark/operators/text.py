@@ -329,10 +329,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*per_term)
         .select("doc_id", rnd(total, 4).alias("score"))
     )
+    # Top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, one N-row merge at the driver side of the stage), NOT a
+    # global row_number window — an unpartitioned window funnels every
+    # candidate document into a single task, which at 100 TB is the
+    # bottleneck.  rank is then a window over only the N surviving rows.
+    top = ranked.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOP_N)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= BM25_TOP_N)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .orderBy("rank")
     )
 

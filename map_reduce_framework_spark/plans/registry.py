@@ -126,6 +126,22 @@ DRIVER_WINDOW = [
 ]
 
 
+def _structural_release(fn: Callable) -> Callable:
+    """Wrap a query so its operators' staged persists are adopted by the
+    returned DataFrame: the caches live exactly as long as the caller
+    holds the result — no cooperative ``cache.release()`` needed (see
+    :mod:`..cache`)."""
+    from functools import wraps
+
+    from .. import cache
+
+    @wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cache.adopt(fn(spark, sf_dir))
+
+    return run
+
+
 def _collect() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -133,7 +149,7 @@ def _collect() -> tuple[dict, dict]:
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r} in {mod.__name__}")
-            queries[name] = fn
+            queries[name] = _structural_release(fn)
         for name, sql in getattr(mod, "ORACLES", {}).items():
             if name in oracles:
                 raise ValueError(f"duplicate oracle name {name!r} in {mod.__name__}")

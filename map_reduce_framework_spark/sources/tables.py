@@ -26,6 +26,34 @@ TABLES = (
 )
 
 
+def _footer_timestamp_kinds(path: str) -> tuple[bool, bool]:
+    """(has naive µs/ms timestamp, has nanos timestamp) from the parquet
+    footer — one metadata read, no data IO, so probing per load is free
+    relative to the scan it gates."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if not os.path.isfile(f):
+        candidates = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not candidates:
+            return False, False
+        f = candidates[0]
+    naive = nanos = False
+    for field in pq.read_schema(f):
+        if pa.types.is_timestamp(field.type):
+            if field.type.unit == "ns":
+                nanos = True
+            elif field.type.tz is None:
+                naive = True
+    return naive, nanos
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
@@ -50,12 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Both paths are gated on the *read* dtype, and a ``to_utc_timestamp``
     fallback covers any future encoding that still surfaces as NTZ.
+
+    Conf scoping: both knobs are session-wide once set, so they are only
+    touched when the file's FOOTER (a cheap pyarrow metadata read) shows a
+    column that needs them — a load of a timestamp-free table leaves the
+    caller's session untouched, and unrelated NTZ parquet reads on the
+    same session keep their default typing unless the caller also loads a
+    naive-timestamp table through here (documented trade-off: restoring
+    the conf post-read would race the lazy scan's execution-time schema
+    conversion).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
+    naive_ts, nanos_ts = _footer_timestamp_kinds(f"{sf_dir}/{name}.parquet")
+    if nanos_ts:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if naive_ts:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
     from pyspark.sql import functions as F

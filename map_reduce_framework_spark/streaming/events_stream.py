@@ -36,7 +36,10 @@ def _probe_ts_encoding(stream_dir: str) -> str:
     ``readStream`` requires a user-supplied schema, so unlike the batch
     loader we can't let Spark infer it — probe the first file's footer and
     mirror :func:`..sources.tables.load_table`'s normalization (its
-    docstring lists the encodings the generator has shipped).
+    docstring lists the encodings the generator has shipped).  Assumes
+    all files in the directory share the first file's encoding — true
+    for any single-writer stream directory; a mixed directory would fail
+    loudly downstream when the fixed readStream schema misreads a file.
     """
     import glob
     import os
@@ -46,7 +49,17 @@ def _probe_ts_encoding(stream_dir: str) -> str:
     files = sorted(glob.glob(os.path.join(stream_dir, "*.parquet"))) or sorted(
         glob.glob(os.path.join(stream_dir, "**", "*.parquet"), recursive=True)
     )
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet files under {stream_dir!r} — cannot probe the 'ts' "
+            "encoding; write at least one batch before opening the stream"
+        )
     t = pq.read_schema(files[0]).field("ts").type
+    if not hasattr(t, "unit"):
+        raise TypeError(
+            f"'ts' in {files[0]!r} has parquet type {t!r}; expected a "
+            "timestamp (nanos/micros) column"
+        )
     if t.unit == "ns":
         return "ns"
     return "us_tz" if t.tz is not None else "us_ntz"

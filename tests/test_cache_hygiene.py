@@ -1,7 +1,15 @@
-"""Persisted operator intermediates must be releasable: after a query
-runs and ``cache.release()`` is called, no persistent RDD survives."""
+"""Persisted operator intermediates must not outlive their query.
+
+Round-5 structural guarantee: registry-wrapped queries ``adopt`` their
+staged persists onto the result DataFrame, so a plain
+``QUERIES[name](spark, sf)`` + action leaks nothing once the caller
+drops the result — no explicit ``cache.release()`` required.  Raw
+operator functions still stage, and ``release()`` still clears them.
+"""
 
 from __future__ import annotations
+
+import gc
 
 import pytest
 
@@ -26,11 +34,24 @@ def _n_persistent(spark) -> int:
 
 
 @pytest.mark.parametrize("name", CACHE_HEAVY)
-def test_release_clears_persisted_intermediates(spark, name):
-    registry.QUERIES[name](spark, SF_DIR).count()
+def test_structural_release_without_explicit_call(spark, name):
+    df = registry.QUERIES[name](spark, SF_DIR)
+    df.count()
     assert _n_persistent(spark) > 0, f"{name}: expected a tracked persist"
-    cache.release()
-    assert _n_persistent(spark) == 0, f"{name}: cache survived release()"
+    # the caller drops the result — adopted caches must go with it,
+    # with NO cache.release() call anywhere
+    del df
+    gc.collect()
+    assert _n_persistent(spark) == 0, f"{name}: cache outlived the result"
+
+
+def test_raw_operator_persists_clear_on_release(spark):
+    from map_reduce_framework_spark.operators import dedup
+
+    dedup.dedup_minhash_lsh(spark, SF_DIR).count()
+    assert _n_persistent(spark) > 0, "expected a staged persist"
+    assert cache.release() > 0
+    assert _n_persistent(spark) == 0, "cache survived release()"
 
 
 def test_release_is_idempotent(spark):

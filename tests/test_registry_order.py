@@ -1,12 +1,13 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-4 policy: the window holds (a) sessionize (the one red r03 row,
-oracle dtype fixed), (b) every query that had no driver row after rounds
-1+3, (c) the clean_corpus capstone, (d) round-1-only greens re-proven on
-current code.  The two approx sketches are excluded permanently — they
-can never hash-match DuckDB's sketches and would burn slots on
-guaranteed `no_oracle` rows.
+Round-5 policy (CORRECTNESS_r04 was 50/50 green): the window holds
+(a) the six new TPC-H breadth queries (never driver-checked), (b) the
+three queries whose plans changed this round, (c) all 25 round-1-only
+greens (oldest evidence), (d) 16 round-3-only greens picked for
+cache-adopt exposure and timestamp sensitivity.  The two approx
+sketches are excluded permanently — they can never hash-match DuckDB's
+sketches and would burn slots on guaranteed `no_oracle` rows.
 """
 
 from __future__ import annotations
@@ -16,36 +17,33 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-NEVER_CHECKED_BEFORE_R4 = {
-    "dedup_passage",
-    "blocklist_redact",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "multi_distinct_agg",
-    "events_window_distinct",
-    "funnel_analysis",
-    "events_user_enrichment",
-    "band_join_pricing",
-    "window_distribution",
-    "histogram_totalprice",
-    "set_intersect_all",
-    "set_except_all",
-    "mr_inverted_index_facade",
-    "pagerank_dup_graph",
-    "ann_ivf_kmeans",
-    "embedding_norm_stats",
-    "bpe_pair_stats",
-    "training_manifest",
-    "frame_sample_schedule",
-    "payload_chunks",
+NEW_IN_R5 = {
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promo_stock_suppliers",
 }
 
+PLAN_CHANGED_IN_R5 = {"graph_triangle_stats", "bm25_topk", "rolling_zscore"}
+
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
+
+PRIOR_ROUNDS = (
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
+)
+
+
+def _prior_checked() -> set[str]:
+    checked: set[str] = set()
+    for rec in PRIOR_ROUNDS:
+        path = os.path.join(os.path.dirname(__file__), "..", rec)
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)))
+    return checked
 
 
 def test_driver_window_is_first_50():
@@ -54,19 +52,10 @@ def test_driver_window_is_first_50():
     assert len(registry.DRIVER_WINDOW) == 50
 
 
-def test_window_covers_unchecked_queries():
+def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert NEVER_CHECKED_BEFORE_R4 <= window
-    assert {
-        "sessionize",
-        "clean_corpus",
-        "dedup_semantic",
-        "chunk_documents",
-        "bm25_topk",
-        "scd2_apply",
-        "rolling_zscore",
-        "graph_triangle_stats",
-    } <= window
+    assert NEW_IN_R5 <= window
+    assert PLAN_CHANGED_IN_R5 <= window
 
 
 def test_no_oracle_queries_stay_out_of_window():
@@ -85,19 +74,15 @@ def test_every_window_query_has_an_oracle():
 
 
 def test_every_query_has_a_driver_row_across_rounds():
-    """With the round-4 rotation, every registered checkable query has a
-    driver row in at least one of rounds 1, 3, or 4."""
-    checked = set(registry.DRIVER_WINDOW)
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r03.json"):
-        path = os.path.join(os.path.dirname(__file__), "..", rec)
-        if os.path.exists(path):
-            checked |= set(json.load(open(path)))
+    """Every registered checkable query either has a driver row from a
+    prior round or sits in the current window (so it gets one now)."""
+    checked = set(registry.DRIVER_WINDOW) | _prior_checked()
     unchecked = set(registry.get_queries()) - checked - NO_ORACLE_BY_DESIGN
     assert not unchecked, f"never driver-checked: {sorted(unchecked)}"
 
 
 def test_every_query_still_registered():
     # the reorder must not drop or duplicate anything
-    keys = list(registry.get_queries().keys())
-    assert len(keys) == len(set(keys))
-    assert set(registry.get_oracles()) <= set(keys)
+    names = list(registry.get_queries().keys())
+    assert len(names) == len(set(names))
+    assert set(registry.DRIVER_WINDOW) <= set(names)

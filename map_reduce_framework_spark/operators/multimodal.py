@@ -3,12 +3,16 @@
 Real 100 TB multimodal pipelines carry image/audio/video as opaque
 ``binary`` columns with a typed metadata struct, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
-``mapInPandas``.  The decode libraries (PIL/ffmpeg/torchaudio) are NOT in
-this container, so the *codec* step is stubbed — a clearly-marked
-deterministic fake behind an import-try (``NotImplementedError`` if real
-decode is requested without the lib) — while everything Spark-side is
-real and tested: binary column construction, metadata schema, Arrow batch
-shapes, UDF signatures, partition-parallel execution.
+``mapInPandas``.  The image/video decode libraries (PIL/ffmpeg/pyav) are
+NOT in this container, so those codec steps are stubbed — a
+clearly-marked deterministic fake behind an import-try
+(``NotImplementedError`` if real decode is requested without the lib).
+ONE codec path is fully real with zero dependencies:
+:func:`decode_wav` parses RIFF/WAVE PCM headers with stdlib ``struct``
+and :func:`wav_features` runs it through the same ``mapInPandas``
+plumbing as the stub extractor.  Everything Spark-side is real and
+tested either way: binary column construction, metadata schema, Arrow
+batch shapes, UDF signatures, partition-parallel execution.
 
 ``media_table`` synthesizes the corpus: each document's text bytes stand
 in for a media payload (deterministic), with kind image/audio/video by
@@ -78,12 +82,103 @@ def decode_stub(payload: bytes, kind: str) -> dict:
 
 
 def decode_real(payload: bytes, kind: str) -> dict:
-    """Real decode entry point — unavailable in this container."""
+    """Real decode entry point.
+
+    ``audio`` payloads that are RIFF/WAVE go through the dependency-free
+    PCM header parser (:func:`decode_wav`); image/video still require
+    PIL/ffmpeg, absent in this container — those stay fail-loud.
+    """
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     if not HAVE_IMAGE_LIB:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg/torchaudio, not installed"
+            "real media decode requires PIL/ffmpeg/pyav, not installed"
         )
     raise NotImplementedError("real decode wiring is out of scope for this env")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL codec path: RIFF/WAVE PCM header parse with stdlib ``struct``.
+
+    Walks the chunk list (chunks may appear in any order and carry odd
+    lengths, which pad to even per the RIFF spec), extracts the ``fmt ``
+    geometry and the ``data`` chunk size, and derives sample count and
+    duration.  Only uncompressed PCM (``wFormatTag == 1``) is supported;
+    anything else fails loudly — same policy as the missing-lib codecs.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data_len = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            if body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, body
+            )
+            (bits_per_sample,) = struct.unpack_from("<H", payload, body + 14)
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"only PCM WAV (wFormatTag=1) supported, got {audio_fmt}"
+                )
+            fmt = (n_channels, sample_rate, bits_per_sample)
+        elif chunk_id == b"data":
+            data_len = min(chunk_len, len(payload) - body)
+        pos = body + chunk_len + (chunk_len & 1)  # chunks pad to even
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    n_channels, sample_rate, bits_per_sample = fmt
+    frame_bytes = n_channels * bits_per_sample // 8
+    if frame_bytes == 0 or sample_rate == 0:
+        raise ValueError("degenerate WAV geometry")
+    n_samples = data_len // frame_bytes
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits_per_sample,
+        "n_samples": n_samples,
+        "duration_ms": 1000.0 * n_samples / sample_rate,
+    }
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, bits_per_sample int, "
+    "n_samples long, duration_ms double"
+)
+
+
+def _extract_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_wav(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "n_channels",
+                "sample_rate",
+                "bits_per_sample",
+                "n_samples",
+                "duration_ms",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Real-codec feature extraction: ``(doc_id, payload binary)`` rows →
+    PCM geometry per item, through the same Arrow-batched ``mapInPandas``
+    shape as :func:`multimodal_features` — partition-parallel, no
+    shuffle, bytes never leave the batch."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_wav, schema=WAV_FEATURE_SCHEMA
+    )
 
 
 def _extract_features(

@@ -1,0 +1,214 @@
+"""Streaming incremental corpus dedup — the production ingestion loop.
+
+``operators.dedup.dedup_incremental`` is the BATCH shape of "screen a
+new crawl against the indexed corpus"; this module is its streaming
+twin: new documents arrive as files, each micro-batch is screened
+against a pre-materialized corpus index (content-hash set + df-capped
+gram posting list — exactly what a real pipeline keeps between runs),
+and the per-document verdicts MERGE into a keyed verdict table via
+``foreachBatch`` (same sink contract as :mod:`.upsert_sink`).
+
+Scale shape: the index sides are equi-joins on md5/gram-hash keys (at
+100 TB the posting list is a bucketed table co-partitioned with the
+join key — see ``sources.bucketing``); the batch side is one crawl
+increment, small relative to the corpus; no unbounded streaming state
+exists anywhere — redelivery idempotence comes from the verdict table
+itself (anti-join on doc_id), not from watermark state, so a replayed
+file can never double-screen a document.
+
+Cap semantics: the index's gram posting list is df-capped over the OLD
+corpus (all the index build can know); the batch side shingles
+uncapped.  The batch twin caps over the full corpus instead — the two
+agree whenever no gram's df crosses ``NGRAM_DF_CAP`` between the two
+views (true at every test SF; the parity pytest pins it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    NGRAM_DF_CAP,
+    _incr_is_new,
+    _shingled_docs,
+    fan_out,
+)
+from ..functions import rnd
+from ..sources import load_table
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _work_dir(sf_dir: str, leaf: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"mrfs_keeplist_{leaf}_{tag}")
+
+
+def build_corpus_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize the corpus-side screens once: the content-hash set and
+    the df-capped gram posting list + per-doc gram counts of the already
+    indexed (old) partition.  Returns the parquet paths — between runs a
+    real pipeline keeps exactly these as tables."""
+    paths = {
+        "hashes": _work_dir(sf_dir, "hashes"),
+        "grams": _work_dir(sf_dir, "grams"),
+        "sizes": _work_dir(sf_dir, "sizes"),
+    }
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    old = docs.where(~_incr_is_new())
+    old.select(F.md5("text").alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(paths["hashes"])
+    posting = _shingled_docs(old, with_hashes=True).select(
+        "doc_id", F.explode("gh").alias("g")
+    )
+    capped = (
+        posting.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
+    capped.write.mode("overwrite").parquet(paths["grams"])
+    capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).write.mode(
+        "overwrite"
+    ).parquet(paths["sizes"])
+    return paths
+
+
+def _screen_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index: dict[str, str],
+    verdict_dir: str,
+) -> None:
+    """One micro-batch: drop redeliveries, screen vs the index, append
+    verdicts.  Idempotent under redelivery because the verdict table is
+    the dedup state (anti-join before append)."""
+    batch = batch_df.dropDuplicates(["doc_id"])
+    if os.path.exists(verdict_dir):
+        seen = spark.read.parquet(verdict_dir).select("doc_id")
+        batch = batch.join(seen, "doc_id", "left_anti")
+    # exact screen: only hashes shuffle, never text
+    hashes = spark.read.parquet(index["hashes"])
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    # near screen: batch shingles × corpus posting list (new×old, the
+    # same candidate equi-join as the batch operator)
+    grams = spark.read.parquet(index["grams"]).select(
+        F.col("doc_id").alias("old_id"), "g"
+    )
+    sizes_old = spark.read.parquet(index["sizes"]).select(
+        F.col("doc_id").alias("old_id"), "n_b"
+    )
+    bsh = _shingled_docs(batch, with_hashes=True).select(
+        F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
+    )
+    sizes_new = bsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
+    pairs = (
+        bsh.join(grams, "g")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    near = (
+        pairs.join(sizes_new, "new_id")
+        .join(sizes_old, "old_id")
+        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    ex = F.coalesce("is_exact", F.lit(0))
+    nr = F.coalesce("is_near", F.lit(0))
+    verdicts = (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(ex == 1, "exact_dup")
+            .when(nr == 1, "near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    verdicts.write.mode("append").parquet(verdict_dir)
+
+
+def _doubled_new_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stream dir delivering every NEW document exactly twice (two files
+    with the same content — the at-least-once redelivery fixture)."""
+    d = _work_dir(sf_dir, "feed")
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    new_docs = (
+        load_table(spark, sf_dir, "documents").where(_incr_is_new()).coalesce(1)
+    )
+    for name in ("a", "b"):
+        new_docs.write.mode("overwrite").parquet(os.path.join(d, "_stage"))
+        staged = [
+            f
+            for f in os.listdir(os.path.join(d, "_stage"))
+            if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(d, "_stage", staged[0]),
+            os.path.join(d, f"docs_{name}.parquet"),
+        )
+    shutil.rmtree(os.path.join(d, "_stage"))
+    return d
+
+
+def run_streaming_keeplist_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build the index, drain the doubled new-document feed one file per
+    micro-batch, and return the per-source summary in
+    ``dedup_incremental``'s exact shape (source, n_new, n_exact_dup,
+    n_near_dup, n_kept) for stream-equals-batch comparison."""
+    index = build_corpus_index(spark, sf_dir)
+    verdict_dir = _work_dir(sf_dir, "verdicts")
+    if os.path.exists(verdict_dir):
+        shutil.rmtree(verdict_dir)
+    feed = _doubled_new_docs_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: _screen_batch(spark, bdf, index, verdict_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    verdicts = spark.read.parquet(verdict_dir)
+    v = F.col("verdict")
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(v == "exact_dup", 1).otherwise(0)).alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.when(v == "near_dup", 1).otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(v == "kept", 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -201,3 +201,23 @@ def test_streaming_arrow_scoring_equals_batch(spark):
     assert sorted(map(key, streamed.collect())) == sorted(
         map(key, batch.collect())
     )
+
+
+def test_streaming_keeplist_equals_batch_incremental(spark):
+    """The foreachBatch incremental-dedup loop (screen each micro-batch
+    vs the materialized corpus index, MERGE verdicts) must reproduce
+    ``dedup_incremental``'s per-source summary exactly, even though the
+    feed delivers every new document twice across two micro-batches
+    (redelivery idempotence comes from the verdict-table anti-join)."""
+    from map_reduce_framework_spark.operators.dedup import dedup_incremental
+    from map_reduce_framework_spark.streaming.keeplist_stream import (
+        run_streaming_keeplist_demo,
+    )
+
+    streamed = run_streaming_keeplist_demo(spark, SF_DIR)
+    batch = dedup_incremental(spark, SF_DIR)
+    key = lambda r: tuple(r[c] for c in (  # noqa: E731
+        "source", "n_new", "n_exact_dup", "n_near_dup", "n_kept"))
+    s_rows = sorted(map(key, streamed.collect()))
+    b_rows = sorted(map(key, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0

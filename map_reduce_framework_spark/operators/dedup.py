@@ -448,6 +448,114 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAM_INDEX_TABLE = "gram_index_bkt"
+GRAM_INDEX_BUCKETS = 8
+
+
+def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the OLD-corpus df-capped gram posting list as a table
+    BUCKETED (and sorted) on the gram hash — the between-runs index
+    :func:`dedup_incremental`'s docstring promises at production scale.
+
+    At 100 TB this is the point of the incremental shape: shingling the
+    corpus happens once per index build, not once per screen, and
+    bucketing on ``g`` persists the hash partitioning in the table
+    layout so the screen's candidate equi-join runs with ZERO exchange
+    on the index side (only the small new-batch side shuffles to the
+    bucket count — proven by
+    ``tests/test_plans.py::test_gram_index_join_shuffles_batch_side_only``).
+    Built once per session; the df cap here is the OLD-corpus document
+    frequency (all an index build can know).
+    """
+    from ..sources.bucketing import write_bucketed
+
+    if not spark.catalog.tableExists(GRAM_INDEX_TABLE):
+        docs = fan_out(load_table(spark, sf_dir, "documents")).where(
+            ~_incr_is_new()
+        )
+        posting = _shingled_docs(docs, with_hashes=True).select(
+            "doc_id", F.explode("gh").alias("g")
+        )
+        capped = (
+            posting.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+            )
+            .where(F.col("df") <= NGRAM_DF_CAP)
+            .drop("df")
+        )
+        write_bucketed(capped, GRAM_INDEX_TABLE, "g", GRAM_INDEX_BUCKETS)
+    return spark.table(GRAM_INDEX_TABLE)
+
+
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_incremental` consuming the materialized bucketed gram
+    index instead of re-deriving the corpus posting list — the shape a
+    production screen actually runs between index builds.
+
+    Cap semantics differ from the batch twin only in WHICH view the df
+    cap sees (old corpus here, full corpus there); the two agree
+    whenever no gram's df crosses ``NGRAM_DF_CAP`` between views — true
+    at every test SF, pinned by
+    ``tests/test_dedup.py::test_indexed_incremental_equals_derived``.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    is_new = _incr_is_new()
+    new_docs = docs.where(is_new)
+    old_hashes = (
+        docs.where(~is_new).select(F.md5(F.col("text")).alias("h")).distinct()
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .join(old_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    idx = gram_index_bucketed(spark, sf_dir)
+    og = idx.select(F.col("doc_id").alias("old_id"), "g")
+    sizes_old = idx.groupBy(F.col("doc_id").alias("old_id")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    ng = _shingled_docs(new_docs, with_hashes=True).select(
+        F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
+    )
+    sizes_new = ng.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
+    pairs = (
+        ng.join(og, "g")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    near = (
+        pairs.join(sizes_new, "new_id")
+        .join(sizes_old, "old_id")
+        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    flagged = (
+        new_docs.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    ex = F.coalesce("is_exact", F.lit(0))
+    nr = F.coalesce("is_near", F.lit(0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(ex).alias("n_exact_dup"),
+            F.sum(F.when((ex == 0) & (nr == 1), 1).otherwise(0)).alias(
+                "n_near_dup"
+            ),
+            F.sum(F.when((ex == 0) & (nr == 0), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

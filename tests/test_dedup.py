@@ -11,6 +11,8 @@ import pytest
 
 from map_reduce_framework_spark.operators import dedup
 
+from .conftest import SF_DIR
+
 BASE = (
     "the quick brown fox jumps over the lazy dog near the quiet river bank "
     "while morning light settles on the tall grass and birds call softly"
@@ -137,3 +139,21 @@ def test_fingerprint_equal_for_exact_dups(spark, planted_dir):
     out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, planted_dir).collect()}
     assert out[0] == out[1]  # identical docs, identical sketches
     assert out[0] != out[3]
+
+
+def test_indexed_incremental_equals_derived(spark):
+    """The bucketed-index screen must reproduce the self-derived batch
+    screen exactly (the df-cap views only diverge past NGRAM_DF_CAP,
+    which no test-SF gram reaches)."""
+    from map_reduce_framework_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+    from map_reduce_framework_spark import cache
+
+    try:
+        got = sorted(map(tuple, dedup_incremental_indexed(spark, SF_DIR).collect()))
+        want = sorted(map(tuple, dedup_incremental(spark, SF_DIR).collect()))
+    finally:
+        cache.release()
+    assert got == want and len(got) > 0

@@ -338,3 +338,35 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert "lang" in part_seg
     # the lang predicate is satisfied by pruning, not data filters
     assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_gram_index_join_shuffles_batch_side_only(spark):
+    """The incremental screen's candidate equi-join must read the
+    materialized gram index WITHOUT an exchange: the bucket layout is
+    the shuffle.  Only the new-batch side (freshly shingled, unknown
+    partitioning) may repartition to the bucket count."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        _incr_is_new,
+        _shingled_docs,
+        gram_index_bucketed,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    idx = gram_index_bucketed(spark, SF_DIR)
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+    ng = _shingled_docs(new_docs, with_hashes=True).select(
+        F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = ng.join(idx.select(F.col("doc_id").alias("old_id"), "g"), "g")
+        plan = plan_of(cand, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan  # batch side only
+    formatted = plan_of(cand, mode="formatted")
+    assert "Bucketed: true" in formatted  # index scan uses the layout
+    assert cand.count() > 0

@@ -63,6 +63,13 @@ HEADLINE = [
     "scd2_apply",
     "rolling_zscore",
     "graph_triangle_stats",
+    # round-5 additions — the TPC-H breadth completion
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promo_stock_suppliers",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Generate sf1-scale documents + embeddings for the empirical scale probe.
+
+The driver ships sf0.001/0.01/0.1 (TESTDATA.md, read-only); the 100×
+arguments in SCALING.md deserve at least one measured point above
+sf0.1, so this synthesizes a 10× step (50,000 documents, 20,000
+embeddings) with the same statistics as the shipped corpus — 31-word
+vocabulary, 10–100-token uniform lengths, 5 langs (en-weighted),
+20 round-robin sources, ~5% planted near-dups (single-token
+perturbation) and ~0.2% exact dups, unit-norm 64-d embeddings in 10
+label blocks.  Crucially, at 50k docs the 3-gram document frequencies
+CROSS ``NGRAM_DF_CAP`` (=100), so the df-cap path runs for real instead
+of vacuously.
+
+Output goes to /tmp/mrfs_sf1 (never into the read-only testdata dir).
+Deterministic: numpy PCG64 seed 42.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrfs_sf1"
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+# the shipped corpus's exact 31-word vocabulary (extracted from sf0.1)
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark "
+    "stream table the value vector window"
+).split()
+assert len(VOCAB) == 31
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.41, 0.14, 0.15, 0.14, 0.16]
+NEAR_DUP_FRAC = 0.05
+EXACT_DUP_FRAC = 0.002
+
+
+def main() -> None:
+    rng = np.random.default_rng(42)
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 10 and r < EXACT_DUP_FRAC:
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 10 and r < EXACT_DUP_FRAC + NEAR_DUP_FRAC:
+            base = texts[rng.integers(0, i)].split()
+            base[-1] = VOCAB[rng.integers(0, len(VOCAB))]
+            texts.append(" ".join(base))
+        else:
+            n = rng.integers(10, 101)
+            texts.append(" ".join(rng.choice(VOCAB, size=n)))
+    langs = rng.choice(LANGS, size=N_DOCS, p=LANG_W)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(
+                [f"src{i % 20}" for i in range(N_DOCS)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    centers = rng.normal(size=(10, DIM))
+    labels = rng.integers(0, 10, size=N_VECS)
+    vecs = centers[labels] + 0.3 * rng.normal(size=(N_VECS, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    os.makedirs(OUT, exist_ok=True)
+    pq.write_table(docs, os.path.join(OUT, "documents.parquet"))
+    pq.write_table(emb, os.path.join(OUT, "embeddings.parquet"))
+    print(f"wrote {N_DOCS} docs + {N_VECS} embeddings to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

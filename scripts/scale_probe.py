@@ -1,0 +1,114 @@
+"""Empirical scale probe: run the dedup family at sf1 (10× bench SF).
+
+Measures wall time for the headline dedup/graph operators on the
+generated /tmp/mrfs_sf1 corpus (scripts/gen_sf1.py) and reports whether
+the scale-safety mechanisms actually engaged:
+
+- how many distinct grams crossed ``NGRAM_DF_CAP`` (dropped from the
+  posting list) — at the shipped SFs this is always 0;
+- candidate-pair counts per operator, to confirm candidate generation
+  stays ~linear rather than quadratic as df saturates.
+
+Usage: python scripts/scale_probe.py [sf1_dir]
+Prints one JSON line per query plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrfs_sf1"
+
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_pipeline_keeplist",
+    "graph_triangle_stats",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators import dedup
+    from map_reduce_framework_spark.plans.registry import QUERIES
+    from map_reduce_framework_spark.sources import load_table
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("mrfs-scale-probe")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.warehouse.dir", "/tmp/mrfs_warehouse_probe")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    # --- does the df cap fire at this scale?
+    docs = dedup.fan_out(load_table(spark, SF1, "documents"))
+    posting = dedup._shingled_docs(docs, with_hashes=True).select(
+        "doc_id", F.explode("gh").alias("g")
+    )
+    dfs = posting.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    stats = dfs.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.max("df").alias("max_df"),
+        F.sum(F.when(F.col("df") > dedup.NGRAM_DF_CAP, 1).otherwise(0)).alias(
+            "n_capped"
+        ),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "probe": "ngram_df_cap",
+                "n_grams": stats["n_grams"],
+                "max_df": stats["max_df"],
+                "n_capped_grams": stats["n_capped"],
+                "cap": dedup.NGRAM_DF_CAP,
+            }
+        )
+    )
+
+    results = {}
+    for name in PROBE_QUERIES:
+        t0 = time.time()
+        try:
+            n = QUERIES[name](spark, SF1).count()
+            dt = round(time.time() - t0, 2)
+            results[name] = dt
+            print(json.dumps({"query": name, "sec": dt, "rows": n}))
+        except Exception as e:  # keep probing the rest
+            print(json.dumps({"query": name, "error": str(e)[:200]}))
+        cache.release()
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_scale_probe_total",
+                "value": round(sum(results.values()), 2),
+                "unit": "sec",
+                "queries": results,
+                "sf": 1.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,8 @@ HEADLINE = [
     "scd2_apply",
     "rolling_zscore",
     "graph_triangle_stats",
-    # round-5 additions — the TPC-H breadth completion
+    # round-5 additions — TPC-H breadth completion + containment screen
+    "dedup_containment",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q9_product_type_profit",

@@ -361,6 +361,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_containment: |A∩B| / |smaller set| threshold — higher than the
+#: Jaccard bar because containment is an asymmetric, easier-to-hit score
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: ``C = |A∩B| / |A|`` with A the
+    SMALLER gram set — flags short documents embedded inside longer
+    ones (boilerplate inclusion, quote chains, page wrappers), which
+    resemblance Jaccard structurally misses: a 30-gram doc fully
+    contained in a 300-gram doc scores C = 1.0 but Jaccard ≈ 0.1 (the
+    union is dominated by the container).  The SlimPajama-style screen
+    that complements :func:`dedup_ngram_jaccard`.
+
+    Candidate generation, pair aggregation, and the df-capped posting
+    list are the exact shapes (and the same persisted intermediate) as
+    the Jaccard operator — only the score and the orientation differ,
+    so every scale property argued there carries over unchanged.
+    """
+    e = _shingle_exploded(spark, sf_dir)
+    e.count()  # same cache-race barrier as dedup_ngram_jaccard
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("_ida"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("_idb"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        pairs.join(sa, F.col("doc_a") == F.col("_ida"))
+        .drop("_ida")
+        .join(sb, F.col("doc_b") == F.col("_idb"))
+        .drop("_idb")
+    )
+    # contained = the smaller gram set (tiebreak: lower doc_id)
+    a_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    cont = rnd(F.col("shared") / F.least("n_a", "n_b"), 4)
+    return (
+        pairs.select(
+            F.when(a_small, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+            F.when(a_small, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_id"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("contained_id", "container_id")
+    )
+
+
 #: dedup_incremental: docs whose md5-60bit hash of "batch:<doc_id>" is
 #: ≡ 0 mod this form the "incoming batch" (~20%); the rest are the
 #: already-indexed corpus.  Hash-keyed, not id-range-keyed, so the batch
@@ -909,6 +971,35 @@ ORACLES = {
         WHERE jaccard >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
+    "dedup_containment": f"""
+        WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+        e0 AS (SELECT doc_id,
+                      unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+               FROM s),
+        e AS (SELECT doc_id, g FROM (
+                  SELECT doc_id, g,
+                         count(*) OVER (PARTITION BY g) AS df FROM e0)
+              WHERE df <= {NGRAM_DF_CAP}),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        c AS (SELECT
+                  CASE WHEN sa.n_sh < sb.n_sh
+                         OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+                       THEN doc_a ELSE doc_b END AS contained_id,
+                  CASE WHEN sa.n_sh < sb.n_sh
+                         OR (sa.n_sh = sb.n_sh AND doc_a < doc_b)
+                       THEN doc_b ELSE doc_a END AS container_id,
+                  {rnd_sql("shared / least(sa.n_sh, sb.n_sh)", 4)}
+                      AS containment
+              FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+                     JOIN sz sb ON sb.doc_id = p.doc_b)
+        SELECT contained_id, container_id, containment FROM c
+        WHERE containment >= {CONTAINMENT_THRESHOLD}
+        ORDER BY contained_id, container_id
+    """,
     "dedup_incremental": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
         e0 AS (SELECT doc_id,
@@ -1015,6 +1106,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

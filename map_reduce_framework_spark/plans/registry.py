@@ -68,6 +68,8 @@ DRIVER_WINDOW = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
     "tpch_q20_promo_stock_suppliers",
+    # (a²) new containment-dedup operator (SlimPajama-style screen)
+    "dedup_containment",
     # (b) plans changed this round
     "graph_triangle_stats",
     "bm25_topk",
@@ -92,7 +94,8 @@ DRIVER_WINDOW = [
     "scalar_functions",
     "set_except",
     "set_intersect",
-    "set_union_all",
+    # (set_union_all evicted for dedup_containment: r01-green, trivially
+    # stable union plan, and its multiset cousins keep in-window rows)
     "stats_agg",
     "top_k",
     "unpivot_measures",

@@ -157,3 +157,40 @@ def test_indexed_incremental_equals_derived(spark):
     finally:
         cache.release()
     assert got == want and len(got) > 0
+
+
+def test_containment_finds_embedded_doc(spark, tmp_path):
+    """A short document whose text is verbatim inside a much longer one
+    must be flagged contained (C = 1.0) even though Jaccard is far below
+    its threshold — the case the resemblance screen structurally misses."""
+    short = "the quick brown fox jumps over the lazy dog by the river"
+    filler = (
+        "spark engines scan columnar batches with vectorized readers while "
+        "adaptive planning rebalances shuffle partitions across executors "
+        "and broadcast relations prune the probe side of each join stage"
+    )
+    long_doc = filler + " " + short + " " + filler.replace("spark", "flink")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [short, long_doc, filler],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [len(short), len(long_doc), len(filler)],
+        }
+    )
+    d = tmp_path / "contain"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    from map_reduce_framework_spark import cache
+
+    try:
+        out = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.dedup_containment(spark, str(d)).collect()
+        }
+        jac = dedup.dedup_ngram_jaccard(spark, str(d)).collect()
+    finally:
+        cache.release()
+    assert out.get((0, 1)) == pytest.approx(1.0)  # short ⊂ long
+    assert all(not (r["doc_a"] == 0 and r["doc_b"] == 1) for r in jac)

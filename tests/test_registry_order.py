@@ -24,6 +24,7 @@ NEW_IN_R5 = {
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
     "tpch_q20_promo_stock_suppliers",
+    "dedup_containment",
 }
 
 PLAN_CHANGED_IN_R5 = {"graph_triangle_stats", "bm25_topk", "rolling_zscore"}

@@ -88,3 +88,19 @@ def test_wav_features_through_mapinpandas(spark):
         )
         assert r["n_samples"] == n
         assert r["duration_ms"] == pytest.approx(1000.0 * n / rate)
+
+
+def test_decode_wav_skips_unknown_and_odd_chunks():
+    """RIFF chunk walking: unknown chunks (LIST metadata) are skipped and
+    odd-length chunks pad to even per spec — fmt/data still found."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    odd_meta = b"xyz"  # 3 bytes -> 1 pad byte
+    data = bytes(range(10))
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", len(odd_meta)) + odd_meta + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    feats = multimodal.decode_wav(payload)
+    assert feats["n_samples"] == 10 and feats["sample_rate"] == 8000

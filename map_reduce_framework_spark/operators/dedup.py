@@ -514,6 +514,14 @@ GRAM_INDEX_TABLE = "gram_index_bkt"
 GRAM_INDEX_BUCKETS = 8
 
 
+def _gram_index_name(sf_dir: str) -> str:
+    """Per-corpus table name — a session that touches several sf_dirs
+    must never reuse another corpus's index."""
+    import hashlib
+
+    return f"{GRAM_INDEX_TABLE}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
 def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the OLD-corpus df-capped gram posting list as a table
     BUCKETED (and sorted) on the gram hash — the between-runs index
@@ -531,7 +539,8 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.bucketing import write_bucketed
 
-    if not spark.catalog.tableExists(GRAM_INDEX_TABLE):
+    table = _gram_index_name(sf_dir)
+    if not spark.catalog.tableExists(table):
         docs = fan_out(load_table(spark, sf_dir, "documents")).where(
             ~_incr_is_new()
         )
@@ -545,8 +554,8 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("df") <= NGRAM_DF_CAP)
             .drop("df")
         )
-        write_bucketed(capped, GRAM_INDEX_TABLE, "g", GRAM_INDEX_BUCKETS)
-    return spark.table(GRAM_INDEX_TABLE)
+        write_bucketed(capped, table, "g", GRAM_INDEX_BUCKETS)
+    return spark.table(table)
 
 
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,6 +1009,62 @@ ORACLES = {
         WHERE containment >= {CONTAINMENT_THRESHOLD}
         ORDER BY contained_id, container_id
     """,
+    # indexed variant: the df cap sees only the OLD corpus (what an index
+    # build can know) and new-doc sizes are their full distinct-gram
+    # counts — exactly mirroring gram_index_bucketed + the fresh batch
+    # shingling in dedup_incremental_indexed
+    "dedup_incremental_indexed": f"""
+        WITH oldd AS (SELECT doc_id, text FROM documents
+                      WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                            % {INCR_BATCH_MOD} <> 0),
+        newd AS (SELECT doc_id, source, text, md5(text) AS h FROM documents
+                 WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                       % {INCR_BATCH_MOD} = 0),
+        so AS (SELECT doc_id, {_SH} AS sh FROM oldd),
+        eo0 AS (SELECT doc_id,
+                       unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+                FROM so),
+        e_old AS (SELECT doc_id, g FROM (
+                      SELECT doc_id, g,
+                             count(*) OVER (PARTITION BY g) AS df FROM eo0)
+                  WHERE df <= {NGRAM_DF_CAP}),
+        sz_old AS (SELECT doc_id, count(*) AS n_b FROM e_old
+                   GROUP BY doc_id),
+        sn AS (SELECT doc_id, {_SH} AS sh FROM newd),
+        e_new AS (SELECT doc_id,
+                         unnest(list_transform(sh, t -> {_hash60_sql('t')}))
+                             AS g
+                  FROM sn),
+        sz_new AS (SELECT doc_id, count(*) AS n_a FROM e_new
+                   GROUP BY doc_id),
+        oldh AS (SELECT DISTINCT md5(text) AS h FROM oldd),
+        exact AS (SELECT doc_id FROM newd
+                  WHERE h IN (SELECT h FROM oldh)),
+        p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                     count(*) AS shared
+              FROM e_new n JOIN e_old o ON n.g = o.g
+              GROUP BY 1, 2),
+        near AS (SELECT DISTINCT new_id AS doc_id
+                 FROM p JOIN sz_new sa ON sa.doc_id = p.new_id
+                        JOIN sz_old sb ON sb.doc_id = p.old_id
+                 WHERE {rnd_sql('(shared / (sa.n_a + sb.n_b - shared))', 4)}
+                       >= {JACCARD_THRESHOLD}),
+        v AS (SELECT n.source,
+                     CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS is_exact,
+                     CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS is_near
+              FROM newd n
+              LEFT JOIN exact ex ON ex.doc_id = n.doc_id
+              LEFT JOIN near nr ON nr.doc_id = n.doc_id)
+        SELECT source, count(*) AS n_new,
+               CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+               CAST(sum(CASE WHEN is_exact = 0 AND is_near = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+               CAST(sum(CASE WHEN is_exact = 0 AND is_near = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM v GROUP BY source ORDER BY source
+    """,
     "dedup_incremental": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
         e0 AS (SELECT doc_id,
@@ -1107,6 +1172,7 @@ QUERIES = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

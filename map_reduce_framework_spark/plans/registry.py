@@ -93,9 +93,9 @@ DRIVER_WINDOW = [
     "rollup_agg",
     "scalar_functions",
     "set_except",
-    "set_intersect",
-    # (set_union_all evicted for dedup_containment: r01-green, trivially
-    # stable union plan, and its multiset cousins keep in-window rows)
+    # (set_union_all evicted for dedup_containment, set_intersect for
+    # dedup_incremental_indexed: both r01-green trivially-stable set-op
+    # plans whose multiset cousins hold r04 rows)
     "stats_agg",
     "top_k",
     "unpivot_measures",
@@ -109,6 +109,10 @@ DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
+    # the bucketed-index screen (zero index-side exchange) — driver-
+    # checked alongside its self-deriving twin; displaces set_intersect
+    # (r01-green; its multiset cousin set_intersect_all has an r04 row)
+    "dedup_incremental_indexed",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_pipeline_keeplist",

@@ -25,6 +25,7 @@ NEW_IN_R5 = {
     "tpch_q16_supplier_part_count",
     "tpch_q20_promo_stock_suppliers",
     "dedup_containment",
+    "dedup_incremental_indexed",
 }
 
 PLAN_CHANGED_IN_R5 = {"graph_triangle_stats", "bm25_topk", "rolling_zscore"}

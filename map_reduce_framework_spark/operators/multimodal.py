@@ -130,7 +130,11 @@ def decode_wav(payload: bytes) -> dict:
                 )
             fmt = (n_channels, sample_rate, bits_per_sample)
         elif chunk_id == b"data":
-            data_len = min(chunk_len, len(payload) - body)
+            if body + chunk_len > len(payload):
+                raise ValueError(
+                    "data chunk extends past payload (truncated WAV)"
+                )
+            data_len = chunk_len
         pos = body + chunk_len + (chunk_len & 1)  # chunks pad to even
     if fmt is None or data_len is None:
         raise ValueError("WAV missing fmt or data chunk")

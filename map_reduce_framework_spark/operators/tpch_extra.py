@@ -142,9 +142,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             rnd(F.col("ps_supplycost"), 2).alias("supplycost"),
+            "s_suppkey",
         )
-        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        # s_suppkey as the final key makes the LIMIT boundary fully
+        # deterministic even if two same-name suppliers tie on rounded
+        # balance at the cutoff (engine-dependent otherwise)
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey", "s_suppkey")
         .limit(Q2_TOP_N)
+        .drop("s_suppkey")
     )
 
 
@@ -340,7 +345,7 @@ ORACLES = {
                AND e.ps_supplycost = mn.min_cost
         JOIN part p ON p.p_partkey = e.ps_partkey
         WHERE p.p_size <= {Q2_MAX_SIZE}
-        ORDER BY s_acctbal DESC, e.s_name, p.p_partkey
+        ORDER BY s_acctbal DESC, e.s_name, p.p_partkey, e.ps_suppkey
         LIMIT {Q2_TOP_N}
     """,
     "tpch_q5_local_supplier_volume": f"""

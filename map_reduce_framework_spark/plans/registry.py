@@ -137,7 +137,14 @@ def _structural_release(fn: Callable) -> Callable:
 
     @wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return cache.adopt(fn(spark, sf_dir))
+        try:
+            return cache.adopt(fn(spark, sf_dir))
+        except BaseException:
+            # a query that fails after staging persists must not hand its
+            # caches to the NEXT query's result (whose finalizer would
+            # unpersist caches it never owned) — drop them here
+            cache.release()
+            raise
 
     return run
 

@@ -56,3 +56,23 @@ def test_raw_operator_persists_clear_on_release(spark):
 
 def test_release_is_idempotent(spark):
     assert cache.release() == 0
+
+
+def test_failed_query_does_not_leak_staged_persists_to_next(spark):
+    """A query that raises AFTER staging persists must not hand its
+    caches to the next query's result (round-6 ADVICE): the registry
+    wrapper releases staged entries on exception."""
+    from map_reduce_framework_spark.plans.registry import _structural_release
+
+    def failing(spark_, sf_dir_):
+        from map_reduce_framework_spark.operators import dedup
+
+        e = dedup._shingle_exploded(spark_, sf_dir_)  # stages a persist
+        e.count()
+        raise RuntimeError("boom after staging")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _structural_release(failing)(spark, SF_DIR)
+    # nothing staged for the NEXT query to adopt, nothing left persisted
+    assert cache._TRACKED == []
+    assert _n_persistent(spark) == 0, "failed query leaked its persist"

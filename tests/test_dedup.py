@@ -159,6 +159,27 @@ def test_indexed_incremental_equals_derived(spark):
     assert got == want and len(got) > 0
 
 
+def test_gram_index_name_tracks_corpus_content(tmp_path):
+    """Regenerating the documents table at the SAME path must produce a
+    DIFFERENT index table name (round-6 ADVICE: a stale index must not
+    be served after the corpus files change)."""
+    import os
+    import shutil
+
+    from map_reduce_framework_spark.operators.dedup import _gram_index_name
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(SF_DIR, "documents.parquet"), d / "documents.parquet"
+    )
+    first = _gram_index_name(str(d))
+    assert first != _gram_index_name(SF_DIR)  # path is still part of the key
+    # "regenerate" the corpus: same path, new mtime
+    os.utime(d / "documents.parquet", ns=(1, 1))
+    assert _gram_index_name(str(d)) != first
+
+
 def test_containment_finds_embedded_doc(spark, tmp_path):
     """A short document whose text is verbatim inside a much longer one
     must be flagged contained (C = 1.0) even though Jaccard is far below

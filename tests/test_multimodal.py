@@ -90,6 +90,20 @@ def test_wav_features_through_mapinpandas(spark):
         assert r["duration_ms"] == pytest.approx(1000.0 * n / rate)
 
 
+def test_decode_wav_rejects_truncated_data_chunk():
+    """A data chunk whose declared length overruns the payload is a
+    corrupt file — fail loudly (round-6 ADVICE), never silently clamp
+    n_samples/duration to the truncated byte count."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 100) + bytes(10)  # declares 100, has 10
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(payload)
+
+
 def test_decode_wav_skips_unknown_and_odd_chunks():
     """RIFF chunk walking: unknown chunks (LIST metadata) are skipped and
     odd-length chunks pad to even per spec — fmt/data still found."""

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import rnd, rnd_sql
 from ..sources import load_table
@@ -277,6 +276,28 @@ def _shingled_docs(
     return docs.mapInPandas(batches, schema)
 
 
+def _df_cap(posting: DataFrame) -> DataFrame:
+    """Skew-safe document-frequency cap over a ``(doc_id, g)`` posting list.
+
+    ``groupBy("g").count()`` runs with MAP-SIDE partial aggregation, so a
+    stopword gram present in every input split shuffles one combiner row
+    per split — never its full posting list into one task (the failure
+    mode of the previous ``count().over(Window.partitionBy("g"))``
+    formulation: the window colocates exactly the hot key the cap exists
+    to delete, an unbounded fan-in at 100 TB).  The over-cap gram set is
+    tiny by construction (each survivor of the HAVING needs > CAP
+    postings, so there are at most |postings|/CAP of them) → broadcast
+    anti-join deletes their postings with no shuffle of the posting list.
+    """
+    over_cap = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_DF_CAP)
+        .select("g")
+    )
+    return posting.join(F.broadcast(over_cap), "g", "left_anti")
+
+
 def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df-capped shingle posting list ``(doc_id, g)``.
 
@@ -285,31 +306,29 @@ def _shingle_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash on the oracle side, so results stay bit-identical; a 60-bit
     collision would need ~2^30 distinct grams).
 
-    The window count computes each gram's document frequency in ONE
-    shuffle by ``g`` — and because the downstream candidate self-join
-    also partitions by ``g``, the persisted output's hash-partitioning is
-    exactly what the join needs (zero extra exchange on either side).
-    Grams with df > :data:`NGRAM_DF_CAP` are dropped here (see the
-    constant's docstring for why AQE cannot substitute for this).
+    Two persisted intermediates, each load-bearing:
+
+    - the PRE-cap posting list (shingling — the dominant cost — must run
+      once, not once for the df pass and again for the capped output);
+    - the capped list, REPARTITIONED AND SORTED on ``g``.  The df cap
+      itself must not colocate hot grams (see :func:`_df_cap`), but once
+      it has run, NO key exceeds :data:`NGRAM_DF_CAP` postings — so this
+      one bounded shuffle is skew-free by construction, and it bakes the
+      hash-partitioning + ordering every downstream candidate equi-join
+      on ``g`` needs (the self-join and the new×old joins read the cache
+      with zero additional exchange, exactly like the window-based
+      formulation did, without its unbounded fan-in).
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     posting = _shingled_docs(docs, with_hashes=True).select(
         "doc_id", F.explode("gh").alias("g")
     )
-    capped = (
-        posting.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-        )
-        .where(F.col("df") <= NGRAM_DF_CAP)
-        .drop("df")
-    )
-    # both sides of the candidate self-join consume this; persist so
-    # shingling + the df pass run once, not once per join side (at 100 TB
-    # the posting list is a materialized intermediate table for the same
-    # reason — recomputing shingles dominates otherwise)
     from ..cache import persist_tracked
 
-    return persist_tracked(capped)
+    capped = _df_cap(persist_tracked(posting))
+    return persist_tracked(
+        capped.repartition("g").sortWithinPartitions("g")
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,15 +583,13 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         posting = _shingled_docs(docs, with_hashes=True).select(
             "doc_id", F.explode("gh").alias("g")
-        )
-        capped = (
-            posting.withColumn(
-                "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-            )
-            .where(F.col("df") <= NGRAM_DF_CAP)
-            .drop("df")
-        )
-        write_bucketed(capped, table, "g", GRAM_INDEX_BUCKETS)
+        ).persist()
+        try:
+            # skew-safe cap (see _df_cap); the one-time persist keeps the
+            # index build to a single shingling pass
+            write_bucketed(_df_cap(posting), table, "g", GRAM_INDEX_BUCKETS)
+        finally:
+            posting.unpersist()
     return spark.table(table)
 
 

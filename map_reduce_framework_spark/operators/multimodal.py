@@ -7,12 +7,14 @@ feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
 NOT in this container, so those codec steps are stubbed — a
 clearly-marked deterministic fake behind an import-try
 (``NotImplementedError`` if real decode is requested without the lib).
-ONE codec path is fully real with zero dependencies:
-:func:`decode_wav` parses RIFF/WAVE PCM headers with stdlib ``struct``
-and :func:`wav_features` runs it through the same ``mapInPandas``
-plumbing as the stub extractor.  Everything Spark-side is real and
-tested either way: binary column construction, metadata schema, Arrow
-batch shapes, UDF signatures, partition-parallel execution.
+TWO codec paths are fully real with zero dependencies:
+:func:`decode_wav` parses RIFF/WAVE PCM headers and :func:`decode_bmp`
+parses uncompressed-BMP headers, both with stdlib ``struct``, and
+:func:`wav_features` / :func:`bmp_features` run them through the same
+``mapInPandas`` plumbing as the stub extractor.  Everything Spark-side
+is real and tested either way: binary column construction, metadata
+schema, Arrow batch shapes, UDF signatures, partition-parallel
+execution.
 
 ``media_table`` synthesizes the corpus: each document's text bytes stand
 in for a media payload (deterministic), with kind image/audio/video by
@@ -85,11 +87,15 @@ def decode_real(payload: bytes, kind: str) -> dict:
     """Real decode entry point.
 
     ``audio`` payloads that are RIFF/WAVE go through the dependency-free
-    PCM header parser (:func:`decode_wav`); image/video still require
-    PIL/ffmpeg, absent in this container — those stay fail-loud.
+    PCM header parser (:func:`decode_wav`); ``image`` payloads that are
+    BMP go through :func:`decode_bmp` (round-6 second real codec).
+    Compressed images and video still require PIL/ffmpeg, absent in this
+    container — those stay fail-loud.
     """
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if kind == "image" and payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not HAVE_IMAGE_LIB:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg/pyav, not installed"
@@ -150,6 +156,90 @@ def decode_wav(payload: bytes) -> dict:
         "n_samples": n_samples,
         "duration_ms": 1000.0 * n_samples / sample_rate,
     }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL codec path #2: BMP header parse with stdlib ``struct``.
+
+    Reads the BITMAPFILEHEADER + DIB header (CORE/INFO/V4/V5 variants),
+    extracts pixel geometry, and validates that the declared uncompressed
+    pixel array actually fits the payload.  Only uncompressed BI_RGB
+    (and the compression-free CORE header) is supported; RLE/bitfield/
+    JPEG-embedded BMPs fail loudly — same policy as :func:`decode_wav`.
+    """
+    import struct
+
+    if len(payload) < 18 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size == 12:  # BITMAPCOREHEADER: 16-bit dims, no compression
+        if len(payload) < 26:
+            raise ValueError("truncated BMP core header")
+        width, height, planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+        top_down = False
+    elif dib_size >= 40:  # INFO/V4/V5: 32-bit signed dims
+        if len(payload) < 14 + 40:
+            raise ValueError("truncated BMP info header")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0:
+            raise NotImplementedError(
+                f"only uncompressed BI_RGB BMP supported, got "
+                f"compression={compression}"
+            )
+        top_down = height < 0
+        height = abs(height)
+    else:
+        raise ValueError(f"unknown BMP DIB header size {dib_size}")
+    if width <= 0 or height <= 0 or bpp == 0:
+        raise ValueError("degenerate BMP geometry")
+    # rows pad to 4-byte boundaries per spec
+    row_stride = ((bpp * width + 31) // 32) * 4
+    if pixel_offset + row_stride * height > len(payload):
+        raise ValueError("pixel array extends past payload (truncated BMP)")
+    return {
+        "width": width,
+        "height": height,
+        "bits_per_pixel": bpp,
+        "row_stride": row_stride,
+        "n_pixels": width * height,
+        "top_down": top_down,
+    }
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bits_per_pixel int, "
+    "row_stride int, n_pixels long, top_down boolean"
+)
+
+
+def _extract_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_bmp(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "width",
+                "height",
+                "bits_per_pixel",
+                "row_stride",
+                "n_pixels",
+                "top_down",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """Real-codec image feature extraction: ``(doc_id, payload binary)``
+    rows → BMP geometry per item, through the same Arrow-batched
+    ``mapInPandas`` shape as :func:`wav_features`."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_bmp, schema=BMP_FEATURE_SCHEMA
+    )
 
 
 WAV_FEATURE_SCHEMA = (

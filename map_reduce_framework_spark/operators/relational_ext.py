@@ -257,21 +257,44 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour event count per type via a RANGE window frame over
     event-time (epoch seconds, so the frame bound is engine-portable) —
     the sliding-aggregate-per-row pattern tumbling windows can't express.
+
+    Bucket-sliced (round-6 scale rewrite): a window partitioned by the
+    low-cardinality ``event_type`` alone serializes each type's ENTIRE
+    history into one task at 100 TB.  Instead each row enters its own
+    frame-width time bucket as a *resident* and the next bucket as a
+    *ghost*; the identical RANGE frame then runs partitioned by
+    ``(event_type, bucket)``.  Exact by construction — every row of a
+    resident's trailing frame ``[t-3600, t]`` lives in bucket ``b`` (the
+    residents) or ``b-1`` (the ghosts), each exactly once — and any task
+    now holds at most two buckets of one type (bounded by arrival rate,
+    not history length).  Ghosts feed frames but emit no output rows.
     """
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
-    epoch_s = F.col("ts").cast("long")
+    width = 3600
+    base = ev.select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("epoch_s")
+    )
+    bkt = F.floor(F.col("epoch_s") / width)
+    u = base.withColumn("bkt", bkt).withColumn(
+        "is_res", F.lit(True)
+    ).unionByName(
+        base.withColumn("bkt", bkt + 1).withColumn("is_res", F.lit(False))
+    )
     w = (
-        Window.partitionBy("event_type")
-        .orderBy(epoch_s)
-        .rangeBetween(-3600, 0)
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("epoch_s")
+        .rangeBetween(-width, 0)
     )
     return (
-        ev.select(
+        u.select(
             "event_id",
             "event_type",
-            epoch_s.alias("epoch_s"),
+            "epoch_s",
             F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            "is_res",
         )
+        .where("is_res")
+        .drop("is_res")
         .orderBy("event_id")
     )
 
@@ -1249,38 +1272,63 @@ def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its event_type; emit only |z| ≥ threshold — the monitoring-query
     shape (rolling baselines + outlier filter) over event time.
 
-    One window sort-shuffle keyed by event_type (RANGE frame over the
-    epoch-seconds order key, exclusive of the current row).  The rolling
-    sums run over EXACT INTEGER CENTS (`round(value*100)` — the data is
-    2-dp money), not doubles: a float window-sum's association order
-    differs between engines (Spark per-frame rescan vs DuckDB segment
-    tree), and the 2-dp inputs make half-ulp rounding-boundary hits
-    common rather than rare.  Integer sums are order-independent, and
-    mean/variance derive from them in a fixed double expression, so the
-    score is bit-reproducible.  (mu = s/100n; var is the computational
-    form ((ssq - s²/n)/(n-1))/10⁴ over cents, with s cast to double
-    BEFORE squaring: a BIGINT s² would wrap silently under Spark's
-    non-ANSI arithmetic where DuckDB errors — s ≳ 3e9 cents in one frame
-    is enough — while the double product is consumed in double
-    arithmetic anyway.)
+    Bucket-sliced windows (round-6 scale rewrite): partitioning by
+    ``event_type`` alone serializes each type's entire history into ONE
+    task at 100 TB (a handful of types ⇒ a handful of tasks).  Each row
+    instead enters its frame-width time bucket as a *resident* and the
+    next bucket as a *ghost*; the identical RANGE frame (over the
+    epoch-seconds order key, exclusive of the current second) runs
+    partitioned by ``(event_type, bucket)``.  Exact by construction:
+    every row of a trailing frame ``[t-W, t-1]`` lies in the resident's
+    bucket or the one before it, present in the partition exactly once —
+    and a task now holds at most two buckets of one type (bounded by
+    arrival rate, not history length).  Ghosts feed frames, emit nothing.
+
+    The rolling sums run over EXACT INTEGER CENTS (`round(value*100)` —
+    the data is 2-dp money), not doubles: a float window-sum's
+    association order differs between engines (Spark per-frame rescan vs
+    DuckDB segment tree), and the 2-dp inputs make half-ulp
+    rounding-boundary hits common rather than rare.  Integer sums are
+    order-independent, and mean/variance derive from them in a fixed
+    double expression, so the score is bit-reproducible.  (mu = s/100n;
+    var is the computational form ((ssq - s²/n)/(n-1))/10⁴ over cents,
+    with s cast to double BEFORE squaring: a BIGINT s² would wrap
+    silently under Spark's non-ANSI arithmetic where DuckDB errors —
+    s ≳ 3e9 cents in one frame is enough — while the double product is
+    consumed in double arithmetic anyway.)
     """
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_seconds(F.col("ts")))
-        .rangeBetween(-ZSCORE_WINDOW_HOURS * 3600, -1)
-    )
+    width = ZSCORE_WINDOW_HOURS * 3600
     cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.unix_seconds(F.col("ts")).alias("t"),
+        cents.alias("c"),
+    )
+    bkt = F.floor(F.col("t") / width)
+    u = base.withColumn("bkt", bkt).withColumn(
+        "is_res", F.lit(True)
+    ).unionByName(
+        base.withColumn("bkt", bkt + 1).withColumn("is_res", F.lit(False))
+    )
+    w = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("t")
+        .rangeBetween(-width, -1)
+    )
     scored = (
-        events.withColumn("c", cents)
-        .select(
+        u.select(
             "event_id",
             "event_type",
             "c",
             F.count("c").over(w).alias("n"),
             F.sum("c").over(w).alias("s"),
             F.sum(F.col("c") * F.col("c")).over(w).alias("ssq"),
+            "is_res",
         )
+        .where("is_res")
+        .drop("is_res")
     )
     n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
     mu = s / (100.0 * n)

@@ -253,6 +253,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pack_sequences: whitespace-token budget per training sequence
 PACK_TOKEN_BUDGET = 64
 
+#: pack_sequences: doc_id bucket width for the distributed prefix sum —
+#: each (source, bucket) cumsum task sees at most this many ids' rows,
+#: and the bucket-level prefix table carries |id-range|/width rows
+PACK_ID_BUCKET = 1000
+
 #: contamination_check: benchmark = 3-gram set of docs with doc_id < this
 CONTAM_BENCHMARK_DOCS = 5
 #: flag a doc as contaminated at >= this many shared distinct grams
@@ -380,22 +385,61 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-budget sequences (here greedy-by-document-order: a doc's
     sequence id = exclusive running token total ÷ budget, so a doc may
     straddle a boundary exactly as a token-level packer would split it).
-    Packing runs PER SOURCE stratum — one window sort-shuffle keyed by
-    source, so at 100 TB each stratum packs independently in parallel
-    and no global single-partition cumsum exists anywhere.
+
+    Distributed prefix sum (round-6 scale rewrite): packing runs per
+    source stratum, but a window partitioned by ``source`` alone IS a
+    single-partition cumsum per stratum — ~5 sources at 100 TB means
+    five serial tasks.  The standard decomposition instead: (1) local
+    exclusive cumsum per ``(source, doc_id-bucket)``; (2) exclusive
+    prefix of the per-bucket token totals over the BUCKET-LEVEL table
+    (one row per bucket — thousands of rows, not billions, so its
+    single-partition-per-source window is a no-op); (3) broadcast the
+    bucket offsets back and add.  Output-identical to the naive global
+    window (integer token counts — association-free), with every
+    row-level task bounded by one bucket of one source.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     n_tok = F.size(F.split(F.col("text"), " "))
-    w = (
-        Window.partitionBy("source")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_ID_BUCKET).alias("bkt"),
+    )
+    w_local = (
+        Window.partitionBy("source", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_excl = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    # per-bucket totals: map-side partial agg; the prefix window below
+    # runs over ~|id-range|/PACK_ID_BUCKET rows per source — tiny
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("bkt_tokens").over(w_bkt), F.lit(0)).alias(
+                "bkt_offset"
+            ),
+        )
+    )
     return (
-        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
-        .withColumn(
-            "seq_id", F.floor(cum_excl / PACK_TOKEN_BUDGET).cast("bigint")
+        toks.withColumn("local_excl", local_excl)
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(
+                (F.col("bkt_offset") + F.col("local_excl")) / PACK_TOKEN_BUDGET
+            ).cast("bigint").alias("seq_id"),
         )
         .orderBy("doc_id")
     )

@@ -45,84 +45,82 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order.  Round-5 curation (CORRECTNESS_r04 was
-# 50/50 green, so no red rows to re-prove): (a) the six NEW TPC-H
-# breadth queries (Q2/Q5/Q9/Q11/Q16/Q20 shapes — never driver-checked);
-# (b) the three queries whose PLANS changed this round
-# (graph_triangle_stats degree orientation, bm25_topk TakeOrdered
-# rewrite, rolling_zscore overflow-safe variance); (c) all 25 queries
-# whose only green row is round 1 — the oldest evidence, re-proven on
-# current code; (d) 16 round-3-only greens prioritized on cache-adopt
-# exposure (the dedup/ANN/k-means family persists intermediates and the
-# release mechanism was rebuilt this round) and timestamp-sensitive
-# event queries (tables.load_table's conf scoping changed).  The approx
-# sketches stay excluded PERMANENTLY (can never hash-match DuckDB's
-# sketches; accuracy pytests vs exact twins cover them).  Queries NOT
-# listed follow in module order; every one has a green r01/r03/r04 row.
+# entries in insertion order.  Round-6 curation (CORRECTNESS_r05 was
+# 50/50 green, so no red rows to re-prove — evidence-freshness rotation):
+# (a) every query whose PLAN changed this round — the bucket-sliced
+# window rewrites (rolling_zscore, and window_range_interval /
+# pack_sequences inside block c), the skew-safe gram-df cap consumers
+# (ngram_jaccard, containment, incremental, incremental_indexed), and
+# tpch_q2's deterministic tiebreak; (b) the two round-1-only greens;
+# (c) all 32 queries whose newest green row is round 3 — the oldest
+# evidence on current code; (d) 10 round-4-only greens prioritized on
+# persist/cache exposure (the df-cap rebuild touched the cache
+# machinery), the event/window family (sf1 probe coverage this round),
+# and bench headliners.  The approx sketches stay excluded PERMANENTLY
+# (can never hash-match DuckDB's sketches; accuracy pytests vs exact
+# twins cover them).  Queries NOT listed follow in module order; every
+# one has a green r01/r03/r04/r05 row.
 DRIVER_WINDOW = [
-    # (a) new TPC-H breadth — correlated min, co-located join, profit
-    # rollup, group-vs-global-scalar, NOT-IN NAAJ, nested semi chain
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_promo_stock_suppliers",
-    # (a²) new containment-dedup operator (SlimPajama-style screen)
-    "dedup_containment",
-    # (b) plans changed this round
-    "graph_triangle_stats",
-    "bm25_topk",
+    # (a) plans changed this round: bucket-sliced zscore window,
+    # skew-safe df-cap consumers, q2 tiebreak
     "rolling_zscore",
-    # (c) round-1-only greens, oldest evidence
-    "array_functions",
-    "cube_agg",
-    "distinct_keys",
-    "filter_project",
-    "group_having",
-    "hash_sample",
-    "join_anti",
-    "join_cross",
-    "join_outer",
-    "join_semi",
-    "lateral_posexplode",
-    "map_functions",
-    "null_semantics",
-    "percentile_summary",
-    "pivot_priority",
-    "rollup_agg",
-    "scalar_functions",
-    "set_except",
-    # (set_union_all evicted for dedup_containment, set_intersect for
-    # dedup_incremental_indexed: both r01-green trivially-stable set-op
-    # plans whose multiset cousins hold r04 rows)
-    "stats_agg",
-    "top_k",
-    "unpivot_measures",
-    "window_extended",
-    "wordcount",
-    # (d) round-3-only greens: cache-adopt-exposed dedup/ANN family
-    # first, then timestamp-sensitive event queries
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_containment",
     "dedup_incremental",
-    # the bucketed-index screen (zero index-side exchange) — driver-
-    # checked alongside its self-deriving twin; displaces set_intersect
-    # (r01-green; its multiset cousin set_intersect_all has an r04 row)
     "dedup_incremental_indexed",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_pipeline_keeplist",
-    "ann_cosine_topk",
-    "ann_ivf",
-    "ann_lsh_bucketed",
-    "kmeans_embeddings",
-    "events_interval_join",
-    "session_window_agg",
-    "cohort_retention",
+    "tpch_q2_min_cost_supplier",
+    # (b) round-1-only greens (evicted from the r05 window; trivially
+    # stable plans, re-proven here so no evidence predates r06)
+    "set_union_all",
+    "set_intersect",
+    # (c) round-3-latest greens — oldest evidence on current code.
+    # window_range_interval and pack_sequences also carry this round's
+    # bucket-sliced rewrites.
+    "asof_join",
+    "contamination_check",
+    "doc_fingerprint",
+    "events_sliding_window",
+    "events_time_window",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "json_extract",
+    "lang_id",
+    "mixture_sample",
+    "mr_wordcount_facade",
+    "multimodal_features",
+    "ngram_topk",
+    "not_exists_subquery",
+    "pack_sequences",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "perplexity_proxy",
+    "python_udtf_tokens",
+    "quality_score",
+    "repetition_stats",
+    "scalar_subquery_above_avg",
+    "search_dir_listing",
+    "snapshot_diff",
+    "sql_api_revenue",
+    "stratified_sample",
+    "string_agg_sorted",
+    "table_profile",
+    "text_stats",
+    "tfidf_topterms",
+    "token_count_bpe",
+    "window_range_interval",
+    # (d) round-4-latest greens: persist-heavy dedup/ANN/graph rows
+    # (cache-adopt exposure), the event/window family the sf1 probe
+    # now covers, and bench headliners
+    "dedup_passage",
+    "dedup_semantic",
+    "ann_ivf_kmeans",
+    "pagerank_dup_graph",
+    "sessionize",
+    "events_window_distinct",
+    "clean_corpus",
+    "tpch_q18_large_volume",
+    "join_skew_salted",
+    "chunk_documents",
 ]
 
 

@@ -32,11 +32,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
-    NGRAM_DF_CAP,
+    _df_cap,
     _incr_is_new,
     _shingled_docs,
     fan_out,
@@ -69,18 +68,18 @@ def build_corpus_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     ).parquet(paths["hashes"])
     posting = _shingled_docs(old, with_hashes=True).select(
         "doc_id", F.explode("gh").alias("g")
-    )
-    capped = (
-        posting.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-        )
-        .where(F.col("df") <= NGRAM_DF_CAP)
-        .drop("df")
-    )
-    capped.write.mode("overwrite").parquet(paths["grams"])
-    capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).write.mode(
-        "overwrite"
-    ).parquet(paths["sizes"])
+    ).persist()
+    try:
+        # skew-safe df cap (partial agg + broadcast anti-join — see
+        # operators.dedup._df_cap); the persist keeps the build to one
+        # shingling pass across the two writes
+        capped = _df_cap(posting)
+        capped.write.mode("overwrite").parquet(paths["grams"])
+        capped.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_b")
+        ).write.mode("overwrite").parquet(paths["sizes"])
+    finally:
+        posting.unpersist()
     return paths
 
 

@@ -1,0 +1,86 @@
+"""Bucket-sliced window rewrites (round-6 scale fix).
+
+A window partitioned by a low-cardinality key alone (``event_type``,
+``source``) serializes each key's entire history into ONE task at
+100 TB.  The rewrites slice every row-level window by a bounded bucket
+key — frame-width time buckets with ghost rows for the trailing RANGE
+frames, doc_id buckets + a bucket-offset prefix for the packing cumsum.
+Output equivalence is pinned by the DuckDB oracles (which keep the
+naive single-key formulation — ``test_relational.test_query_matches_
+oracle``); these tests pin the PLAN property: no row-level Window node
+partitioned by the hot key alone, and real bucket granularity in the
+data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators import relational_ext, text
+from map_reduce_framework_spark.sources import load_table
+
+from .conftest import SF_DIR
+from .test_plans import plan_of
+
+
+def _window_lines(plan: str) -> list[str]:
+    lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert lines, f"no Window node found:\n{plan}"
+    return lines
+
+
+def test_rolling_zscore_window_is_bucket_partitioned(spark):
+    plan = plan_of(relational_ext.rolling_zscore(spark, SF_DIR), mode="simple")
+    for line in _window_lines(plan):
+        assert "bkt" in line, line
+
+
+def test_window_range_interval_is_bucket_partitioned(spark):
+    plan = plan_of(
+        relational_ext.window_range_interval(spark, SF_DIR), mode="simple"
+    )
+    for line in _window_lines(plan):
+        assert "bkt" in line, line
+
+
+def test_pack_sequences_row_windows_are_bucket_partitioned(spark):
+    """Both windows must carry the bucket key: the row-level cumsum is
+    partitioned by (source, bkt), and the offset prefix — though it may
+    order by bkt within a source — runs over the per-bucket AGGREGATE
+    table (rows = buckets, not documents), visible as a Window above a
+    HashAggregate rather than above the scan."""
+    plan = plan_of(text.pack_sequences(spark, SF_DIR), mode="simple")
+    for line in _window_lines(plan):
+        assert "bkt" in line, line
+
+
+def test_bucket_keys_fan_out_beyond_key_cardinality(spark):
+    """The partition-count evidence: at the smallest test SF the bucket
+    key already multiplies task granularity well beyond the raw key's
+    cardinality (> 4 buckets per event_type / per source)."""
+    ev = load_table(spark, SF_DIR, "events")
+    width = relational_ext.ZSCORE_WINDOW_HOURS * 3600
+    types = ev.select("event_type").distinct().count()
+    groups = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / width).alias("bkt"),
+        )
+        .distinct()
+        .count()
+    )
+    assert groups > 4 * types, (groups, types)
+
+    # the small SFs' 500 doc_ids fit one PACK_ID_BUCKET; the granularity
+    # claim needs sf0.1 (doc_ids 0-4999 → 5 buckets per source)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    sources = docs.select("source").distinct().count()
+    doc_groups = (
+        docs.select(
+            "source",
+            F.floor(F.col("doc_id") / text.PACK_ID_BUCKET).alias("bkt"),
+        )
+        .distinct()
+        .count()
+    )
+    assert doc_groups > 4 * sources, (doc_groups, sources)

@@ -340,6 +340,57 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert back.count() == docs.where("lang = 'en'").count()
 
 
+def test_gram_df_cap_is_partial_agg_not_window(spark):
+    """The gram-df cap must never colocate a gram's full posting list in
+    one task (round-6 rewrite): the df pass is a groupBy with MAP-SIDE
+    partial aggregation — only combiner rows shuffle — and the tiny
+    over-cap gram set applies via broadcast anti-join.  A Window node
+    here would be the 100 TB unbounded-fan-in regression."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import _shingle_exploded
+
+    from pyspark.sql import functions as F
+
+    e = _shingle_exploded(spark, SF_DIR)
+    try:
+        plan = plan_of(e, mode="simple")
+        formatted = plan_of(e, mode="formatted")
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        # the df count aggregates partially before its exchange
+        assert (
+            "partial_count" in formatted or "Functions: [partial_" in formatted
+        ), formatted
+        # the persisted capped list is hash-partitioned + sorted on g, so
+        # the candidate self-join needs NO exchange of its own: every
+        # Exchange in the plan is a deliberate REPARTITION inside the
+        # cached subtree, never an ENSURE_REQUIREMENTS inserted for the
+        # join (forcing SMJ — at test SF the capped list broadcasts)
+        e.count()  # populate the cache so the join plans against it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = e.alias("a"), e.alias("b")
+            pairs = a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            jplan = plan_of(pairs, mode="simple")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in jplan, jplan
+        # every Exchange sits deep inside the printed cached subtree
+        # (the df-agg's combiner-row finalization, the deliberate
+        # repartitions); none at the SMJ's input depth — the join's
+        # sides read the cache as-is.  The SMJ's direct children print
+        # at column ≤ 12; cached-plan internals print far deeper.
+        for line in jplan.splitlines():
+            if "Exchange" in line:
+                assert line.index("Exchange") > 12, jplan
+    finally:
+        cache.release()
+
+
 def test_gram_index_join_shuffles_batch_side_only(spark):
     """The incremental screen's candidate equi-join must read the
     materialized gram index WITHOUT an exchange: the bucket layout is

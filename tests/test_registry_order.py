@@ -1,13 +1,15 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-5 policy (CORRECTNESS_r04 was 50/50 green): the window holds
-(a) the six new TPC-H breadth queries (never driver-checked), (b) the
-three queries whose plans changed this round, (c) all 25 round-1-only
-greens (oldest evidence), (d) 16 round-3-only greens picked for
-cache-adopt exposure and timestamp sensitivity.  The two approx
-sketches are excluded permanently — they can never hash-match DuckDB's
-sketches and would burn slots on guaranteed `no_oracle` rows.
+Round-6 policy (CORRECTNESS_r05 was 50/50 green — pure evidence-
+freshness rotation): the window holds (a) every query whose plan
+changed this round (bucket-sliced windows, skew-safe gram-df cap
+consumers, the q2 tiebreak), (b) the two round-1-only greens, (c) all
+32 round-3-latest greens (oldest evidence on current code), (d) 10
+round-4-latest greens picked for persist/cache exposure and sf1-probe
+family coverage.  The two approx sketches are excluded permanently —
+they can never hash-match DuckDB's sketches and would burn slots on
+guaranteed `no_oracle` rows.
 """
 
 from __future__ import annotations
@@ -17,18 +19,18 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-NEW_IN_R5 = {
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_promo_stock_suppliers",
+PLAN_CHANGED_IN_R6 = {
+    "rolling_zscore",
+    "window_range_interval",
+    "pack_sequences",
+    "dedup_ngram_jaccard",
     "dedup_containment",
+    "dedup_incremental",
     "dedup_incremental_indexed",
+    "tpch_q2_min_cost_supplier",
 }
 
-PLAN_CHANGED_IN_R5 = {"graph_triangle_stats", "bm25_topk", "rolling_zscore"}
+OLDEST_EVIDENCE = {"set_union_all", "set_intersect"}  # r01-only greens
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
 
@@ -36,6 +38,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 
@@ -56,8 +59,8 @@ def test_driver_window_is_first_50():
 
 def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert NEW_IN_R5 <= window
-    assert PLAN_CHANGED_IN_R5 <= window
+    assert PLAN_CHANGED_IN_R6 <= window
+    assert OLDEST_EVIDENCE <= window
 
 
 def test_no_oracle_queries_stay_out_of_window():

@@ -76,7 +76,10 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     from map_reduce_framework_spark import cache
     from map_reduce_framework_spark.plans import registry

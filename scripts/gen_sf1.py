@@ -1,4 +1,4 @@
-"""Generate sf1-scale documents + embeddings for the empirical scale probe.
+"""Generate sf1-scale documents + embeddings + events for the scale probe.
 
 The driver ships sf0.001/0.01/0.1 (TESTDATA.md, read-only); the 100×
 arguments in SCALING.md deserve at least one measured point above
@@ -10,6 +10,15 @@ perturbation) and ~0.2% exact dups, unit-norm 64-d embeddings in 10
 label blocks.  Crucially, at 50k docs the 3-gram document frequencies
 CROSS ``NGRAM_DF_CAP`` (=100), so the df-cap path runs for real instead
 of vacuously.
+
+Round 6 adds a 10× EVENTS table (1,000,000 rows) for the event/window
+family probe.  The 10× is in HISTORY LENGTH (300 days at the shipped
+arrival rate, same 5 uniform event types, 10× users), because history-
+per-key is exactly the axis the bucket-sliced window rewrites address:
+the old ``PARTITION BY event_type`` plan's single task grows 10× here,
+while the bucketed plan's per-task work stays flat and its task count
+grows 10×.  Same value distribution (2-dp, mean ≈ 50) and MICROS/NTZ
+timestamp encoding as the shipped sf0.1 table.
 
 Output goes to /tmp/mrfs_sf1 (never into the read-only testdata dir).
 Deterministic: numpy PCG64 seed 42.
@@ -28,6 +37,9 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrfs_sf1"
 N_DOCS = 50_000
 N_VECS = 20_000
 DIM = 64
+N_EVENTS = 1_000_000
+N_EVENT_DAYS = 300
+N_USERS = 15_000
 # the shipped corpus's exact 31-word vocabulary (extracted from sf0.1)
 VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
@@ -81,10 +93,36 @@ def main() -> None:
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
+    # 10×-history events: 300 days at the shipped sf0.1 arrival rate
+    start_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span_us = N_EVENT_DAYS * 86_400 * 1_000_000
+    ts_us = np.sort(start_us + (rng.random(N_EVENTS) * span_us).astype(np.int64))
+    etypes = np.array(["view", "click", "purchase", "signup", "error"])[
+        rng.integers(0, 5, size=N_EVENTS)
+    ]
+    values = np.round(-50.0 * np.log(rng.random(N_EVENTS)), 2)
+    events = pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, N_USERS, size=N_EVENTS), pa.int64()
+            ),
+            "event_type": pa.array(etypes, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {k}}}' for k in rng.integers(0, 100, size=N_EVENTS)],
+                pa.string(),
+            ),
+        }
+    )
     os.makedirs(OUT, exist_ok=True)
     pq.write_table(docs, os.path.join(OUT, "documents.parquet"))
     pq.write_table(emb, os.path.join(OUT, "embeddings.parquet"))
-    print(f"wrote {N_DOCS} docs + {N_VECS} embeddings to {OUT}")
+    pq.write_table(events, os.path.join(OUT, "events.parquet"))
+    print(
+        f"wrote {N_DOCS} docs + {N_VECS} embeddings + {N_EVENTS} events to {OUT}"
+    )
 
 
 if __name__ == "__main__":

@@ -34,6 +34,18 @@ PROBE_QUERIES = [
     "graph_triangle_stats",
     "dedup_semantic",
     "dedup_embedding_cosine",
+    # event/window family (round 6): probes the bucket-sliced window
+    # rewrites on 10×-HISTORY events (same arrival rate, 300 days) —
+    # the axis where the old PARTITION BY event_type plan serialized.
+    # window_range_interval keeps its event_id < 2000 output filter, so
+    # its row counts the scan, not the window; rolling_zscore is the
+    # full-table window probe.
+    "rolling_zscore",
+    "window_range_interval",
+    "sessionize",
+    "events_window_distinct",
+    "session_window_agg",
+    "cohort_retention",
 ]
 
 

@@ -761,21 +761,74 @@ def band_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: window_distribution: balance-bucket width for the distributed rank
+#: decomposition.  c_acctbal is bounded money (−1k..10k), so $100
+#: buckets give ~110 slices per nation; finer width buys parallelism at
+#: the price of a larger (still tiny) bucket-offset table.
+DIST_BAL_BUCKET = 100
+
+
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank / cume_dist /
     ntile(4) of each customer's balance within its nation.  The order key
     includes c_custkey so ranks are total (no peer groups) and the
     fractional outputs are exact integer ratios, identical across
-    engines.  One hash-partition shuffle by nation; no joins."""
+    engines.
+
+    Bucket-sliced ranks (round-6 scale rewrite): ``PARTITION BY
+    c_nationkey`` alone is 25 nations ⇒ 25 tasks sorting the whole
+    customer table at 100 TB.  Rank functions cannot window-duplicate
+    (a rank needs the group's total order), but with a TIE-FREE order
+    key they decompose: global rank = (count of rows in lower balance
+    buckets — an exclusive prefix over the tiny per-(nation, bucket)
+    count table) + row_number within the bucket, and all three outputs
+    are closed forms of (rank, n): percent_rank = (rank−1)/(n−1),
+    cume_dist = rank/n, and ntile(4)'s first n mod 4 tiles hold
+    ⌈n/4⌉ rows (Spark/DuckDB/standard semantics).  floor(acctbal /
+    width) is monotone, so bucket order extends the value order.
+    """
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    b = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / DIST_BAL_BUCKET).alias("bkt"),
+    )
+    w_local = Window.partitionBy("c_nationkey", "bkt").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    w_pfx = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = b.groupBy("c_nationkey", "bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offsets = counts.select(
+        "c_nationkey",
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_pfx), F.lit(0)).alias("off"),
+    )
+    totals = counts.groupBy("c_nationkey").agg(F.sum("bn").alias("n"))
+    ranked = (
+        b.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["c_nationkey", "bkt"])
+        .join(F.broadcast(totals), "c_nationkey")
+        .withColumn("rank", F.col("off") + F.col("lr"))
+    )
+    n, rank = F.col("n"), F.col("rank")
+    pct = F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0))
+    cume = rank / n
+    q, r = F.floor(n / 4), n % 4
+    tile = F.when(
+        rank <= r * (q + 1), F.ceil(rank / (q + 1))
+    ).otherwise(r + F.ceil((rank - r * (q + 1)) / q))
     return (
-        cust.select(
+        ranked.select(
             "c_custkey",
             "c_nationkey",
-            rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
-            rnd(F.cume_dist().over(w), 4).alias("cume"),
-            F.ntile(4).over(w).cast("long").alias("quartile"),
+            rnd(pct, 4).alias("pct_rank"),
+            rnd(cume, 4).alias("cume"),
+            tile.cast("long").alias("quartile"),
         )
         .orderBy("c_custkey")
     )

@@ -120,7 +120,8 @@ DRIVER_WINDOW = [
     "clean_corpus",
     "tpch_q18_large_volume",
     "join_skew_salted",
-    "chunk_documents",
+    # plan changed late in round 6 (bucket-sliced rank decomposition)
+    "window_distribution",
 ]
 
 

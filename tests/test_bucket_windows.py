@@ -54,6 +54,18 @@ def test_pack_sequences_row_windows_are_bucket_partitioned(spark):
         assert "bkt" in line, line
 
 
+def test_window_distribution_ranks_are_bucket_partitioned(spark):
+    """The rank decomposition must never sort a whole nation in one
+    task: the only row-level Window is the per-(nation, balance-bucket)
+    row_number; the nation-only window runs over the per-bucket COUNT
+    table (a Window above a HashAggregate, not above the scan)."""
+    plan = plan_of(
+        relational_ext.window_distribution(spark, SF_DIR), mode="simple"
+    )
+    for line in _window_lines(plan):
+        assert "bkt" in line, line
+
+
 def test_bucket_keys_fan_out_beyond_key_cardinality(spark):
     """The partition-count evidence: at the smallest test SF the bucket
     key already multiplies task granularity well beyond the raw key's

@@ -28,6 +28,7 @@ PLAN_CHANGED_IN_R6 = {
     "dedup_incremental",
     "dedup_incremental_indexed",
     "tpch_q2_min_cost_supplier",
+    "window_distribution",
 }
 
 OLDEST_EVIDENCE = {"set_union_all", "set_intersect"}  # r01-only greens

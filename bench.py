@@ -71,6 +71,11 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
     "tpch_q20_promo_stock_suppliers",
+    # round-6 additions — the bucket-sliced window rewrites (their cost
+    # is the price of removing one-task-per-key plans; track it)
+    "window_range_interval",
+    "pack_sequences",
+    "window_distribution",
 ]
 
 

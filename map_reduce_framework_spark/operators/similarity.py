@@ -4,7 +4,8 @@ Two paths, both pure DataFrame compositions (JVM-side ``zip_with`` /
 ``aggregate`` arithmetic in double precision — no Python in the loop):
 
 - :func:`ann_cosine_topk` — brute-force exact top-k: broadcast the (tiny)
-  query set against the corpus, window row_number per query.  The exact
+  query set against the corpus, then the salted two-phase top-k
+  (:func:`_topk_per_query` — no one-task-per-query window).  The exact
   baseline every ANN variant is measured against.
 - :func:`ann_lsh_bucketed` — sign-bit LSH bucketing (random-hyperplane
   LSH with axis-aligned hyperplanes = sign of the first
@@ -62,6 +63,38 @@ def _pair_cosine() -> "F.Column":
     return dot_col("vq", "vc")
 
 
+#: two-phase top-k fan-out: the local pass keys on (query_id, salt), so
+#: any one window task holds ~|candidates|/TOPK_SALTS rows instead of a
+#: query's ENTIRE candidate set; the global pass then ranks ≤ SALTS·k
+#: rows per query.  Deterministic salt (hash of cand_id), and the salt
+#: never changes the result: with a TOTAL order (score + id tiebreak) a
+#: global top-k row can be locally outranked only by globally-higher
+#: rows, of which there are < k — so it always survives the local cut.
+TOPK_SALTS = 64
+
+
+def _topk_per_query(
+    scored: DataFrame, k: int, out_cols: list[str]
+) -> DataFrame:
+    """Exact per-query top-k without a one-task-per-query window
+    (round-6 scale rewrite — same hot-key class as the bucket-sliced
+    event windows: ``PARTITION BY query_id`` over corpus-scale
+    candidates serializes each query's ranking into one task when the
+    query batch is small)."""
+    order = [F.col("cos6").desc(), F.col("cand_id")]
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_salt", F.pmod(F.hash("cand_id"), F.lit(TOPK_SALTS)))
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= k)
+        .select(*out_cols)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector.
 
@@ -73,20 +106,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("cand_id"))
         .withColumn("cos6", rnd(_pair_cosine(), 6))
+        .withColumn("cosine", rnd(F.col("cos6"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos6").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "cand_id",
-            "rank",
-            rnd(F.col("cos6"), 4).alias("cosine"),
-        )
-        .orderBy("query_id", "rank")
+    return _topk_per_query(
+        scored, TOP_K, ["query_id", "cand_id", "rank", "cosine"]
     )
 
 
@@ -152,21 +175,10 @@ def ann_lsh_bucketed(
         )
         .withColumn("cos6", rnd(_pair_cosine(), 6))
         .withColumn("bucket", F.col("cbucket"))
+        .withColumn("cosine", rnd(F.col("cos6"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos6").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= BUCKET_TOP_K)
-        .select(
-            "query_id",
-            "cand_id",
-            "bucket",
-            "rank",
-            rnd(F.col("cos6"), 4).alias("cosine"),
-        )
-        .orderBy("query_id", "rank")
+    return _topk_per_query(
+        scored, BUCKET_TOP_K, ["query_id", "cand_id", "bucket", "rank", "cosine"]
     )
 
 
@@ -251,20 +263,10 @@ def _ivf_search(
         .withColumn("cos6", rnd(_pair_cosine(), 6))
         # a candidate can appear via both probed cells — count it once
         .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("cosine", rnd(F.col("cos6"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos6").desc(), F.col("cand_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= IVF_TOP_K)
-        .select(
-            "query_id",
-            "cand_id",
-            "rank",
-            rnd(F.col("cos6"), 4).alias("cosine"),
-        )
-        .orderBy("query_id", "rank")
+    return _topk_per_query(
+        scored, IVF_TOP_K, ["query_id", "cand_id", "rank", "cosine"]
     )
 
 

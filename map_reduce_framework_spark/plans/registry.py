@@ -110,18 +110,21 @@ DRIVER_WINDOW = [
     "window_range_interval",
     # (d) round-4-latest greens: persist-heavy dedup/ANN/graph rows
     # (cache-adopt exposure), the event/window family the sf1 probe
-    # now covers, and bench headliners
+    # now covers
     "dedup_passage",
     "dedup_semantic",
     "ann_ivf_kmeans",
-    "pagerank_dup_graph",
     "sessionize",
     "events_window_distinct",
     "clean_corpus",
-    "tpch_q18_large_volume",
-    "join_skew_salted",
-    # plan changed late in round 6 (bucket-sliced rank decomposition)
+    # plans changed late in round 6: bucket-sliced rank decomposition +
+    # the salted two-phase ANN top-k (displacing three stable r04-green
+    # rows — pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted
+    # — which rotate back next round)
     "window_distribution",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
 ]
 
 

@@ -27,30 +27,41 @@ TABLES = (
 
 
 def _footer_timestamp_kinds(path: str) -> tuple[bool, bool]:
-    """(has naive µs/ms timestamp, has nanos timestamp) from the parquet
-    footer — one metadata read, no data IO, so probing per load is free
-    relative to the scan it gates."""
+    """(has naive µs/ms timestamp, has nanos timestamp) from parquet
+    footers — metadata reads only, no data IO, so probing per load is
+    free relative to the scan it gates.
+
+    Sharded tables probe the first, middle, and last part files (O(1)
+    regardless of shard count): a generator that re-encoded timestamps
+    mid-table — the round-4 incident that motivated this probe — leaves
+    the boundary between encodings at SOME file boundary, and any ONE
+    detected nanos/naive shard is enough to set the right session conf
+    for the whole scan."""
     import glob
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    f = path
-    if not os.path.isfile(f):
+    if os.path.isfile(path):
+        probes = [path]
+    else:
         candidates = sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
         if not candidates:
             return False, False
-        f = candidates[0]
+        probes = sorted(
+            {candidates[0], candidates[len(candidates) // 2], candidates[-1]}
+        )
     naive = nanos = False
-    for field in pq.read_schema(f):
-        if pa.types.is_timestamp(field.type):
-            if field.type.unit == "ns":
-                nanos = True
-            elif field.type.tz is None:
-                naive = True
+    for f in probes:
+        for field in pq.read_schema(f):
+            if pa.types.is_timestamp(field.type):
+                if field.type.unit == "ns":
+                    nanos = True
+                elif field.type.tz is None:
+                    naive = True
     return naive, nanos
 
 

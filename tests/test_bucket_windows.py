@@ -66,6 +66,22 @@ def test_window_distribution_ranks_are_bucket_partitioned(spark):
         assert "bkt" in line, line
 
 
+def test_ann_topk_local_pass_is_salted(spark):
+    """The ANN rankers' corpus-scale window must carry the salt key:
+    the only per-query_id-alone window runs over the already-pruned
+    ≤ SALTS·k rows.  Plan shape: ≥ 2 Window nodes, the first (bottom,
+    corpus-side) partitioned by (query_id, _salt)."""
+    from map_reduce_framework_spark.operators import similarity
+
+    for fn in (similarity.ann_cosine_topk, similarity.ann_lsh_bucketed):
+        plan = plan_of(fn(spark, SF_DIR), mode="simple")
+        lines = _window_lines(plan)
+        assert any("_salt" in l for l in lines), plan
+        # bottom-most Window node (deepest = executed first) is the
+        # salted local pass
+        assert "_salt" in lines[-1], lines[-1]
+
+
 def test_bucket_keys_fan_out_beyond_key_cardinality(spark):
     """The partition-count evidence: at the smallest test SF the bucket
     key already multiplies task granularity well beyond the raw key's

@@ -185,3 +185,30 @@ def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
         assert r.bytes > 0
         assert r.min_id <= r.max_id
         assert f"source={r.source}" in r.shard
+
+
+def test_footer_probe_sees_beyond_the_first_shard(tmp_path):
+    """A sharded table whose LAST part file carries the nanos encoding
+    must still trip the probe (round-6: `_footer_timestamp_kinds` now
+    checks first/middle/last footers, not one file — the boundary of a
+    mid-table re-encoding lands at some file boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_spark.sources.tables import (
+        _footer_timestamp_kinds,
+    )
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    us = pa.table({"ts": pa.array([0, 1], pa.timestamp("us"))})
+    ns = pa.table({"ts": pa.array([0, 1], pa.timestamp("ns"))})
+    pq.write_table(us, d / "part-00000.parquet")
+    pq.write_table(us, d / "part-00001.parquet")
+    pq.write_table(ns, d / "part-00002.parquet")
+    naive, nanos = _footer_timestamp_kinds(str(d))
+    assert nanos, "nanos shard at the end of the table went undetected"
+    assert naive  # the us shards are tz-naive
+    # single-file path unchanged
+    naive1, nanos1 = _footer_timestamp_kinds(str(d / "part-00000.parquet"))
+    assert naive1 and not nanos1

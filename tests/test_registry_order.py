@@ -29,6 +29,11 @@ PLAN_CHANGED_IN_R6 = {
     "dedup_incremental_indexed",
     "tpch_q2_min_cost_supplier",
     "window_distribution",
+    # salted two-phase ANN top-k (ann_ivf_kmeans shares the rewrite and
+    # already sits in block d)
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
 }
 
 OLDEST_EVIDENCE = {"set_union_all", "set_intersect"}  # r01-only greens

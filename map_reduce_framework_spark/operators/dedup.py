@@ -948,6 +948,121 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup (duplicated-span detection)
+# ---------------------------------------------------------------------------
+
+#: exact-substring dedup: duplicated-window width in WORDS.  Lee et al.
+#: ("Deduplicating Training Data Makes Language Models Better", 2022)
+#: flag 50-token substrings that recur anywhere in the corpus; the
+#: word-window analogue here uses 10 words (the synthetic docs average
+#: ~54 words).  A window is "duplicated" when the exact word sequence
+#: occurs more than once corpus-wide — including twice in the SAME
+#: document (self-repetition is duplication too, per the paper).
+SUBSTR_WINDOW = 10
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity exact dedup: maximal duplicated spans per doc.
+
+    The suffix-array pass of Lee et al. re-expressed as a distributed
+    sliding-window join — the standard scale-out approximation (window
+    stride 1, so any duplicated substring of >= ``SUBSTR_WINDOW`` words
+    is detected, with span boundaries resolved to the word):
+
+    1. every document emits one 60-bit hash per ``SUBSTR_WINDOW``-word
+       window, with its word position (JVM-side ``transform`` over the
+       token array — one ``split`` per row via the let-binding trick);
+    2. ``groupBy(g).count()`` (map-side partial agg) finds windows whose
+       exact text recurs corpus-wide; positions join that set on the
+       fixed-width gram key;
+    3. per document, overlapping/touching duplicated windows coalesce
+       into maximal spans: window ends ``i + W`` are monotone in ``i``,
+       so a single ``lag`` detects run breaks — the merge window is
+       partitioned by ``doc_id`` (doc-bounded, high-cardinality: safe at
+       100 TB, unlike a corpus-level window).
+
+    Output: one row per document that contains at least one duplicated
+    span — span count, longest span, total duplicated words (spans are
+    disjoint after the merge, so the sum IS the union size), and the
+    duplicated-word fraction.
+
+    Scale notes: step 2's hot keys (boilerplate windows recurring
+    millions of times) do NOT explode — unlike the pairwise Jaccard
+    join, the posting list joins a one-row-per-gram key set, so output
+    stays linear in the postings and AQE skew-split handles the bucket;
+    no df cap is needed.  The span merge never sees more rows per task
+    than one document's windows.
+    """
+    from pyspark.sql import Window as W
+
+    width = SUBSTR_WINDOW
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    pos = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.explode(
+            F.expr(
+                f"""element_at(transform(array(split(text, ' ')), toks ->
+                CASE WHEN size(toks) >= {width}
+                THEN transform(sequence(0, size(toks) - {width}),
+                     i -> named_struct(
+                         'i', CAST(i AS BIGINT),
+                         'g', CAST(conv(substr(md5(
+                                  concat_ws(' ', slice(toks, i + 1, {width}))),
+                                  1, 15), 16, 10) AS BIGINT)))
+                ELSE CAST(array() AS
+                          array<struct<i: bigint, g: bigint>>) END), 1)"""
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_words", F.col("w.i").alias("i"), F.col("w.g").alias("g"))
+
+    dup_grams = pos.groupBy("g").count().where(F.col("count") > 1).select("g")
+    dup_pos = pos.join(dup_grams, "g")
+
+    merge_w = W.partitionBy("doc_id").orderBy("i")
+    runs = (
+        dup_pos.withColumn("prev_i", F.lag("i").over(merge_w))
+        # window ends i+W are monotone in i, so the previous window's end
+        # IS the running max end: a gap opens iff i > prev_i + W
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev_i").isNull()
+                | (F.col("i") > F.col("prev_i") + width),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                merge_w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "n_words", "run_id")
+        .agg(
+            F.min("i").alias("start"),
+            (F.max("i") + width).alias("end"),
+        )
+    )
+    return (
+        runs.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.max(F.col("end") - F.col("start")).alias("longest_span_words"),
+            F.sum(F.col("end") - F.col("start")).alias("dup_words"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "longest_span_words",
+            "dup_words",
+            rnd(F.col("dup_words") / F.col("n_words"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracles (DuckDB) — same constants, same hashing, same blocking
 # ---------------------------------------------------------------------------
 
@@ -982,6 +1097,42 @@ _SIMHASH_CHUNK_KEYS = ", ".join(
 )
 
 ORACLES = {
+    "dedup_exact_substring": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        pos AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(i AS BIGINT) AS i,
+                       {_hash60_sql(
+                           "list_aggr(toks[i + 1:i + " + str(SUBSTR_WINDOW)
+                           + "], 'string_agg', ' ')")} AS g
+                FROM t, LATERAL (SELECT unnest(range(
+                    greatest(len(toks) - {SUBSTR_WINDOW - 1}, 0))) AS i) s),
+        dupg AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
+        dp AS (SELECT doc_id, n_words, i FROM pos JOIN dupg USING (g)),
+        r AS (SELECT doc_id, n_words, i,
+                     CASE WHEN lag(i) OVER w IS NULL
+                            OR i > lag(i) OVER w + {SUBSTR_WINDOW}
+                          THEN 1 ELSE 0 END AS new_run
+              FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        rr AS (SELECT doc_id, n_words, i,
+                      sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS run_id
+               FROM r),
+        runs AS (SELECT doc_id, n_words, run_id,
+                        min(i) AS run_start,
+                        max(i) + {SUBSTR_WINDOW} AS run_end
+                 FROM rr GROUP BY 1, 2, 3),
+        agg AS (SELECT doc_id, n_words,
+                       count(*) AS n_dup_spans,
+                       CAST(max(run_end - run_start) AS BIGINT)
+                           AS longest_span_words,
+                       CAST(sum(run_end - run_start) AS BIGINT) AS dup_words
+                FROM runs GROUP BY 1, 2)
+        SELECT doc_id, n_dup_spans, longest_span_words, dup_words,
+               {rnd_sql('dup_words / n_words', 6)} AS dup_frac
+        FROM agg ORDER BY doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                count(*) AS n_copies
@@ -1203,6 +1354,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -7,10 +7,12 @@ feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
 NOT in this container, so those codec steps are stubbed — a
 clearly-marked deterministic fake behind an import-try
 (``NotImplementedError`` if real decode is requested without the lib).
-TWO codec paths are fully real with zero dependencies:
-:func:`decode_wav` parses RIFF/WAVE PCM headers and :func:`decode_bmp`
-parses uncompressed-BMP headers, both with stdlib ``struct``, and
-:func:`wav_features` / :func:`bmp_features` run them through the same
+THREE codec paths are fully real with zero dependencies:
+:func:`decode_wav` parses RIFF/WAVE PCM headers, :func:`decode_bmp`
+parses uncompressed-BMP headers (both stdlib ``struct``), and
+:func:`decode_png` decodes actual PNG pixels (stdlib ``zlib`` inflate +
+numpy scanline unfiltering); :func:`wav_features` /
+:func:`bmp_features` / :func:`png_features` run them through the same
 ``mapInPandas`` plumbing as the stub extractor.  Everything Spark-side
 is real and tested either way: binary column construction, metadata
 schema, Arrow batch shapes, UDF signatures, partition-parallel
@@ -88,14 +90,16 @@ def decode_real(payload: bytes, kind: str) -> dict:
 
     ``audio`` payloads that are RIFF/WAVE go through the dependency-free
     PCM header parser (:func:`decode_wav`); ``image`` payloads that are
-    BMP go through :func:`decode_bmp` (round-6 second real codec).
-    Compressed images and video still require PIL/ffmpeg, absent in this
-    container — those stay fail-loud.
+    BMP go through :func:`decode_bmp` and PNG through :func:`decode_png`
+    (full pixel decode via stdlib zlib).  JPEG/video still require
+    PIL/ffmpeg, absent in this container — those stay fail-loud.
     """
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if kind == "image" and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if not HAVE_IMAGE_LIB:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg/pyav, not installed"
@@ -207,6 +211,150 @@ def decode_bmp(payload: bytes) -> dict:
         "n_pixels": width * height,
         "top_down": top_down,
     }
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL codec path #3: full PNG pixel decode with stdlib ``zlib``.
+
+    Unlike :func:`decode_wav` / :func:`decode_bmp` (header parses), this
+    decodes actual pixels: walks the chunk list (CRC-verified), inflates
+    the concatenated IDAT stream, reverses the per-scanline filters
+    (None/Sub/Up/Average/Paeth) with numpy row kernels, and returns
+    geometry plus the mean sample value — the cheap "is this image
+    black/blown-out" feature a curation pipeline computes at ingest.
+
+    Supported: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA).  Palette (3), 1/2/4/16-bit, Adam7
+    interlace, and corrupt streams fail loudly — same policy as the
+    other codecs.
+    """
+    out, width, height, bit_depth, channels = _png_pixels(payload)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "channels": channels,
+        "n_pixels": width * height,
+        "mean_sample": round(float(out.mean()), 4),
+    }
+
+
+def _png_pixels(payload: bytes):
+    """PNG chunk walk + inflate + unfilter; returns the raw sample matrix
+    ``(height, width*channels) uint8`` plus geometry (see :func:`decode_png`)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (chunk_len,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + chunk_len]
+        if len(body) != chunk_len:
+            raise ValueError("PNG chunk extends past payload (truncated)")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + chunk_len)
+        if zlib.crc32(payload[pos + 4 : pos + 8 + chunk_len]) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            ihdr = (width, height, bit_depth, color_type, interlace)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + chunk_len
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR, IDAT, or IEND")
+    width, height, bit_depth, color_type, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/gray+alpha/RGBA PNG supported, got "
+            f"color_type={color_type} bit_depth={bit_depth}"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel stream length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel (8-bit samples)
+    for y in range(height):
+        f, cur = int(filters[y]), rows[y].copy()
+        prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub — sequential in x, vectorized per pixel-group
+            line = cur
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prior) & 0xFF
+        elif f == 3:  # Average
+            line = cur
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line.astype(np.uint8)
+    return out, width, height, bit_depth, channels
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, channels int, "
+    "n_pixels long, mean_sample double"
+)
+
+
+def _extract_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_png(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "width",
+                "height",
+                "bit_depth",
+                "channels",
+                "n_pixels",
+                "mean_sample",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Real-codec PNG feature extraction: ``(doc_id, payload binary)``
+    rows → decoded-pixel stats per item, through the same Arrow-batched
+    ``mapInPandas`` shape as :func:`wav_features` / :func:`bmp_features`."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_png, schema=PNG_FEATURE_SCHEMA
+    )
 
 
 BMP_FEATURE_SCHEMA = (

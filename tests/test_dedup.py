@@ -133,6 +133,50 @@ def test_ngram_df_cap_drops_hot_grams(spark, tmp_path):
     assert pairs == oracle
 
 
+def test_exact_substring_finds_planted_spans(spark, tmp_path):
+    """Span geometry must be exact: a 12-word block shared by two docs
+    yields ONE merged span of exactly 12 words in each (the three
+    overlapping 10-word windows coalesce; boundary-straddling windows
+    are unique and never fire), and a 10-word phrase repeated twice
+    WITHIN one doc yields two 10-word spans (self-repetition is
+    duplication, per Lee et al.).  A fully-unique doc never appears."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    doc_a = " ".join(
+        [" ".join(f"a{i}" for i in range(5)), shared,
+         " ".join(f"a{i}" for i in range(5, 18))]
+    )  # shared block at word positions 5..16 of 30
+    doc_b = shared + " " + " ".join(f"b{i}" for i in range(8))  # 20 words
+    phrase = " ".join(f"p{i}" for i in range(10))
+    doc_c = " ".join(
+        [phrase, " ".join(f"c{i}" for i in range(11)), phrase]
+    )  # 31 words; phrase at 0..9 and 21..30
+    doc_d = " ".join(f"d{i}" for i in range(25))
+    texts = [doc_a, doc_b, doc_c, doc_d]
+    pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.dedup_exact_substring(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_dup_spans"], rows[0]["longest_span_words"],
+            rows[0]["dup_words"]) == (1, 12, 12)
+    assert rows[0]["dup_frac"] == 0.4  # 12 of 30 words
+    assert (rows[1]["n_dup_spans"], rows[1]["dup_words"]) == (1, 12)
+    assert rows[1]["dup_frac"] == 0.6  # 12 of 20 words
+    assert (rows[2]["n_dup_spans"], rows[2]["longest_span_words"],
+            rows[2]["dup_words"]) == (2, 10, 20)
+    assert rows[2]["dup_frac"] == round(20 / 31, 6)
+
+
 def test_fingerprint_equal_for_exact_dups(spark, planted_dir):
     from map_reduce_framework_spark.operators.text import doc_fingerprint
 

@@ -206,3 +206,148 @@ def test_decode_wav_skips_unknown_and_odd_chunks():
     )
     feats = multimodal.decode_wav(payload)
     assert feats["n_samples"] == 10 and feats["sample_rate"] == 8000
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (full pixel decode)
+# ---------------------------------------------------------------------------
+
+
+def _make_png(pixels, filters=None, color_type=None, interlace=0):
+    """Minimal PNG encoder for tests: numpy (h, w, ch) uint8 -> bytes,
+    applying the given per-row filter types (default all 0/None)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    bpp = ch
+    stream = bytearray()
+    for y, f in enumerate(filters):
+        row = flat[y]
+        prior = flat[y - 1] if y else np.zeros_like(row)
+        enc = row.copy()
+        for x in range(len(row)):
+            a = int(row[x - bpp]) if x >= bpp else 0
+            b, c = int(prior[x]), (int(prior[x - bpp]) if x >= bpp else 0)
+            if f == 1:
+                enc[x] = (row[x] - a) & 0xFF
+            elif f == 2:
+                enc[x] = (row[x] - b) & 0xFF
+            elif f == 3:
+                enc[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) & 0xFF
+        stream.append(f)
+        stream += bytes(int(v) & 0xFF for v in enc)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrips_every_filter_type():
+    """Pixel-exact recovery through all five scanline filters on a
+    gradient RGB image (each row encoded with a different filter)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = _make_png(px, filters=[0, 1, 2, 3, 4])
+    out, w, h, depth, ch = multimodal._png_pixels(payload)
+    assert (w, h, depth, ch) == (9, 5, 8, 3)
+    assert (out == px.reshape(5, 27)).all()
+    feats = multimodal.decode_png(payload)
+    assert feats["n_pixels"] == 45
+    assert feats["mean_sample"] == round(float(px.mean()), 4)
+
+
+def test_decode_png_color_types():
+    import numpy as np
+
+    for ch in (1, 2, 3, 4):
+        px = np.arange(4 * 3 * ch, dtype=np.uint8).reshape(4, 3, ch)
+        feats = multimodal.decode_png(_make_png(px, filters=[4, 3, 2, 1]))
+        assert feats["channels"] == ch
+        assert feats["mean_sample"] == round(float(px.mean()), 4)
+
+
+def test_decode_png_rejects_corrupt_and_unsupported():
+    import numpy as np
+    import zlib
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _make_png(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"BM" + good)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(good[:-20])  # cuts into the IDAT chunk
+    with pytest.raises(ValueError, match="missing"):
+        multimodal.decode_png(good[:-12])  # clean cut at the IEND boundary
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_png(_make_png(px, interlace=1))
+    with pytest.raises(NotImplementedError, match="only 8-bit"):
+        multimodal.decode_png(_make_png(px, color_type=3))  # palette
+    # declared geometry disagreeing with the inflated stream fails loudly
+    short = _make_png(px)
+    idat_at = short.index(b"IDAT") - 4
+    (n,) = struct.unpack_from(">I", short, idat_at)
+    tail = short[idat_at + 8 + n + 4:]
+    body = zlib.compress(bytes(5))  # too few bytes for 2x2 RGB
+    rebuilt = (
+        short[:idat_at]
+        + struct.pack(">I", len(body)) + b"IDAT" + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body)) + tail
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        multimodal.decode_png(rebuilt)
+
+
+def test_decode_real_routes_png_image():
+    import numpy as np
+
+    png = _make_png(np.full((2, 3, 3), 128, dtype=np.uint8))
+    assert multimodal.decode_real(png, "image")["mean_sample"] == 128.0
+
+
+def test_png_features_through_mapinpandas(spark):
+    import numpy as np
+
+    rows = [
+        (doc_id, bytearray(_make_png(
+            np.full((h, w, ch), doc_id * 10, dtype=np.uint8),
+            filters=[f % 5 for f in range(h)])))
+        for doc_id, (w, h, ch) in enumerate([(3, 2, 3), (5, 4, 1), (2, 6, 4)])
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {
+        r.doc_id: r.asDict() for r in multimodal.png_features(media).collect()
+    }
+    for doc_id, (w, h, ch) in enumerate([(3, 2, 3), (5, 4, 1), (2, 6, 4)]):
+        assert feats[doc_id]["width"] == w and feats[doc_id]["height"] == h
+        assert feats[doc_id]["channels"] == ch
+        assert feats[doc_id]["mean_sample"] == float(doc_id * 10)

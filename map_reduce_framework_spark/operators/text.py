@@ -148,6 +148,100 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", Table A1 — adapted to the synthetic corpus's
+#: 10-99-word documents so each rule has live signal).  Documents must:
+GOPHER_MIN_WORDS = 20  #: have at least this many words (Gopher: 50)
+GOPHER_MAX_WORDS = 1000  #: ... and at most this many (Gopher: 100k)
+GOPHER_MEAN_LEN_RANGE = (3.0, 10.0)  #: mean word length in chars
+GOPHER_MIN_ALPHA_FRAC = 0.8  #: fraction of words with an alphabetic char
+GOPHER_MIN_STOPWORDS = 2  #: distinct English stopwords present
+GOPHER_MAX_SYMBOL_FRAC = 0.1  #: fraction of pure-symbol words
+
+
+def _gopher_counts(docs: DataFrame) -> DataFrame:
+    """One Arrow pass computing every count the Gopher rules need —
+    same kernel shape as :func:`_stopword_counts` (the repo's rule:
+    per-token work happens in numpy/pandas batches, not interpreted
+    Catalyst HOFs)."""
+    import re
+
+    stop_en = frozenset(LANG_STOPWORDS["en"])
+    alpha_re = re.compile(r"[a-zA-Z]")
+    symbol_re = re.compile(r"^[^a-zA-Z0-9]+$")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            toks_list = [t.split(" ") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_words": [len(ts) for ts in toks_list],
+                    "sum_len": [sum(len(t) for t in ts) for ts in toks_list],
+                    "n_alpha": [
+                        sum(1 for t in ts if alpha_re.search(t))
+                        for ts in toks_list
+                    ],
+                    "n_stop": [
+                        len(stop_en.intersection(ts)) for ts in toks_list
+                    ],
+                    "n_symbol": [
+                        sum(1 for t in ts if symbol_re.match(t))
+                        for ts in toks_list
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, n_words long, sum_len long, n_alpha long, "
+        "n_stop long, n_symbol long",
+    )
+
+
+def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: one boolean per rule plus
+    the overall keep decision.
+
+    Unlike :func:`quality_score` (a soft composite), this is the
+    hard-gate family production corpora actually ship through — each
+    document either passes every rule or records exactly which ones it
+    failed (the per-rule flags are what a curation dashboard aggregates).
+    Map-only: counting is one Arrow pass, the rules are Column
+    arithmetic, and there is NO shuffle — at 100 TB this filter runs at
+    scan speed, the honest cost model for a narrow per-document gate.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    c = _gopher_counts(docs)
+    nw = F.col("n_words").cast("double")
+    mean_len = F.col("sum_len") / nw
+    lo, hi = GOPHER_MEAN_LEN_RANGE
+    rules = {
+        "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_len >= lo) & (mean_len <= hi),
+        "r_alpha_frac": F.col("n_alpha") / nw >= GOPHER_MIN_ALPHA_FRAC,
+        "r_stopwords": F.col("n_stop") >= GOPHER_MIN_STOPWORDS,
+        "r_symbol_frac": F.col("n_symbol") / nw <= GOPHER_MAX_SYMBOL_FRAC,
+    }
+    out = c.select(
+        "doc_id",
+        "n_words",
+        rnd(mean_len, 4).alias("mean_word_len"),
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    n_failed = sum(
+        F.when(~F.col(name), 1).otherwise(0) for name in rules
+    ).cast("long")
+    return (
+        out.withColumn("n_rules_failed", n_failed)
+        .withColumn("keep", F.col("n_rules_failed") == 0)
+        .orderBy("doc_id")
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-count language scoring; argmax, alphabetical tie-break.
     Counting runs in the shared Arrow kernel (:func:`_stopword_counts`)."""
@@ -1034,9 +1128,49 @@ ORACLES["training_manifest"] = f"""
     ORDER BY d.doc_id
 """
 
+_STOP_EN_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+_GOPHER_FAILS = " + ".join(
+    f"(CASE WHEN NOT {r} THEN 1 ELSE 0 END)"
+    for r in ("r_word_count", "r_mean_word_len", "r_alpha_frac",
+              "r_stopwords", "r_symbol_frac")
+)
+ORACLES["quality_filter_rules"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(toks, t -> length(t)))
+                AS BIGINT) AS sum_len,
+            len(list_filter(toks,
+                t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+            len(list_distinct(list_filter(toks,
+                t -> t IN ({_STOP_EN_SQL})))) AS n_stop,
+            len(list_filter(toks,
+                t -> regexp_matches(t, '^[^a-zA-Z0-9]+$'))) AS n_symbol
+          FROM t),
+    r AS (SELECT doc_id, n_words,
+            {rnd_sql('sum_len / n_words', 4)} AS mean_word_len,
+            (n_words >= {GOPHER_MIN_WORDS}
+             AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+            (sum_len / n_words >= {GOPHER_MEAN_LEN_RANGE[0]}
+             AND sum_len / n_words <= {GOPHER_MEAN_LEN_RANGE[1]})
+                AS r_mean_word_len,
+            (n_alpha / n_words >= {GOPHER_MIN_ALPHA_FRAC}) AS r_alpha_frac,
+            (n_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+            (n_symbol / n_words <= {GOPHER_MAX_SYMBOL_FRAC})
+                AS r_symbol_frac
+          FROM c)
+    SELECT doc_id, n_words, mean_word_len, r_word_count, r_mean_word_len,
+           r_alpha_frac, r_stopwords, r_symbol_frac,
+           CAST({_GOPHER_FAILS} AS BIGINT) AS n_rules_failed,
+           ({_GOPHER_FAILS}) = 0 AS keep
+    FROM r ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
+    "quality_filter_rules": quality_filter_rules,
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,

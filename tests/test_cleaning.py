@@ -114,3 +114,42 @@ def test_clean_corpus_verdict_composition(spark):
         n_kept += int(r.kept_final)
     # the pipeline must neither drop everything nor keep everything
     assert 0 < n_kept < len(rows)
+
+
+def test_gopher_rules_fail_in_isolation(spark, tmp_path):
+    """Each Gopher rule must fire alone: six planted docs — one clean,
+    five each violating exactly one rule — and the keep flag is the AND
+    of the five."""
+    from map_reduce_framework_spark.operators.text import quality_filter_rules
+
+    filler = [f"word{i}" for i in range(21)]
+    good = " ".join(["the", "and", *filler, "rock", "sand"])  # 25 normal words
+    short = " ".join(["the", "and"] + filler[:8])  # 10 words
+    longw = " ".join(["the", "and"] + ["x" * 15] * 23)  # mean len 14+
+    symbols = " ".join(["the", "and"] + filler[:18] + ["$$$"] * 5)  # 20% symbols
+    nostop = " ".join(f"uniq{i}" for i in range(25))
+    numeric = " ".join(["the", "and"] + filler[:13] + ["123"] * 10)  # 60% alpha
+    texts = [good, short, longw, symbols, nostop, numeric]
+    pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": texts,
+            "lang": ["en"] * 6,
+            "source": ["src0"] * 6,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {r["doc_id"]: r for r in quality_filter_rules(spark, str(tmp_path)).collect()}
+    assert rows[0]["keep"] and rows[0]["n_rules_failed"] == 0
+    failing = {
+        1: "r_word_count",
+        2: "r_mean_word_len",
+        3: "r_symbol_frac",
+        4: "r_stopwords",
+        5: "r_alpha_frac",
+    }
+    for doc_id, rule in failing.items():
+        r = rows[doc_id]
+        assert not r[rule], (doc_id, rule)
+        assert r["n_rules_failed"] == 1 and not r["keep"], (doc_id, r)

@@ -61,6 +61,25 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     )
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (built into Spark 4 — the former spark-xml package).
+    Same explicit timestamp format as the csv/json pair for lossless
+    roundtrips."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .load(path)
+    )
+
+
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (Spark-native columnar alternative to parquet; same
     predicate-pushdown/column-pruning machinery at scale)."""

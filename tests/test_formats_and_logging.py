@@ -54,6 +54,30 @@ def test_json_roundtrip(spark, tmp_path):
     assert _sorted_rows(back, "event_id") == _sorted_rows(events, "event_id")
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built into Spark 4): schema-stable roundtrip of a
+    dimension table AND a timestamp-bearing event slice."""
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_xml")
+    formats.write_xml(nation, path, row_tag="nation")
+    back = formats.read_xml(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int",
+        row_tag="nation",
+    ).select(*nation.columns)
+    assert _sorted_rows(back, "n_nationkey") == _sorted_rows(nation, "n_nationkey")
+
+    events = load_table(spark, SF_DIR, "events").limit(50)
+    epath = str(tmp_path / "events_xml")
+    formats.write_xml(events, epath)
+    eback = formats.read_xml(
+        spark,
+        epath,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).select(*events.columns)
+    assert _sorted_rows(eback, "event_id") == _sorted_rows(events, "event_id")
+
+
 def test_mapreduce_log_sink(spark, tmp_path):
     log = str(tmp_path / ".MapReduceFramework.log")
 

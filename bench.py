@@ -76,6 +76,10 @@ HEADLINE = [
     "window_range_interval",
     "pack_sequences",
     "window_distribution",
+    # round-6 additions, second batch — substring-level dedup and the
+    # Gopher rule gate
+    "dedup_exact_substring",
+    "quality_filter_rules",
 ]
 
 

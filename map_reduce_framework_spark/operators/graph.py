@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import rnd, rnd_sql
 from . import dedup
@@ -133,9 +132,15 @@ def keeplist_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    # exact-dup star edges via partial-agg roots + equi-join, NOT
+    # min().over(partitionBy(h)): a boilerplate page duplicated millions
+    # of times is a hot content hash, and a window partition cannot be
+    # AQE-split — the join can, and only combiner rows shuffle for the
+    # roots side (same skew-safe shape as the gram-df cap).
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    roots = hashed.groupBy("h").agg(F.min("doc_id").alias("root"))
     exact_edges = (
-        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
-        .withColumn("root", F.min("doc_id").over(Window.partitionBy("h")))
+        hashed.join(roots, "h")
         .where(F.col("doc_id") != F.col("root"))
         .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )

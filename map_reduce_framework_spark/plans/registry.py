@@ -111,12 +111,19 @@ DRIVER_WINDOW = [
     # (d) round-4-latest greens: persist-heavy dedup/ANN/graph rows
     # (cache-adopt exposure), the event/window family the sf1 probe
     # now covers
-    "dedup_passage",
     "dedup_semantic",
     "ann_ivf_kmeans",
-    "sessionize",
-    "events_window_distinct",
     "clean_corpus",
+    # plan changed late in round 6: skew-safe exact-dup star edges
+    # (partial-agg roots + join replaces min-over-content-hash window);
+    # displaces dedup_passage (r04-green, plan unchanged)
+    "dedup_pipeline_keeplist",
+    # NEW this round (no driver row exists yet): substring-level dedup
+    # and the Gopher rule gate — displacing two plan-unchanged
+    # r04-green rows (sessionize, events_window_distinct), which rotate
+    # back next round
+    "dedup_exact_substring",
+    "quality_filter_rules",
     # plans changed late in round 6: bucket-sliced rank decomposition +
     # the salted two-phase ANN top-k (displacing three stable r04-green
     # rows — pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted

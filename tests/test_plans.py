@@ -421,3 +421,50 @@ def test_gram_index_join_shuffles_batch_side_only(spark):
     formatted = plan_of(cand, mode="formatted")
     assert "Bucketed: true" in formatted  # index scan uses the layout
     assert cand.count() > 0
+
+
+def test_keeplist_exact_edges_partial_agg_not_window(spark):
+    """Exact-dup star edges must come from a partial-agg roots groupBy +
+    equi-join, never min().over(partitionBy(content_hash)): a hot
+    boilerplate hash would colocate its whole clone set in one window
+    task, and window partitions cannot be AQE-skew-split — the join
+    can."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators import dedup
+    from map_reduce_framework_spark.sources import load_table
+
+    docs = dedup.fan_out(load_table(spark, SF_DIR, "documents"))
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    roots = hashed.groupBy("h").agg(F.min("doc_id").alias("root"))
+    edges = (
+        hashed.join(roots, "h")
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    plan = plan_of(edges, mode="simple")
+    formatted = plan_of(edges, mode="formatted")
+    assert "Window" not in plan, plan
+    assert (
+        "partial_min" in formatted or "Functions: [partial_" in formatted
+    ), formatted
+
+
+def test_exact_substring_partial_agg_and_doc_bounded_window(spark):
+    """dedup_exact_substring: the duplicated-gram pass is a partial-agg
+    groupBy (map-side combine — a boilerplate window recurring millions
+    of times shuffles one combiner row per map task, not its posting
+    list), and the only Window nodes are the doc-bounded span merge
+    (partitioned by doc_id — high-cardinality, one document per frame)."""
+    from map_reduce_framework_spark.operators.dedup import dedup_exact_substring
+
+    df = dedup_exact_substring(spark, SF_DIR)
+    formatted = plan_of(df, mode="formatted")
+    assert (
+        "partial_count" in formatted or "Functions: [partial_" in formatted
+    ), formatted
+    # every Window in the plan is partitioned by doc_id
+    import re
+
+    for m in re.finditer(r"partition spec: \[([^\]]*)\]", formatted):
+        assert "doc_id" in m.group(1), formatted

@@ -7,12 +7,13 @@ feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
 NOT in this container, so those codec steps are stubbed — a
 clearly-marked deterministic fake behind an import-try
 (``NotImplementedError`` if real decode is requested without the lib).
-THREE codec paths are fully real with zero dependencies:
+FOUR codec paths are fully real with zero dependencies:
 :func:`decode_wav` parses RIFF/WAVE PCM headers, :func:`decode_bmp`
-parses uncompressed-BMP headers (both stdlib ``struct``), and
+parses uncompressed-BMP headers (both stdlib ``struct``),
 :func:`decode_png` decodes actual PNG pixels (stdlib ``zlib`` inflate +
-numpy scanline unfiltering); :func:`wav_features` /
-:func:`bmp_features` / :func:`png_features` run them through the same
+numpy scanline unfiltering), and :func:`decode_gif` walks animated-GIF
+containers (frame count + duration, no LZW decode — the frame-sampling
+precursor); ``*_features`` wrappers run each through the same
 ``mapInPandas`` plumbing as the stub extractor.  Everything Spark-side
 is real and tested either way: binary column construction, metadata
 schema, Arrow batch shapes, UDF signatures, partition-parallel
@@ -100,6 +101,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         return decode_bmp(payload)
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if kind in ("image", "video") and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if not HAVE_IMAGE_LIB:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg/pyav, not installed"
@@ -322,6 +325,115 @@ def _png_pixels(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = line.astype(np.uint8)
     return out, width, height, bit_depth, channels
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL codec path #4: GIF container parse with stdlib ``struct`` —
+    the video-adjacent path.
+
+    Walks the block structure of an (optionally animated) GIF: logical
+    screen descriptor, color tables, extension blocks (reading frame
+    delays from Graphic Control Extensions), and image descriptors —
+    counting frames and total animation duration WITHOUT LZW-decoding
+    pixel data, exactly what a frame-sampling pipeline needs to build
+    its decode schedule (:func:`frame_sample_schedule`) before paying
+    for any pixels.  Truncated/garbage streams fail loudly.
+    """
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    has_global_palette = bool(packed & 0x80)
+    if has_global_palette:
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks extend past payload (truncated)")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            if p + n > len(payload):
+                raise ValueError("GIF sub-blocks extend past payload (truncated)")
+            p += n
+
+    n_frames = 0
+    duration_cs = 0  # GIF delays are in centiseconds
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing trailer (truncated)")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and pos + 5 <= len(payload) and payload[pos] == 4:
+                (delay,) = struct.unpack_from("<H", payload, pos + 2)
+                duration_cs += delay
+            pos = skip_subblocks(pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            (ipacked,) = struct.unpack_from("<B", payload, pos + 8)
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= len(payload):
+                raise ValueError("GIF image data truncated")
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block type 0x{block:02x}")
+    if n_frames == 0:
+        raise ValueError("GIF contains no image frames")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_ms": duration_cs * 10,
+        "has_global_palette": has_global_palette,
+    }
+
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, duration_ms long, "
+    "has_global_palette boolean"
+)
+
+
+def _extract_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_gif(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "width",
+                "height",
+                "n_frames",
+                "duration_ms",
+                "has_global_palette",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """Real-codec animation feature extraction: ``(doc_id, payload
+    binary)`` rows → frame count / duration per item, through the same
+    Arrow-batched ``mapInPandas`` shape as the other codec paths."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_gif, schema=GIF_FEATURE_SCHEMA
+    )
 
 
 PNG_FEATURE_SCHEMA = (

@@ -351,3 +351,76 @@ def test_png_features_through_mapinpandas(spark):
         assert feats[doc_id]["width"] == w and feats[doc_id]["height"] == h
         assert feats[doc_id]["channels"] == ch
         assert feats[doc_id]["mean_sample"] == float(doc_id * 10)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (container walk: frames + duration, no LZW decode)
+# ---------------------------------------------------------------------------
+
+
+def _make_gif(w, h, n_frames, delays_cs=None, local_palette=False):
+    """Minimal animated-GIF encoder for tests: real block structure with
+    arbitrary (unparsed) LZW payload bytes."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # 2-entry global palette
+    out += bytes(6)  # the palette
+    for i in range(n_frames):
+        if delays_cs is not None:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delays_cs[i]) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        if local_palette:
+            out += b"\x80" + bytes(6)  # local 2-entry palette
+        else:
+            out += b"\x00"
+        out += b"\x02"  # LZW min code size
+        out += b"\x03\x01\x02\x03" + b"\x00"  # one 3-byte sub-block + end
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_counts_frames_and_duration():
+    feats = multimodal.decode_gif(_make_gif(12, 7, 3, delays_cs=[10, 20, 30]))
+    assert (feats["width"], feats["height"]) == (12, 7)
+    assert feats["n_frames"] == 3 and feats["duration_ms"] == 600
+    assert feats["has_global_palette"]
+
+    still = multimodal.decode_gif(_make_gif(4, 4, 1))
+    assert still["n_frames"] == 1 and still["duration_ms"] == 0
+
+    local = multimodal.decode_gif(_make_gif(4, 4, 2, local_palette=True))
+    assert local["n_frames"] == 2
+
+
+def test_decode_gif_rejects_corrupt():
+    good = _make_gif(4, 4, 2, delays_cs=[5, 5])
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"PNG" + good)
+    with pytest.raises(ValueError, match="truncated|trailer"):
+        multimodal.decode_gif(good[:-6])
+    with pytest.raises(ValueError, match="no image frames"):
+        multimodal.decode_gif(good[:13] + bytes(6) + b"\x3b")
+    mangled = bytearray(good)
+    mangled[19] = 0x7F  # first block byte -> unknown type
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        multimodal.decode_gif(bytes(mangled))
+
+
+def test_decode_real_routes_gif_video_and_image():
+    gif = _make_gif(6, 3, 4, delays_cs=[25, 25, 25, 25])
+    assert multimodal.decode_real(gif, "video")["n_frames"] == 4
+    assert multimodal.decode_real(gif, "image")["duration_ms"] == 1000
+
+
+def test_gif_features_through_mapinpandas(spark):
+    rows = [
+        (doc_id, bytearray(_make_gif(w, h, nf, delays_cs=[7] * nf)))
+        for doc_id, (w, h, nf) in enumerate([(3, 2, 1), (5, 4, 3), (2, 6, 8)])
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {
+        r.doc_id: r.asDict() for r in multimodal.gif_features(media).collect()
+    }
+    for doc_id, (w, h, nf) in enumerate([(3, 2, 1), (5, 4, 3), (2, 6, 8)]):
+        assert feats[doc_id]["n_frames"] == nf
+        assert feats[doc_id]["duration_ms"] == 70 * nf
+        assert (feats[doc_id]["width"], feats[doc_id]["height"]) == (w, h)

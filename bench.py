@@ -80,6 +80,7 @@ HEADLINE = [
     # Gopher rule gate
     "dedup_exact_substring",
     "quality_filter_rules",
+    "source_overlap_matrix",
 ]
 
 

@@ -586,6 +586,63 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise gram-overlap matrix between mixture sources: for every
+    source pair, distinct-3-gram counts, shared grams, Jaccard, and the
+    min-side containment — the corpus-governance answer to "which of my
+    sources are re-crawls of each other" that decides mixture weights
+    before any per-document dedup runs.
+
+    Scale shape: the join key is the 60-bit gram hash over DISTINCT
+    (source, gram) rows, so a gram's fan-out is bounded by the SOURCE
+    COUNT (a handful), not its document frequency — no hot-gram
+    quadratic risk, hence no df cap needed (contrast
+    ``dedup_ngram_jaccard``, where the unit is the document).  Per-source
+    totals are a partial-agg groupBy; the output is |sources|² rows.
+    """
+    from .dedup import hash60, shingles
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    e = (
+        docs.select("source", F.explode(shingles()).alias("gram"))
+        .select("source", hash60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    sz = e.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = e.alias("a"), e.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "shared",
+            rnd(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+            rnd(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("containment_min"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: per document, how many distinct
     3-grams it shares with the benchmark set (= grams of docs with
@@ -1128,6 +1185,25 @@ ORACLES["training_manifest"] = f"""
     ORDER BY d.doc_id
 """
 
+ORACLES["source_overlap_matrix"] = f"""
+    WITH e AS (
+        SELECT DISTINCT source, {_hash60_sql('gram')} AS g
+        FROM (SELECT source, unnest({_shingles_sql('text')}) AS gram
+              FROM documents)),
+    sz AS (SELECT source, count(*) AS n FROM e GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared
+        FROM e a JOIN e b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, shared,
+           {rnd_sql('shared / (sa.n + sb.n - shared)', 4)} AS jaccard,
+           {rnd_sql('shared / least(sa.n, sb.n)', 4)} AS containment_min
+    FROM shared JOIN sz sa ON sa.source = source_a
+                JOIN sz sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+"""
+
 _STOP_EN_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 _GOPHER_FAILS = " + ".join(
     f"(CASE WHEN NOT {r} THEN 1 ELSE 0 END)"
@@ -1181,6 +1257,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "repetition_stats": repetition_stats,
     "contamination_check": contamination_check,
+    "source_overlap_matrix": source_overlap_matrix,
     "tfidf_topterms": tfidf_topterms,
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,

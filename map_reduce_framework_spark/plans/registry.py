@@ -111,9 +111,11 @@ DRIVER_WINDOW = [
     # (d) round-4-latest greens: persist-heavy dedup/ANN/graph rows
     # (cache-adopt exposure), the event/window family the sf1 probe
     # now covers
-    "dedup_semantic",
     "ann_ivf_kmeans",
     "clean_corpus",
+    # NEW late in round 6: source-pair gram-overlap governance matrix
+    # (displaces dedup_semantic — r04-green, plan unchanged)
+    "source_overlap_matrix",
     # plan changed late in round 6: skew-safe exact-dup star edges
     # (partial-agg roots + join replaces min-over-content-hash window);
     # displaces dedup_passage (r04-green, plan unchanged)

@@ -30,6 +30,7 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
+    "dedup_exact_substring",
     "dedup_pipeline_keeplist",
     "graph_triangle_stats",
     "dedup_semantic",

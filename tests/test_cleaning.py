@@ -153,3 +153,39 @@ def test_gopher_rules_fail_in_isolation(spark, tmp_path):
         r = rows[doc_id]
         assert not r[rule], (doc_id, rule)
         assert r["n_rules_failed"] == 1 and not r["keep"], (doc_id, r)
+
+
+def test_source_overlap_finds_recrawl(spark, tmp_path):
+    """A source that is a re-crawl subset of another must surface with
+    containment ~1.0; disjoint sources share no grams and produce no
+    row (only overlapping pairs appear)."""
+    from map_reduce_framework_spark.operators.text import source_overlap_matrix
+
+    big = [
+        " ".join(f"alpha{i + j} beta{i + j} gamma{i + j}".split()) + " "
+        + " ".join(f"word{i}{k}" for k in range(12))
+        for i, j in ((0, 0), (1, 0), (2, 0), (3, 0))
+    ]
+    recrawl = big[:2]  # strict subset of crawl_a's documents
+    disjoint = [" ".join(f"zeta{i}x{k}" for k in range(15)) for i in range(3)]
+    texts = big + recrawl + disjoint
+    sources = ["crawl_a"] * 4 + ["crawl_b"] * 2 + ["other"] * 3
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("crawl_a", "crawl_b")}
+    r = rows[("crawl_a", "crawl_b")]
+    assert r["containment_min"] == 1.0  # every crawl_b gram is in crawl_a
+    assert r["shared"] == r["n_b"] and r["n_a"] > r["n_b"]
+    assert 0 < r["jaccard"] < 1

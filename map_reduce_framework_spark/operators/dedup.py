@@ -534,29 +534,11 @@ GRAM_INDEX_BUCKETS = 8
 
 
 def _gram_index_name(sf_dir: str) -> str:
-    """Per-corpus table name — a session that touches several sf_dirs
-    must never reuse another corpus's index, and a corpus REGENERATED at
-    the same path must not be served a stale index, so the key folds in
-    a content fingerprint (per-file size + mtime of the documents table)
-    alongside the path."""
-    import glob
-    import hashlib
-    import os
+    """Per-corpus, content-fingerprinted table name (see
+    :func:`..sources.bucketing.fingerprinted_table_name`)."""
+    from ..sources.bucketing import fingerprinted_table_name
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    files = (
-        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-        if os.path.isdir(path)
-        else [path]
-        if os.path.exists(path)
-        else []
-    )
-    stamp = "|".join(
-        f"{os.path.basename(f)}:{os.stat(f).st_size}:{os.stat(f).st_mtime_ns}"
-        for f in files
-    )
-    key = f"{sf_dir}#{stamp}"
-    return f"{GRAM_INDEX_TABLE}_{hashlib.md5(key.encode()).hexdigest()[:8]}"
+    return fingerprinted_table_name(GRAM_INDEX_TABLE, sf_dir, "documents")
 
 
 def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,28 +231,80 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(centroids, corpus, queries)
 
 
-def _ivf_search(
-    centroids: DataFrame, corpus: DataFrame, queries: DataFrame
-) -> DataFrame:
-    """Shared IVF search: assign cells, probe ``N_PROBE`` cells/query."""
+#: IVF index: bucket count for the materialized cell-assignment table
+IVF_INDEX_TABLE = "mrfs_ivf_index"
+IVF_INDEX_BUCKETS = 8
 
-    def cells(side: DataFrame, id_col: str, vec: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).withColumn(
-            "cdot", rnd(dot_col(vec, "vcent"), 6)
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cdot").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= keep)
-            .select(id_col, vec, F.col("cent_id").alias("cell"))
-        )
 
-    corpus_cells = cells(corpus, "cand_id", "vc", 1)
-    probe_cells = cells(queries, "query_id", "vq", N_PROBE).withColumnRenamed(
-        "cell", "qcell"
+def ivf_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the IVF cell assignments as a table bucketed (and
+    sorted) on the cell id — the embedding-side twin of
+    ``dedup.gram_index_bucketed``.
+
+    Assignment is the expensive half of IVF search (corpus × K centroid
+    dots + a per-vector argmax); production systems (FAISS et al.) pay
+    it once per index build, not once per query batch.  The table stores
+    ``(cand_id, vc unit-normalized, cell)``; bucketing on ``cell``
+    persists the hash partitioning so a non-broadcast probe join reads
+    the index with ZERO exchange on the index side, and cell-pruned
+    scans stay cheap.  Per-corpus content-fingerprinted name (stale
+    indexes are never served); built once per session.
+    """
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    table = fingerprinted_table_name(IVF_INDEX_TABLE, sf_dir, "embeddings")
+    if not spark.catalog.tableExists(table):
+        corpus, _ = _corpus_and_queries(spark, sf_dir)
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"),
+            unit_vector_col("embedding").alias("vcent"),
+        )
+        assigned = _assign_cells(centroids, corpus, "cand_id", "vc", 1)
+        write_bucketed(assigned, table, "cell", IVF_INDEX_BUCKETS)
+    return spark.table(table)
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf` consuming the materialized bucketed cell index
+    instead of re-assigning the corpus per search — the shape a
+    production ANN service runs between index builds.  Output-identical
+    to :func:`ann_ivf` (same deterministic first-N centroids, same
+    probe ranking), so it shares that oracle's SQL."""
+    corpus_cells = ivf_index_bucketed(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        unit_vector_col("embedding").alias("vcent"),
     )
+    _, queries = _corpus_and_queries(spark, sf_dir)
+    probe_cells = _assign_cells(
+        centroids, queries, "query_id", "vq", N_PROBE
+    ).withColumnRenamed("cell", "qcell")
+    return _ivf_rank(probe_cells, corpus_cells)
+
+
+def _assign_cells(
+    centroids: DataFrame, side: DataFrame, id_col: str, vec: str, keep: int
+) -> DataFrame:
+    """Rank centroids per vector (6-dp dot, cent_id tie-break), keep the
+    top ``keep`` cells.  The per-id window is bounded: exactly
+    ``N_CENTROIDS`` rows per key."""
+    scored = side.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdot", rnd(dot_col(vec, "vcent"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= keep)
+        .select(id_col, vec, F.col("cent_id").alias("cell"))
+    )
+
+
+def _ivf_rank(probe_cells: DataFrame, corpus_cells: DataFrame) -> DataFrame:
+    """Probe join + cosine + per-query top-k (shared IVF tail)."""
     scored = (
         F.broadcast(probe_cells)
         .join(
@@ -268,6 +320,17 @@ def _ivf_search(
     return _topk_per_query(
         scored, IVF_TOP_K, ["query_id", "cand_id", "rank", "cosine"]
     )
+
+
+def _ivf_search(
+    centroids: DataFrame, corpus: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Shared IVF search: assign cells, probe ``N_PROBE`` cells/query."""
+    corpus_cells = _assign_cells(centroids, corpus, "cand_id", "vc", 1)
+    probe_cells = _assign_cells(
+        centroids, queries, "query_id", "vq", N_PROBE
+    ).withColumnRenamed("cell", "qcell")
+    return _ivf_rank(probe_cells, corpus_cells)
 
 
 # NOTE: sign_bucket_col uses SQL `vec[j]`, 0-based in Spark but 1-based
@@ -371,6 +434,10 @@ ORACLES["ann_ivf"] = f"""
     cents AS (SELECT vec_id AS cent_id, v AS vcent FROM e
               WHERE vec_id < {N_CENTROIDS}),{_IVF_SEARCH_BODY}"""
 
+# output-identical by construction (same deterministic centroids and
+# probe ranking; only WHERE the corpus assignment comes from differs)
+ORACLES["ann_ivf_indexed"] = ORACLES["ann_ivf"]
+
 _KM_CTES, _KM_FINAL = kmeans_training_ctes("eraw")
 
 #: unit-normalize the centroid CTE's DOUBLE[] column ``v`` (DuckDB)
@@ -424,6 +491,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_norm_stats": embedding_norm_stats,
 }

@@ -70,9 +70,11 @@ DRIVER_WINDOW = [
     "dedup_incremental_indexed",
     "tpch_q2_min_cost_supplier",
     # (b) round-1-only greens (evicted from the r05 window; trivially
-    # stable plans, re-proven here so no evidence predates r06)
+    # stable plans — set_union_all re-proves the family, set_intersect
+    # yielded its slot to the NEW ann_ivf_indexed and rotates back next
+    # round)
     "set_union_all",
-    "set_intersect",
+    "ann_ivf_indexed",
     # (c) round-3-latest greens — oldest evidence on current code.
     # window_range_interval and pack_sequences also carry this round's
     # bucket-sliced rewrites.

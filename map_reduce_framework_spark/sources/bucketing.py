@@ -15,6 +15,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fingerprinted_table_name(prefix: str, sf_dir: str, source_table: str) -> str:
+    """Per-corpus materialized-index table name: folds a content
+    fingerprint (per-file size + mtime of the source table) into the
+    name alongside the path, so a session touching several sf_dirs never
+    reuses another corpus's index and a corpus REGENERATED at the same
+    path is never served a stale one."""
+    import glob
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{source_table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+        if os.path.exists(path)
+        else []
+    )
+    stamp = "|".join(
+        f"{os.path.basename(f)}:{os.stat(f).st_size}:{os.stat(f).st_mtime_ns}"
+        for f in files
+    )
+    key = f"{sf_dir}#{stamp}"
+    return f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:8]}"
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

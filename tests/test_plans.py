@@ -468,3 +468,60 @@ def test_exact_substring_partial_agg_and_doc_bounded_window(spark):
 
     for m in re.finditer(r"partition spec: \[([^\]]*)\]", formatted):
         assert "doc_id" in m.group(1), formatted
+
+
+def test_ivf_index_join_shuffles_probe_side_only(spark):
+    """The indexed ANN screen must read the materialized IVF cell table
+    WITHOUT an exchange: the bucket layout on `cell` is the shuffle.
+    Only the (tiny, freshly-assigned) probe side may repartition."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        _assign_cells,
+        _corpus_and_queries,
+        ivf_index_bucketed,
+        unit_vector_col,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    idx = ivf_index_bucketed(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        unit_vector_col("embedding").alias("vcent"),
+    )
+    _, queries = _corpus_and_queries(spark, SF_DIR)
+    probes = _assign_cells(
+        centroids, queries, "query_id", "vq", N_PROBE
+    ).withColumnRenamed("cell", "qcell")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = probes.join(idx, F.col("qcell") == F.col("cell"))
+        plan = plan_of(cand, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    # the index side reads its bucketed layout as-is: every Exchange in
+    # the plan belongs to the probe side's assignment subtree
+    formatted = plan_of(cand, mode="formatted")
+    assert "Bucketed: true" in formatted, formatted
+    idx_scan_exchanges = plan.count("Exchange")
+    probe_plan = plan_of(probes, mode="simple")
+    assert idx_scan_exchanges == probe_plan.count("Exchange") + 1, plan
+    assert cand.count() > 0
+
+
+def test_ann_ivf_indexed_equals_derived(spark):
+    """The indexed IVF screen must reproduce the self-derived search
+    row-for-row (same centroids, same probe ranking — only WHERE the
+    corpus assignment comes from differs)."""
+    from map_reduce_framework_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_indexed,
+    )
+
+    a = [tuple(r) for r in ann_ivf(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in ann_ivf_indexed(spark, SF_DIR).collect()]
+    assert a == b and len(a) > 0

@@ -36,7 +36,9 @@ PLAN_CHANGED_IN_R6 = {
     "ann_ivf",
 }
 
-OLDEST_EVIDENCE = {"set_union_all", "set_intersect"}  # r01-only greens
+# r01-only greens: set_intersect yielded its slot to ann_ivf_indexed
+# late in round 6 (trivially-stable plan, rotates back next round)
+OLDEST_EVIDENCE = {"set_union_all"}
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
 

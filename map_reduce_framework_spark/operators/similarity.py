@@ -1,7 +1,10 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Two paths, both pure DataFrame compositions (JVM-side ``zip_with`` /
-``aggregate`` arithmetic in double precision — no Python in the loop):
+All paths are pure DataFrame compositions (JVM-side ``zip_with`` /
+``aggregate`` arithmetic in double precision — no Python in the loop);
+besides the two below, :func:`ann_ivf` / :func:`ann_ivf_kmeans` give the
+cell-pruned IVF search and :func:`ann_ivf_indexed` its
+materialized-index variant (bucketed cell table, built once per corpus):
 
 - :func:`ann_cosine_topk` — brute-force exact top-k: broadcast the (tiny)
   query set against the corpus, then the salted two-phase top-k

@@ -54,3 +54,71 @@ def test_no_structural_antipatterns(spark, name):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in ROW_PYTHON_OK:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+#: columns with a handful of distinct values at any scale — a Window
+#: partitioned ONLY by these serializes each key's whole history into
+#: one task (the round-6 "wrong plan at 100 TB" class; fixed by
+#: bucket-slicing or partial-agg+join rewrites)
+LOW_CARD_COLS = {
+    "event_type", "source", "lang", "kind", "pred_lang",
+    "l_returnflag", "l_linestatus", "quality_bucket", "o_orderpriority",
+}
+
+#: queries whose plan legitimately windows a LOW-CARD key: the second
+#: phase of a two-pass decomposition, where the window input is the
+#: BUCKET-LEVEL aggregate (one row per (key, bucket) — kilobytes per
+#: key even at 100 TB), not the raw table.  Each is individually
+#: plan-audited in test_plans/test_bucket_windows.
+AGGREGATE_PHASE_WINDOW_OK = {
+    "rolling_zscore",
+    "window_range_interval",
+    "pack_sequences",
+    "window_distribution",
+    "mr_wordcount_facade",  # facade contract: global k3 sort of tiny output
+}
+
+import re  # noqa: E402
+
+_WSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def _partition_cols(plan: str) -> list[set]:
+    """Partition-column-name sets for every window spec in a plan."""
+    specs = []
+    for m in _WSPEC.finditer(plan):
+        cols = set()
+        for arg in m.group(1).split(","):
+            arg = arg.strip()
+            if " ASC" in arg or " DESC" in arg or "specifiedwindowframe" in arg:
+                break  # order spec begins — partition spec is done
+            name = arg.split("#")[0].strip()
+            if name:
+                cols.add(name)
+        specs.append(cols)
+    return specs
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_low_cardinality_windows(spark, name):
+    """No query may window a RAW table by a low-cardinality key alone:
+    every window must carry at least one high-cardinality or bucket
+    column in its partition spec (or be an allow-listed second-phase
+    window over bucket-level aggregates)."""
+    if name in AGGREGATE_PHASE_WINDOW_OK:
+        pytest.skip("audited second-phase window over bucket aggregates")
+    from map_reduce_framework_spark import cache
+
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            registry.QUERIES[name](spark, SF_DIR).explain(mode="simple")
+        plan = buf.getvalue()
+    finally:
+        cache.release()
+    for cols in _partition_cols(plan):
+        if cols:  # global windows are audited case-by-case elsewhere
+            assert not cols <= LOW_CARD_COLS, (
+                f"{name}: window partitioned only by low-cardinality "
+                f"{sorted(cols)} — one task per key at scale"
+            )

@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_exact_substring",
     "quality_filter_rules",
     "source_overlap_matrix",
+    # round-6 additions, third batch — Bloom-bypass incremental screen
+    "dedup_incremental_bloom",
 ]
 
 

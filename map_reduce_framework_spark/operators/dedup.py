@@ -645,6 +645,143 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental exact screen behind a blocked Bloom filter
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry for :func:`dedup_incremental_bloom`: ``m`` bits stored
+#: as 64-bit blocks, ``k`` probe positions by double hashing.  Module
+#: constants here (2^20 bits ≈ 10 bits/doc at the test SFs → fpp ≈ 1%);
+#: production sizes ``m`` to the indexed corpus at index-build time and
+#: keeps the same 10-bits/doc rule.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+#: Membership key for the Bloom screen: the first ``BLOOM_PREFIX_CHARS``
+#: characters of the document — the cheap "head fingerprint" real
+#: ingestion pipelines screen on first (boilerplate-headed rewrites
+#: share a prefix long before they share full content).  The synthetic
+#: corpus plants prefix-sharing rewrites at every SF, so the verify
+#: path is exercised even at sf0.01 (full-content hashes only collide
+#: from sf0.1 up — FIXTURES.md).
+BLOOM_PREFIX_CHARS = 80
+
+
+def _bloom_key() -> Column:
+    return F.md5(F.substring(F.col("text"), 1, BLOOM_PREFIX_CHARS))
+
+
+def _bloom_key_sql() -> str:
+    return f"md5(substr(text, 1, {BLOOM_PREFIX_CHARS}))"
+
+
+def _bloom_positions(key: Column) -> Column:
+    """``BLOOM_K`` distinct bit positions in ``[0, m)`` for a key, by
+    double hashing (Kirsch-Mitzenmacher): ``pos_i = (h1 + i*h2) mod m``
+    with independent 60-bit md5 hashes h1, h2.  ``h2`` is forced odd so
+    the stride never degenerates to a fixed point (m is a power of two,
+    so any odd stride is a full cycle)."""
+    m = BLOOM_M_BITS
+    h1 = hash60(key) % m
+    h2 = (hash60(F.concat_ws(":", F.lit("bloom2"), key)) % m) * 2 + 1
+    return F.array_distinct(
+        F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(BLOOM_K)])
+    )
+
+
+def _bloom_blocks(keys: DataFrame) -> DataFrame:
+    """Bloom BUILD: distinct keys → ``(block_id, bit_or(mask))`` — at
+    most m/64 rows out, partial-aggregated map-side."""
+    return (
+        keys.select(F.explode(_bloom_positions(F.col("h"))).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("block_id"),
+            F.expr("shiftleft(1L, CAST(pos & 63 AS INT))").alias("mask"),
+        )
+        .groupBy("block_id")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def _bloom_maybe(new_docs: DataFrame, blocks: DataFrame) -> DataFrame:
+    """Bloom PROBE: doc_ids whose k positions are ALL set (maybe-in-
+    corpus); everything else is provably new and never joins again."""
+    probes = new_docs.select(
+        "doc_id", F.explode(_bloom_positions(F.col("h"))).alias("pos")
+    ).select(
+        "doc_id",
+        F.shiftright(F.col("pos"), 6).alias("block_id"),
+        F.expr("shiftleft(1L, CAST(pos & 63 AS INT))").alias("mask"),
+    )
+    return (
+        probes.join(blocks, "block_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_and("hit").alias("all_hit"))
+        .where(F.col("all_hit"))
+        .select("doc_id")
+    )
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental head-fingerprint screen with a Bloom-filter bypass:
+    batch docs whose 80-char prefix hash is provably NOT in the indexed
+    corpus skip the membership join entirely; only Bloom maybe-hits are
+    verified with an exact semi-join, so the output is byte-identical to
+    the plain exact screen (Bloom filters have no false negatives) and
+    the DuckDB oracle is the plain ``IN`` subquery.
+
+    Everything is built-in-Column work — no UDFs, no driver collect:
+
+    - **build**: corpus keys → k bit positions → ``(block_id,
+      bit_or(mask))`` aggregation.  ``bit_or`` partial-aggregates
+      map-side, so only ≤ m/64 combiner rows ever shuffle no matter the
+      corpus size (plan-gated by
+      ``tests/test_plans.py::test_bloom_build_is_partial_agg``).
+    - **probe**: the bitmap table is ≤ m/64 rows (16 K at 2^20 bits) —
+      AQE broadcasts the probe join at any realistic ``m``; for an
+      extreme corpus where m/64 outgrows the broadcast threshold the
+      same plan degrades to a shuffle equi-join on ``block_id``, still
+      k rows per probe doc.
+    - **verify**: only maybe-hits join the corpus key set.  At
+      production fpp ≈ 1%, the verify join's probe side shrinks to
+      (dup-rate + 1%) of the batch — the Bloom's entire point at
+      100 TB, where the corpus key set is disk-resident and every
+      skipped probe is a skipped lookup.
+
+    No counterpart in the reference (SURVEY §2.4 extension); the shape
+    is the standard production pre-screen (e.g. CCNet's URL Bloom).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    is_new = _incr_is_new()
+    new_docs = docs.where(is_new).select("doc_id", "source", _bloom_key().alias("h"))
+    old_keys = docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
+    maybe = _bloom_maybe(new_docs, _bloom_blocks(old_keys))
+    verified = (
+        new_docs.join(maybe, "doc_id", "left_semi")
+        .join(old_keys, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(1))
+    )
+    dup = F.coalesce("is_dup", F.lit(0))
+    return (
+        new_docs.join(verified, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(dup).alias("n_head_dup"),
+            F.sum(F.when(dup == 0, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -1278,6 +1415,23 @@ ORACLES = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM v GROUP BY source ORDER BY source
     """,
+    # Bloom is invisible to semantics (no false negatives + exact verify
+    # of maybe-hits) — the oracle is the plain membership screen.
+    "dedup_incremental_bloom": f"""
+        WITH newd AS (SELECT doc_id, source, {_bloom_key_sql()} AS h
+                      FROM documents
+                      WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                            % {INCR_BATCH_MOD} = 0),
+        oldh AS (SELECT DISTINCT {_bloom_key_sql()} AS h FROM documents
+                 WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                       % {INCR_BATCH_MOD} <> 0)
+        SELECT source, count(*) AS n_new,
+               CAST(sum(CASE WHEN h IN (SELECT h FROM oldh)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_head_dup,
+               CAST(sum(CASE WHEN h IN (SELECT h FROM oldh)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM newd GROUP BY source ORDER BY source
+    """,
     "dedup_minhash_lsh": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
         sigh AS (SELECT doc_id, sh,
@@ -1343,6 +1497,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

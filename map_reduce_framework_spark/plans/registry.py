@@ -114,7 +114,9 @@ DRIVER_WINDOW = [
     # (cache-adopt exposure), the event/window family the sf1 probe
     # now covers
     "ann_ivf_kmeans",
-    "clean_corpus",
+    # NEW late in round 6: Bloom-bypass incremental screen (displaces
+    # clean_corpus — r04-green, plan unchanged, rotates back next round)
+    "dedup_incremental_bloom",
     # NEW late in round 6: source-pair gram-overlap governance matrix
     # (displaces dedup_semantic — r04-green, plan unchanged)
     "source_overlap_matrix",

@@ -259,3 +259,73 @@ def test_containment_finds_embedded_doc(spark, tmp_path):
         cache.release()
     assert out.get((0, 1)) == pytest.approx(1.0)  # short ⊂ long
     assert all(not (r["doc_a"] == 0 and r["doc_b"] == 1) for r in jac)
+
+
+def test_bloom_screen_equals_plain_membership(spark):
+    """The Bloom bypass must be semantically invisible: the screen's
+    output equals the plain (no-Bloom) prefix-hash membership screen —
+    Bloom filters have no false negatives, and every maybe-hit is
+    verified with the exact semi-join."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        _bloom_key,
+        _incr_is_new,
+        dedup_incremental_bloom,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    got = sorted(map(tuple, dedup_incremental_bloom(spark, SF_DIR).collect()))
+
+    docs = load_table(spark, SF_DIR, "documents")
+    is_new = _incr_is_new()
+    newd = docs.where(is_new).select("doc_id", "source", _bloom_key().alias("h"))
+    oldh = docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
+    dup_ids = newd.join(oldh, "h", "left_semi").select("doc_id").withColumn(
+        "is_dup", F.lit(1)
+    )
+    d = F.coalesce("is_dup", F.lit(0))
+    want = sorted(
+        map(
+            tuple,
+            newd.join(dup_ids, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(d).alias("n_head_dup"),
+                F.sum(F.when(d == 0, 1).otherwise(0)).alias("n_kept"),
+            )
+            .orderBy("source")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert sum(r[2] for r in got) > 0  # the verify path actually fires
+
+
+def test_bloom_bypass_actually_prunes(spark):
+    """The point of the Bloom: most definitely-new docs must be screened
+    OUT before the membership join.  On the sf0.001 corpus the batch is
+    ~dozens of docs with ~1% fpp, so maybe-hits must be well under half
+    the batch while still covering every true dup."""
+    from map_reduce_framework_spark.operators.dedup import (
+        _bloom_blocks,
+        _bloom_key,
+        _bloom_maybe,
+        _incr_is_new,
+        BLOOM_M_BITS,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    is_new = _incr_is_new()
+    newd = docs.where(is_new).select("doc_id", "source", _bloom_key().alias("h"))
+    oldh = docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
+    blocks = _bloom_blocks(oldh)
+    assert blocks.count() <= BLOOM_M_BITS // 64
+    maybe = _bloom_maybe(newd, blocks)
+    n_new = newd.count()
+    n_maybe = maybe.count()
+    n_true_dup = newd.join(oldh, "h", "left_semi").count()
+    assert n_true_dup <= n_maybe  # no false negatives
+    assert n_maybe < n_new / 2  # the bypass prunes most of the batch

@@ -525,3 +525,35 @@ def test_ann_ivf_indexed_equals_derived(spark):
     a = [tuple(r) for r in ann_ivf(spark, SF_DIR).collect()]
     b = [tuple(r) for r in ann_ivf_indexed(spark, SF_DIR).collect()]
     assert a == b and len(a) > 0
+
+
+def test_bloom_build_is_partial_agg_and_probe_broadcasts(spark):
+    """The Bloom screen's two scale guarantees (dedup.py docstring):
+    the bitmap build must partial-aggregate bit_or map-side (only
+    combiner rows — at most m/64 per task — ever shuffle, regardless of
+    corpus size), and the probe join must broadcast the <=m/64-row
+    bitmap, never shuffling the batch on block_id."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        _bloom_blocks,
+        _bloom_key,
+        _bloom_maybe,
+        _incr_is_new,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    newd = docs.where(_incr_is_new()).select(
+        "doc_id", "source", _bloom_key().alias("h")
+    )
+    oldh = docs.where(~_incr_is_new()).select(_bloom_key().alias("h")).distinct()
+    blocks = _bloom_blocks(oldh)
+    assert "partial_bit_or" in plan_of(blocks, mode="simple")
+    probe_plan = plan_of(_bloom_maybe(newd, blocks), mode="simple")
+    assert "BroadcastHashJoin" in probe_plan
+    # the only exchanges are the build's own and the per-doc verdict agg
+    # — the exploded probe side must NOT hash-shuffle on block_id
+    assert "hashpartitioning(block_id" not in probe_plan.split(
+        "BroadcastExchange"
+    )[0]

@@ -117,8 +117,17 @@ def main() -> int:
     # totals); the minimum of two back-to-back runs is the engine's
     # capability, largely insulated from one neighbor burst.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # optional comma-separated subset for targeted quiet-host re-measures
+    # (e.g. SPARK_GRAFT_BENCH_QUERIES=dedup_minhash_lsh,dedup_ngram_jaccard);
+    # unset → the full headline set the driver records
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = [q for q in subset_env.split(",") if q] or HEADLINE
+    unknown = [q for q in subset if q not in registry.QUERIES]
+    if unknown:
+        print(f"unknown bench queries: {unknown}", file=sys.stderr)
+        return 2
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in subset:
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(runs_per_query):

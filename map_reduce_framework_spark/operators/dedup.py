@@ -757,10 +757,17 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     No counterpart in the reference (SURVEY §2.4 extension); the shape
     is the standard production pre-screen (e.g. CCNet's URL Bloom).
     """
+    from .. import cache
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     is_new = _incr_is_new()
     new_docs = docs.where(is_new).select("doc_id", "source", _bloom_key().alias("h"))
-    old_keys = docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
+    # one corpus scan feeds BOTH the Bloom build and the verify join
+    # (at production scale this is the materialized corpus key table a
+    # pipeline keeps between runs, like gram_index_bucketed)
+    old_keys = cache.persist_tracked(
+        docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
+    )
     maybe = _bloom_maybe(new_docs, _bloom_blocks(old_keys))
     verified = (
         new_docs.join(maybe, "doc_id", "left_semi")

@@ -82,7 +82,9 @@ HEADLINE = [
     "quality_filter_rules",
     "source_overlap_matrix",
     # round-6 additions, third batch — Bloom-bypass incremental screen
+    # and the multi-round BPE trainer
     "dedup_incremental_bloom",
+    "bpe_train_merges",
 ]
 
 

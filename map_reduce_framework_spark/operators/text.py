@@ -858,6 +858,116 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bpe_train_merges: number of merge rounds the trainer runs (engine
+#: and oracle replay the same N), and the symbol separator used in the
+#: intermediate spaced representation (unit separator — never occurs in
+#: the corpus, and regex-inert in Spark's split()).
+BPE_MERGES = 6
+BPE_SEP = "\x1f"
+
+
+def _bpe_apply_merge(a: str, b: str) -> "F.Column":
+    """Greedy left-to-right application of merge (a, b) to the spaced
+    symbol string in column ``syms`` — the exact BPE re-segmentation
+    fold: walk symbols in order, and whenever the previously-emitted
+    symbol is ``a`` and the current one is ``b``, fuse them.  Handles
+    the overlap case correctly ("a a a" under merge (a,a) → "aa a",
+    never "a aa").  Pure Column API — the merge pair is a driver-known
+    literal, so no SQL-string escaping is ever involved."""
+    merged = a + b
+    arr = F.split(F.col("syms"), BPE_SEP)
+    rest = F.slice(arr, F.lit(2), F.size(arr) - 1)
+    return F.aggregate(
+        rest,
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            (x == b) & ((acc == a) | acc.endswith(BPE_SEP + a)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - len(a)), F.lit(merged)
+            ),
+        ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real multi-round BPE trainer: the first ``BPE_MERGES`` merge
+    rules learned from the corpus, with their weighted pair counts.
+
+    The scalable formulation (Sennrich et al. 2016, word-counts-first):
+    ONE corpus-scale aggregation collapses the corpus to the (term,
+    count) vocabulary table, then every training round runs on that
+    bounded table — adjacent-pair explode weighted by term count,
+    partial-agg sum per pair, deterministic argmax (count DESC, then
+    pair lexicographic), and a JVM higher-order-function fold that
+    re-segments each vocabulary entry under the new merge.  At 100 TB
+    the rounds touch millions of vocab rows, never trillions of token
+    occurrences, and driver traffic is ONE scalar row per round (the
+    k-means/CC driver protocol — `clustering.py` / `graph.py`).
+
+    The DuckDB oracle replays the identical trajectory as an unrolled
+    CTE chain (the `pagerank_dup_graph` pattern): per-round pair
+    counts, the same tie-broken argmax, and the same greedy fold via a
+    correlated `list_reduce` lambda — every merge rule and count is
+    bit-identical, not approximately similar.
+
+    No counterpart in the reference (SURVEY §2.4 extension);
+    complements :func:`bpe_pair_stats`, which reports only the
+    first-round pair frequencies.
+    """
+    from .. import cache
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = cache.persist_tracked(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .select(
+            "tc",
+            F.regexp_replace(F.col("term"), "(.)", "$1" + BPE_SEP).alias(
+                "sp"
+            ),
+        )
+        .select(
+            "tc", F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms")
+        )
+    )
+    cur = vocab
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        arr = F.split(F.col("syms"), BPE_SEP)
+        pairs = (
+            cur.select("tc", arr.alias("l"))
+            .where(F.size("l") >= 2)
+            .select(
+                "tc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 2), j -> "
+                        "struct(element_at(l, j + 1) AS a,"
+                        " element_at(l, j + 2) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("tc").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top:
+            raise ValueError(
+                f"BPE training exhausted pairs at round {rank} — corpus "
+                f"has fewer than {BPE_MERGES} learnable merges"
+            )
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, a + b, n))
+        cur = cur.select("tc", _bpe_apply_merge(a, b).alias("syms"))
+    return spark.createDataFrame(
+        merges,
+        "rank int, pair_a string, pair_b string, merged string,"
+        " pair_count long",
+    ).orderBy("rank")
+
+
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled per-document training record — what a downstream
     trainer's data loader actually consumes: text stats + modality
@@ -1173,6 +1283,61 @@ ORACLES["bpe_pair_stats"] = f"""
     ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP_N}
 """
 
+def _bpe_merges_oracle() -> str:
+    """Unrolled-CTE replay of the full ``bpe_train_merges`` trajectory
+    (the `pagerank_dup_graph` oracle pattern): per-round pair counts,
+    the identical (count DESC, pair ASC) argmax, and the same greedy
+    left-to-right fold via a correlated ``list_reduce`` lambda."""
+    sep = "chr(31)"
+    ctes = [
+        f"""w0 AS (
+        SELECT tc, substr(sp, 1, length(sp) - 1) AS syms FROM (
+            SELECT count(*) AS tc,
+                   regexp_replace(term, '(.)', '\\1' || {sep}, 'g') AS sp
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> '' GROUP BY term))"""
+    ]
+    outs = []
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT pr[1] AS a, pr[2] AS b, sum(tc) AS n FROM (
+            SELECT tc, unnest(list_transform(range(len(l) - 1),
+                       j -> [l[j + 1], l[j + 2]])) AS pr
+            FROM (SELECT tc, string_split(syms, {sep}) AS l FROM w{i - 1}))
+        GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""m{i} AS (SELECT a, b, a || b AS merged, n FROM p{i}
+        ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        if i < BPE_MERGES:
+            ctes.append(
+                f"""w{i} AS (
+        SELECT tc, list_reduce(l, (acc, x) -> CASE
+                WHEN x = m.b AND (acc = m.a
+                     OR right(acc, length(m.a) + 1) = {sep} || m.a)
+                THEN substr(acc, 1, length(acc) - length(m.a)) || m.merged
+                ELSE acc || {sep} || x END) AS syms
+        FROM (SELECT tc, string_split(syms, {sep}) AS l FROM w{i - 1}),
+             m{i} AS m)"""
+            )
+        outs.append(
+            f"SELECT {i} AS rank, a AS pair_a, b AS pair_b, merged,"
+            f" CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(outs)
+        + "\n    ORDER BY rank"
+    )
+
+
+ORACLES["bpe_train_merges"] = _bpe_merges_oracle()
+
 ORACLES["training_manifest"] = f"""
     SELECT d.doc_id, d.lang, d.source,
            len(string_split(d.text, ' ')) AS n_tokens,
@@ -1262,5 +1427,6 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
     "bpe_pair_stats": bpe_pair_stats,
+    "bpe_train_merges": bpe_train_merges,
     "training_manifest": training_manifest,
 }

@@ -100,7 +100,10 @@ DRIVER_WINDOW = [
     "quality_score",
     "repetition_stats",
     "scalar_subquery_above_avg",
-    "search_dir_listing",
+    # NEW late in round 6: multi-round BPE trainer (displaces
+    # search_dir_listing — the registry's most trivially-stable plan, a
+    # directory listing; r03-green, rotates back next round)
+    "bpe_train_merges",
     "snapshot_diff",
     "sql_api_revenue",
     "stratified_sample",

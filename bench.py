@@ -85,6 +85,7 @@ HEADLINE = [
     # and the multi-round BPE trainer
     "dedup_incremental_bloom",
     "bpe_train_merges",
+    "bpe_segment_docs",
 ]
 
 

@@ -914,6 +914,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements :func:`bpe_pair_stats`, which reports only the
     first-round pair frequencies.
     """
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank int, pair_a string, pair_b string, merged string,"
+        " pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[tuple[int, str, str, str, int]], DataFrame]":
+    """Shared BPE training loop: returns the merge trajectory AND the
+    fully re-segmented (term, tc, syms) vocabulary after all
+    ``BPE_MERGES`` rounds (consumed by :func:`bpe_segment_docs`)."""
     from .. import cache
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -923,13 +937,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tc"))
         .select(
+            "term",
             "tc",
             F.regexp_replace(F.col("term"), "(.)", "$1" + BPE_SEP).alias(
                 "sp"
             ),
         )
         .select(
-            "tc", F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms")
+            "term",
+            "tc",
+            F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms"),
         )
     )
     cur = vocab
@@ -960,12 +977,59 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((rank, a, b, a + b, n))
-        cur = cur.select("tc", _bpe_apply_merge(a, b).alias("syms"))
-    return spark.createDataFrame(
-        merges,
-        "rank int, pair_a string, pair_b string, merged string,"
-        " pair_count long",
-    ).orderBy("rank")
+        cur = cur.select("term", "tc", _bpe_apply_merge(a, b).alias("syms"))
+    return merges, cur
+
+
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus — the tokenizer
+    APPLICATION pass that turns the learned rules into per-document
+    token statistics (token count, character count, compression ratio).
+
+    The scale trick is the vocab-join formulation: the tokenizer runs
+    once per DISTINCT word (the re-segmented vocabulary
+    :func:`_bpe_train` already produces — at 100 TB millions of rows,
+    not trillions of occurrences), and the corpus pass is a word
+    explode + equi-join against that table plus a partial-agg sum per
+    document.  The vocabulary side is broadcastable at realistic sizes;
+    past the broadcast threshold the identical plan degrades to a
+    shuffle equi-join on the term.  The corpus is touched exactly
+    twice: the training word count and the final join pass.
+
+    Oracle: the same unrolled training replay as ``bpe_train_merges``
+    extended with the vocabulary fold after the last round and the
+    document join (exact-integer token counts; ratio rounded via the
+    shared rnd/rnd_sql).
+    """
+    _, final_vocab = _bpe_train(spark, sf_dir)
+    tok = final_vocab.select(
+        "term",
+        F.size(F.split(F.col("syms"), BPE_SEP)).alias("n_tok"),
+        F.length("term").alias("n_chr"),
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        words.join(tok, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            rnd(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,6 +1402,71 @@ def _bpe_merges_oracle() -> str:
 
 ORACLES["bpe_train_merges"] = _bpe_merges_oracle()
 
+
+def _bpe_segment_oracle() -> str:
+    """Training replay (term column carried through every round) plus
+    the vocabulary-join application pass of ``bpe_segment_docs``."""
+    sep = "chr(31)"
+    ctes = [
+        f"""w0 AS (
+        SELECT term, tc, substr(sp, 1, length(sp) - 1) AS syms FROM (
+            SELECT term, count(*) AS tc,
+                   regexp_replace(term, '(.)', '\\1' || {sep}, 'g') AS sp
+            FROM (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> '' GROUP BY term))"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT pr[1] AS a, pr[2] AS b, sum(tc) AS n FROM (
+            SELECT tc, unnest(list_transform(range(len(l) - 1),
+                       j -> [l[j + 1], l[j + 2]])) AS pr
+            FROM (SELECT tc, string_split(syms, {sep}) AS l FROM w{i - 1}))
+        GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""m{i} AS (SELECT a, b, a || b AS merged, n FROM p{i}
+        ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+        SELECT term, tc, list_reduce(l, (acc, x) -> CASE
+                WHEN x = m.b AND (acc = m.a
+                     OR right(acc, length(m.a) + 1) = {sep} || m.a)
+                THEN substr(acc, 1, length(acc) - length(m.a)) || m.merged
+                ELSE acc || {sep} || x END) AS syms
+        FROM (SELECT term, tc, string_split(syms, {sep}) AS l
+              FROM w{i - 1}), m{i} AS m)"""
+        )
+    ctes.append(
+        f"""tok AS (
+        SELECT term, len(string_split(syms, {sep})) AS n_tok,
+               length(term) AS n_chr
+        FROM w{BPE_MERGES})"""
+    )
+    ctes.append(
+        """words AS (
+        SELECT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> '')"""
+    )
+    ratio = rnd_sql("sum(n_chr) / sum(n_tok)", 4)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS n_chars,
+           {ratio} AS chars_per_token
+    FROM words JOIN tok USING (term)
+    GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+ORACLES["bpe_segment_docs"] = _bpe_segment_oracle()
+
 ORACLES["training_manifest"] = f"""
     SELECT d.doc_id, d.lang, d.source,
            len(string_split(d.text, ' ')) AS n_tokens,
@@ -1428,5 +1557,6 @@ QUERIES = {
     "perplexity_proxy": perplexity_proxy,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_segment_docs": bpe_segment_docs,
     "training_manifest": training_manifest,
 }

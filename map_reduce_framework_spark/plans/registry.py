@@ -107,7 +107,10 @@ DRIVER_WINDOW = [
     "snapshot_diff",
     "sql_api_revenue",
     "stratified_sample",
-    "string_agg_sorted",
+    # NEW late in round 6: BPE tokenizer application (displaces
+    # string_agg_sorted — single-listagg plan, trivially stable;
+    # r03-green, rotates back next round)
+    "bpe_segment_docs",
     "table_profile",
     "text_stats",
     "tfidf_topterms",

@@ -83,3 +83,46 @@ def test_bpe_greedy_overlap_semantics(spark):
         ).collect()
     ]
     assert out == ["aa\x1fa", "b\x1faa", "a\x1fb"]
+
+
+def test_bpe_segmentation_matches_reference(spark):
+    """Per-document token counts from the vocab-join application pass
+    must equal applying the reference merge list greedily to every word
+    in plain Python."""
+    from map_reduce_framework_spark.operators.text import (
+        BPE_MERGES,
+        bpe_segment_docs,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    words = [w for t in docs["text"] for w in t.split(" ") if w]
+    merges = _reference_bpe(words, BPE_MERGES)
+
+    def apply_merges(word: str) -> int:
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    tok_cache = {}
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in text.split(" ") if w]
+        want[doc_id] = (
+            len(ws),
+            sum(tok_cache.setdefault(w, apply_merges(w)) for w in ws),
+            sum(len(w) for w in ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_segment_docs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # merges must actually compress: tokens < chars somewhere
+    assert any(t < c for _, t, c in got.values())

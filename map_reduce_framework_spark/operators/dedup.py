@@ -768,6 +768,11 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_keys = cache.persist_tracked(
         docs.where(~is_new).select(_bloom_key().alias("h")).distinct()
     )
+    # materialization barrier (the dedup_incremental e.count() pattern):
+    # both consumers read this cache only through BROADCAST builds,
+    # which do not materialize a lazy persist — without the barrier each
+    # broadcast silently re-derives the key set from the corpus scan
+    old_keys.count()
     maybe = _bloom_maybe(new_docs, _bloom_blocks(old_keys))
     verified = (
         new_docs.join(maybe, "doc_id", "left_semi")

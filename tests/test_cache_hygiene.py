@@ -26,6 +26,10 @@ CACHE_HEAVY = [
     "dedup_simhash",
     "ann_ivf_kmeans",
     "kmeans_embeddings",
+    # round-6 third batch: Bloom corpus key set, BPE vocab table
+    "dedup_incremental_bloom",
+    "bpe_train_merges",
+    "bpe_segment_docs",
 ]
 
 

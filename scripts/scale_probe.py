@@ -52,6 +52,12 @@ PROBE_QUERIES = [
     # between-builds production shape)
     "ann_ivf",
     "ann_ivf_indexed",
+    # round-6 third batch: Bloom bypass (bitmap is m/64 rows at any
+    # corpus size → ~flat) and the BPE pair (training on the vocab axis
+    # → ~flat; application adds one corpus join pass → ~linear)
+    "dedup_incremental_bloom",
+    "bpe_train_merges",
+    "bpe_segment_docs",
 ]
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "bpe_train_merges",
     "bpe_segment_docs",
+    "dedup_incremental_minhash",
 ]
 
 

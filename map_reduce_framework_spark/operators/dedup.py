@@ -876,6 +876,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screen via MinHash-LSH banding: the incoming
+    batch's band keys equi-join the CORPUS band table — new×old, never
+    the corpus against itself — then exact-Jaccard verify ≥ 0.8.
+
+    Completes the incremental-screen matrix: exact membership (md5
+    semi-join in :func:`dedup_incremental`), n-gram resemblance (the
+    df-capped posting list / bucketed gram index), head-fingerprint
+    bypass (:func:`dedup_incremental_bloom`), and now the banded
+    near-dup screen — the shape a production ingestion run uses when
+    full-resemblance posting lists are too expensive per batch.  At
+    scale the corpus side is a persisted signature/band artifact
+    rebuilt per index build (exactly like ``gram_index_bucketed``),
+    keyed on the band key so the screen is a plain equi-join; here both
+    sides derive from one shared signature pass (persist + count
+    barrier, see :func:`dedup_minhash_lsh`).
+
+    Output: (new_id, old_id, jaccard) verified pairs — the verdict feed
+    a keeplist MERGE consumes.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    from ..cache import persist_tracked
+
+    sigs = persist_tracked(_shingled_docs(docs, with_sig=True))
+    sigs.count()
+    band_exprs = [
+        F.concat_ws(
+            "-",
+            F.lit(i),
+            *[F.element_at("sig", i * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+        ).alias(f"band{i}")
+        for i in range(LSH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*band_exprs)).alias("band_key"),
+    )
+    is_new = _incr_is_new()
+    newb = banded.where(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh").alias("sh_a"),
+        "band_key",
+    )
+    oldb = banded.where(~is_new).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sh").alias("sh_b"),
+        "band_key",
+    )
+    cand = (
+        newb.join(oldb, "band_key")
+        .select("new_id", "old_id", "sh_a", "sh_b")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", rnd(inter / union, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "jaccard")
+        .orderBy("new_id", "old_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1444,6 +1508,35 @@ ORACLES = {
                              THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
         FROM newd GROUP BY source ORDER BY source
     """,
+    "dedup_incremental_minhash": f"""
+        WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+        sigh AS (SELECT doc_id, sh,
+                        list_transform(sh, t ->
+                            {_hash60_sql('t')} % {MINHASH_PRIME}) AS hs
+                 FROM s WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh, [{_MINHASH_MINS}] AS sig FROM sigh),
+        banded AS (SELECT doc_id, sh, unnest([{_BAND_KEYS}]) AS band_key
+                   FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM banded a JOIN banded b
+                 ON a.band_key = b.band_key
+                 WHERE {_hash60_sql("concat('batch:', a.doc_id)")}
+                           % {INCR_BATCH_MOD} = 0
+                   AND {_hash60_sql("concat('batch:', b.doc_id)")}
+                           % {INCR_BATCH_MOD} <> 0),
+        verified AS (
+            SELECT c.new_id, c.old_id,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh)) AS un
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.new_id
+            JOIN s sb ON sb.doc_id = c.old_id)
+        SELECT new_id, old_id,
+               {rnd_sql('(inter / un)', 4)} AS jaccard
+        FROM verified WHERE {rnd_sql('(inter / un)', 4)} >= {JACCARD_THRESHOLD}
+        ORDER BY new_id, old_id
+    """,
     "dedup_minhash_lsh": f"""
         WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
         sigh AS (SELECT doc_id, sh,
@@ -1510,6 +1603,7 @@ QUERIES = {
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

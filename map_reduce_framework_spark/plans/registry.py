@@ -85,7 +85,10 @@ DRIVER_WINDOW = [
     "events_time_window",
     "gap_fill_hourly",
     "grouping_sets",
-    "json_extract",
+    # NEW late in round 6: incremental MinHash band screen (displaces
+    # json_extract — pure scalar-function plan, trivially stable;
+    # r03-green, rotates back next round)
+    "dedup_incremental_minhash",
     "lang_id",
     "mixture_sample",
     "mr_wordcount_facade",

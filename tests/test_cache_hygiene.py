@@ -30,6 +30,7 @@ CACHE_HEAVY = [
     "dedup_incremental_bloom",
     "bpe_train_merges",
     "bpe_segment_docs",
+    "dedup_incremental_minhash",
 ]
 
 

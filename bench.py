@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
 ]
 
 

@@ -837,19 +837,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = persist_tracked(_shingled_docs(docs, with_sig=True))
     sigs.count()
-    # band key = 'i:s1-s2-s3' string per band
-    band_exprs = [
-        F.concat_ws(
-            "-",
-            F.lit(i),
-            *[F.element_at("sig", i * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
-        ).alias(f"band{i}")
-        for i in range(LSH_BANDS)
-    ]
+    # band key = 'i-s1-s2-s3' string per band (shared _band_key_array)
     banded = sigs.select(
         "doc_id",
         "sh",
-        F.explode(F.array(*band_exprs)).alias("band_key"),
+        F.explode(_band_key_array()).alias("band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -873,6 +865,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_key_array() -> Column:
+    """The LSH_BANDS band keys of a 12-hash ``sig`` column, each the
+    'i-s1-s2-s3' string of its band index and LSH_ROWS signature rows."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(i),
+                *[
+                    F.element_at("sig", i * LSH_ROWS + r + 1)
+                    for r in range(LSH_ROWS)
+                ],
+            )
+            for i in range(LSH_BANDS)
+        ]
     )
 
 
@@ -901,18 +911,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = persist_tracked(_shingled_docs(docs, with_sig=True))
     sigs.count()
-    band_exprs = [
-        F.concat_ws(
-            "-",
-            F.lit(i),
-            *[F.element_at("sig", i * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
-        ).alias(f"band{i}")
-        for i in range(LSH_BANDS)
-    ]
     banded = sigs.select(
         "doc_id",
         "sh",
-        F.explode(F.array(*band_exprs)).alias("band_key"),
+        F.explode(_band_key_array()).alias("band_key"),
     )
     is_new = _incr_is_new()
     newb = banded.where(is_new).select(
@@ -921,6 +923,81 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_key",
     )
     oldb = banded.where(~is_new).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sh").alias("sh_b"),
+        "band_key",
+    )
+    cand = (
+        newb.join(oldb, "band_key")
+        .select("new_id", "old_id", "sh_a", "sh_b")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", rnd(inter / union, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "jaccard")
+        .orderBy("new_id", "old_id")
+    )
+
+
+BAND_INDEX_TABLE = "band_index_bkt"
+BAND_INDEX_BUCKETS = 8
+
+
+def _band_index_name(sf_dir: str) -> str:
+    from ..sources.bucketing import fingerprinted_table_name
+
+    return fingerprinted_table_name(BAND_INDEX_TABLE, sf_dir, "documents")
+
+
+def band_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the OLD-corpus MinHash band table — (doc_id, sh,
+    band_key) — as a table BUCKETED (and sorted) on the band key: the
+    signature-axis twin of :func:`gram_index_bucketed`.  Signing the
+    corpus happens once per index build, not once per screen, and the
+    bucket layout persists the hash partitioning so the screen's band
+    equi-join runs with ZERO exchange on the index side (plan-asserted
+    in ``tests/test_plans.py``).  Content-fingerprinted per-corpus name;
+    built once per session."""
+    from ..sources.bucketing import write_bucketed
+
+    table = _band_index_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        docs = fan_out(load_table(spark, sf_dir, "documents")).where(
+            ~_incr_is_new()
+        )
+        sigs = _shingled_docs(docs, with_sig=True).persist()
+        try:
+            banded = sigs.select(
+                "doc_id", "sh", F.explode(_band_key_array()).alias("band_key")
+            )
+            write_bucketed(banded, table, "band_key", BAND_INDEX_BUCKETS)
+        finally:
+            sigs.unpersist()
+    return spark.table(table)
+
+
+def dedup_incremental_minhash_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dedup_incremental_minhash` consuming the materialized
+    bucketed band index instead of re-signing the corpus — the
+    between-index-builds production screen.  Only the (small) incoming
+    batch is shingled and signed per run; the candidate equi-join reads
+    the index through its bucket layout with no index-side exchange.
+    Output-identical to the derived twin (pinned by
+    ``tests/test_dedup.py::test_indexed_minhash_equals_derived``)."""
+    idx = band_index_bucketed(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    new_sigs = _shingled_docs(docs.where(_incr_is_new()), with_sig=True)
+    newb = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh").alias("sh_a"),
+        F.explode(_band_key_array()).alias("band_key"),
+    )
+    oldb = idx.select(
         F.col("doc_id").alias("old_id"),
         F.col("sh").alias("sh_b"),
         "band_key",
@@ -1594,6 +1671,12 @@ ORACLES = {
     """,
 }
 
+# the materialized band index is invisible to semantics (same banding,
+# same verify) — the indexed screen shares the derived twin's oracle
+ORACLES["dedup_incremental_minhash_indexed"] = ORACLES[
+    "dedup_incremental_minhash"
+]
+
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_exact": dedup_exact,
@@ -1604,6 +1687,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_incremental_minhash_indexed": dedup_incremental_minhash_indexed,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -83,7 +83,10 @@ DRIVER_WINDOW = [
     "doc_fingerprint",
     "events_sliding_window",
     "events_time_window",
-    "gap_fill_hourly",
+    # NEW late in round 6: indexed MinHash band screen (displaces
+    # gap_fill_hourly — sequence-expansion stable plan; r03-green,
+    # rotates back next round)
+    "dedup_incremental_minhash_indexed",
     "grouping_sets",
     # NEW late in round 6: incremental MinHash band screen (displaces
     # json_extract — pure scalar-function plan, trivially stable;

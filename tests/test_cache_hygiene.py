@@ -31,6 +31,8 @@ CACHE_HEAVY = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_incremental_minhash",
+    # NOTE: the indexed twin persists nothing per-run (the index is a
+    # table); deliberately not listed here
 ]
 
 

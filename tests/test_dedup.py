@@ -329,3 +329,26 @@ def test_bloom_bypass_actually_prunes(spark):
     n_true_dup = newd.join(oldh, "h", "left_semi").count()
     assert n_true_dup <= n_maybe  # no false negatives
     assert n_maybe < n_new / 2  # the bypass prunes most of the batch
+
+
+def test_indexed_minhash_equals_derived(spark):
+    """The bucketed band-index screen must reproduce the self-derived
+    incremental MinHash screen exactly (same signatures, same banding,
+    same verify — the index only changes WHERE the corpus side comes
+    from)."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_indexed,
+    )
+
+    try:
+        got = sorted(
+            map(tuple, dedup_incremental_minhash_indexed(spark, SF_DIR).collect())
+        )
+        want = sorted(
+            map(tuple, dedup_incremental_minhash(spark, SF_DIR).collect())
+        )
+    finally:
+        cache.release()
+    assert got == want and len(got) > 0

@@ -557,3 +557,39 @@ def test_bloom_build_is_partial_agg_and_probe_broadcasts(spark):
     assert "hashpartitioning(block_id" not in probe_plan.split(
         "BroadcastExchange"
     )[0]
+
+
+def test_band_index_join_shuffles_batch_side_only(spark):
+    """The indexed MinHash screen's candidate equi-join must read the
+    materialized band index WITHOUT an exchange (bucket layout is the
+    shuffle); only the freshly-signed batch side may repartition."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        _band_key_array,
+        _incr_is_new,
+        _shingled_docs,
+        band_index_bucketed,
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    idx = band_index_bucketed(spark, SF_DIR)
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+    newb = _shingled_docs(new_docs, with_sig=True).select(
+        F.col("doc_id").alias("new_id"),
+        F.explode(_band_key_array()).alias("band_key"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = newb.join(
+            idx.select(F.col("doc_id").alias("old_id"), "band_key"),
+            "band_key",
+        )
+        plan = plan_of(cand, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan  # batch side only
+    formatted = plan_of(cand, mode="formatted")
+    assert "Bucketed: true" in formatted
+    assert cand.count() > 0

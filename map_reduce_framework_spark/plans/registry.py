@@ -60,6 +60,13 @@ _MODULES = [
 # (can never hash-match DuckDB's sketches; accuracy pytests vs exact
 # twins cover them).  Queries NOT listed follow in module order; every
 # one has a green r01/r03/r04/r05 row.
+# ROUND-7 ROTATION DEBT: seven stable rows were displaced late in round
+# 6 to give the new operators their first driver evidence —
+# clean_corpus + dedup_semantic/dedup_passage/sessionize/
+# events_window_distinct (r04-green) and search_dir_listing/
+# string_agg_sorted/json_extract/gap_fill_hourly + the three stable ANN
+# displacees (r03/r04-green).  Rotate them back next round so no green
+# is older than 3 rounds.
 DRIVER_WINDOW = [
     # (a) plans changed this round: bucket-sliced zscore window,
     # skew-safe df-cap consumers, q2 tiebreak

@@ -126,7 +126,7 @@ def main() -> int:
     # (e.g. SPARK_GRAFT_BENCH_QUERIES=dedup_minhash_lsh,dedup_ngram_jaccard);
     # unset → the full headline set the driver records
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    subset = [q for q in subset_env.split(",") if q] or HEADLINE
+    subset = [q.strip() for q in subset_env.split(",") if q.strip()] or HEADLINE
     unknown = [q for q in subset if q not in registry.QUERIES]
     if unknown:
         print(f"unknown bench queries: {unknown}", file=sys.stderr)

@@ -222,7 +222,10 @@ def decode_png(payload: bytes) -> dict:
     Unlike :func:`decode_wav` / :func:`decode_bmp` (header parses), this
     decodes actual pixels: walks the chunk list (CRC-verified), inflates
     the concatenated IDAT stream, reverses the per-scanline filters
-    (None/Sub/Up/Average/Paeth) with numpy row kernels, and returns
+    (None/Up fully vectorized; Sub via per-channel cumulative sums;
+    Average/Paeth per-byte — their predictor depends on the
+    just-reconstructed left neighbor, an inherently sequential
+    recurrence), and returns
     geometry plus the mean sample value — the cheap "is this image
     black/blown-out" feature a curation pipeline computes at ingest.
 
@@ -258,10 +261,13 @@ def _png_pixels(payload: bytes):
     seen_iend = False
     while pos + 8 <= len(payload):
         (chunk_len,) = struct.unpack_from(">I", payload, pos)
+        # length covers header(8) + body + CRC(4): a payload truncated
+        # anywhere inside the chunk — including between body and CRC —
+        # must fail loudly, not with a raw struct.error
+        if pos + 12 + chunk_len > len(payload):
+            raise ValueError("PNG chunk extends past payload (truncated)")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + chunk_len]
-        if len(body) != chunk_len:
-            raise ValueError("PNG chunk extends past payload (truncated)")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + chunk_len)
         if zlib.crc32(payload[pos + 4 : pos + 8 + chunk_len]) != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
@@ -300,10 +306,12 @@ def _png_pixels(payload: bytes):
         prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
         if f == 0:  # None
             line = cur
-        elif f == 1:  # Sub — sequential in x, vectorized per pixel-group
-            line = cur
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 1:  # Sub — per-channel cumulative sum (mod-256 addition
+            # is associative, so out[x] = (cur[x] + out[x-bpp]) % 256
+            # collapses to a cumsum along each channel lane)
+            line = cur.copy()
+            for c in range(bpp):
+                line[c::bpp] = np.cumsum(cur[c::bpp], dtype=np.int64) & 0xFF
         elif f == 2:  # Up
             line = (cur + prior) & 0xFF
         elif f == 3:  # Average

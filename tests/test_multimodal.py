@@ -306,6 +306,10 @@ def test_decode_png_rejects_corrupt_and_unsupported():
         multimodal.decode_png(bytes(bad_crc))
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_png(good[:-20])  # cuts into the IDAT chunk
+    with pytest.raises(ValueError, match="truncated"):
+        # complete IEND body but truncated CRC — must be the documented
+        # fail-loud ValueError, not a raw struct.error
+        multimodal.decode_png(good[:-2])
     with pytest.raises(ValueError, match="missing"):
         multimodal.decode_png(good[:-12])  # clean cut at the IEND boundary
     with pytest.raises(NotImplementedError, match="interlaced"):

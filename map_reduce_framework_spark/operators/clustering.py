@@ -43,6 +43,23 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 3
 EMBED_DIM = 64
 
+#: dedup_semantic block sizing: K scales as max(K_CLUSTERS,
+#: ceil(corpus / SEM_TARGET_BLOCK)), so clusters stay ≈SEM_TARGET_BLOCK
+#: vectors no matter the corpus — production SemDeDup's "enough clusters
+#: that each fits an executor" rule (the round-6 verdict's weak class:
+#: a CONSTANT K means within-cluster GEMM work grows quadratically with
+#: the corpus).  At sf0.01/sf0.1 (≤2000 vectors) this still yields
+#: K_CLUSTERS=8, so the recorded trajectories are unchanged; at sf1
+#: (20k vectors) K=79, at 10⁹ vectors K≈4M.
+SEM_TARGET_BLOCK = 256
+
+
+def semantic_k(n: int) -> int:
+    """Corpus-scaled cluster count (integer ceil — bit-reproducible in
+    the oracle as ``GREATEST(K, CEIL(n / SEM_TARGET_BLOCK.0))``; the SQL
+    float division is exact because SEM_TARGET_BLOCK is a power of 2)."""
+    return max(K_CLUSTERS, -(-n // SEM_TARGET_BLOCK))
+
 _PARTIAL_SCHEMA = "cid int, n long, s array<double>"
 _ASSIGN_SCHEMA = "vec_id long, cid int, dist double"
 
@@ -111,13 +128,13 @@ def _assign_fn(C: np.ndarray):
     return fn
 
 
-def train_kmeans(emb: DataFrame) -> np.ndarray:
-    """Run ``KMEANS_ITERS`` Lloyd iterations; return the K×dim centroids.
+def train_kmeans(emb: DataFrame, k: int = K_CLUSTERS) -> np.ndarray:
+    """Run ``KMEANS_ITERS`` Lloyd iterations; return the k×dim centroids.
 
     ``emb`` needs columns (vec_id, embedding).  One Spark job per
-    iteration; only K·partitions partial rows ever reach the driver.
+    iteration; only k·partitions partial rows ever reach the driver.
     """
-    init = emb.select("embedding").orderBy("vec_id").limit(K_CLUSTERS).collect()
+    init = emb.select("embedding").orderBy("vec_id").limit(k).collect()
     C = np.array([r.embedding for r in init], dtype=np.float64)
     for _ in range(KMEANS_ITERS):
         partials = emb.mapInPandas(_partials_fn(C), _PARTIAL_SCHEMA).collect()
@@ -178,7 +195,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-block work is a block-local GEMM (one BLAS call per cluster,
     same Arrow pattern as dedup_embedding_cosine).  K bounds block size
     skew: production SemDeDup uses K large enough that clusters fit an
-    executor (paper: 50k clusters for 5B docs).
+    executor (paper: 50k clusters for 5B docs) — here K =
+    :func:`semantic_k` (corpus/SEM_TARGET_BLOCK, floored at K_CLUSTERS),
+    so within-cluster GEMM work stays linear in the corpus; the oracle
+    computes the same K from ``count(*)`` inside the CTE chain.
     """
     from ..cache import persist_tracked
 
@@ -188,7 +208,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
     )
-    C = train_kmeans(emb)
+    C = train_kmeans(emb, k=semantic_k(emb.count()))
     assigned = emb.mapInPandas(_assign_fn(C), _ASSIGN_SCHEMA).select(
         "vec_id", "cid"
     )
@@ -224,23 +244,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_training_ctes(raw_cte: str = "e") -> tuple[str, str]:
+def kmeans_training_ctes(
+    raw_cte: str = "e", k_sql: str | None = None
+) -> tuple[str, str]:
     """DuckDB CTE chain replaying the exact Lloyd trajectory, iterations
     unrolled; reusable by any oracle that needs the trained centroids
     (e.g. the IVF-with-kmeans variant in :mod:`.similarity`).
+
+    ``k_sql``: SQL scalar expression for the cluster count (defaults to
+    the fixed ``K_CLUSTERS``); ``dedup_semantic`` passes the
+    corpus-scaled ``GREATEST(K, CEIL(count(*)/SEM_TARGET_BLOCK))`` so
+    the oracle replays :func:`semantic_k` exactly.
 
     Returns ``(ctes_sql, final_name)``: ``ctes_sql`` defines
     ``{raw_cte}`` (vec_id, v DOUBLE[]) plus the per-iteration CTEs and
     ends with ``final_name`` holding (cid, v) trained centroids.  Embed
     as ``WITH {ctes_sql}, ...``.
     """
+    k_sql = k_sql or str(K_CLUSTERS)
     blocks = [
         f"""
         {raw_cte} AS (SELECT vec_id, embedding::DOUBLE[] AS v
                       FROM embeddings),
-        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, v
-               FROM (SELECT vec_id, v FROM {raw_cte}
-                     ORDER BY vec_id LIMIT {K_CLUSTERS}))"""
+        c0 AS (SELECT cid, v FROM
+                 (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cid, v
+                  FROM {raw_cte})
+               WHERE cid < ({k_sql}))"""
     ]
     prev = "c0"
     for i in range(KMEANS_ITERS):
@@ -286,7 +315,13 @@ _UNIT_V_SQL = (
 def _dedup_semantic_oracle() -> str:
     from .dedup import COSINE_DUP_THRESHOLD
 
-    ctes, final = kmeans_training_ctes()
+    ctes, final = kmeans_training_ctes(
+        k_sql=(
+            f"SELECT GREATEST({K_CLUSTERS}, "
+            f"CEIL(count(*) / {SEM_TARGET_BLOCK}.0)::BIGINT) "
+            f"FROM embeddings"
+        )
+    )
     return f"""
         WITH {ctes},
         e2 AS (SELECT vec_id, embedding::DOUBLE[] AS ve,

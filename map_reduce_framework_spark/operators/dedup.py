@@ -82,6 +82,32 @@ SIMHASH_MAX_HAMMING = 3
 JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.35
 
+#: dedup_embedding_cosine blocking: target vectors per sign-LSH bucket
+#: and the admissible bit range.  ``adaptive_sign_bits`` picks the
+#: smallest bit count whose 2^bits buckets hold ≤ this many vectors in
+#: expectation, so block size stays CORPUS-BOUNDED (the round-6 weak
+#: class was a constant number of blocks → O(n²) within-block work at
+#: 100×; bits ∝ log₂(corpus) makes within-block work O(n · target ·
+#: (1+bits)) — linear in the corpus up to the log factor).
+EMB_BLOCK_TARGET = 64
+EMB_BITS_MIN = 3
+EMB_BITS_MAX = 16
+
+
+def adaptive_sign_bits(
+    n: int,
+    target: int = EMB_BLOCK_TARGET,
+    lo: int = EMB_BITS_MIN,
+    hi: int = EMB_BITS_MAX,
+) -> int:
+    """Smallest bit count ``b`` in [lo, hi] with ``2^b * target >= n``
+    (integer arithmetic only — bit-for-bit reproducible in the DuckDB
+    oracle as ``min(b) FROM range(lo, hi+1) WHERE (1 << b)*target >= n``)."""
+    for b in range(lo, hi + 1):
+        if (1 << b) * target >= n:
+            return b
+    return hi
+
 #: n-gram Jaccard document-frequency cap: grams occurring in MORE than
 #: this many documents are dropped from the posting list before the
 #: candidate self-join (and from the Jaccard vocabulary — mirrored in the
@@ -1169,24 +1195,63 @@ def unit_vector_col(a: str) -> Column:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked embedding near-dup pairs (cosine ≥ 0.35).
+    """ANN-bucket-blocked embedding near-dup pairs (cosine ≥ 0.35): a
+    pair is reported iff the two vectors' sign-LSH buckets are within
+    Hamming distance 1 AND their rounded cosine clears the threshold.
 
-    Blocking on ``label`` turns the O(n²) similarity join into shuffle +
-    within-block pairs — at scale the block key would be an ANN bucket
-    (see similarity.ann_lsh_bucketed); the pattern is the same.
+    **Corpus-bounded blocking** (the round-6 fix): the block key is the
+    :func:`~.similarity.sign_bucket_col` sign-LSH bucket over
+    ``adaptive_sign_bits(n)`` hyperplanes — bits grows with log₂(corpus),
+    so expected bucket occupancy stays ≤ ``EMB_BLOCK_TARGET`` no matter
+    the corpus size (vs the earlier ``label`` key: ~10 blocks forever →
+    quadratic within-block work at 100×).  Hamming-1 recall recovery
+    uses GHOST REPLICATION: every vector lands once in its home bucket
+    and once in each of the ``bits`` single-bit-flip neighbor buckets, a
+    (1+bits) = O(log n) replication.  Within a block, a pair (i, j),
+    ``i < j`` by vec_id, is emitted only when the LOWER-id member is
+    HOME there — an exactly-once rule (two single-bit flips can never
+    land a Hamming≤1 pair in a third common bucket), so no distinct
+    step is needed.
 
-    The within-block pair scoring is a **block-local GEMM** in an
+    The within-block pair scoring stays a **block-local GEMM** in an
     Arrow-batched ``applyInPandas``: each block's vectors become one
     numpy float64 matrix M (rows pre-normalized to unit length), and all
     pairwise cosines are ``M @ M.T`` — one BLAS call per block instead of
     |block|² interpreted per-element array expressions.  This is the
     production pattern for blocked similarity at 100 TB: the shuffle
-    distributes blocks across executors, the math inside a block is
-    vectorized native code.  (An earlier all-Catalyst version using
+    distributes O(n·(1+bits)) rows across executors, and within-block
+    work is O(n · target · (1+bits)) total — linear in the corpus up to
+    the log factor.  (An earlier all-Catalyst version using
     zip_with/aggregate per pair was ~25× slower at sf0.1 — higher-order
     functions are interpreted per element, not codegen'd.)
+
+    Recall honesty: like every sign-LSH, borderline pairs whose buckets
+    differ in ≥2 bits are missed; at the 0.35 threshold the per-bit
+    sign-agreement probability is ~0.6 on this corpus, the same
+    measured regime as :func:`~.similarity.ann_lsh_bucketed` (whose CI
+    recall-floor test covers the shared bucketing).  The DuckDB oracle
+    replays the identical semantics (same integer bits rule, same
+    Hamming≤1 pair set), so the approximation is pinned, not drifting.
     """
+    # runtime import — similarity imports clustering imports dedup, so a
+    # module-level import here would be circular
+    from .similarity import sign_bucket_col
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = adaptive_sign_bits(n)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        sign_bucket_col("embedding", bits).alias("bk"),
+    )
+    probes = F.array(
+        F.col("bk"),
+        *[F.col("bk").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    exploded = bucketed.select(
+        "vec_id", "embedding", "bk", F.explode(probes).alias("grp")
+    )
 
     def block_pairs(pdf):
         import numpy as np
@@ -1194,27 +1259,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
+        home = (pdf["bk"] == pdf["grp"]).to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         # same portable rounding formula as functions.rnd / rnd_sql
         cos = np.floor(sims[ia, ib] * 1e4 + 0.5) / 1e4
-        keep = cos >= COSINE_DUP_THRESHOLD
+        # lower-id member home in this block → exactly-once emission
+        keep = home[ia] & (cos >= COSINE_DUP_THRESHOLD)
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "label": pdf["label"].iloc[0],
                 "cosine": cos[keep],
             }
         )
 
     return (
-        emb.groupBy("label")
-        .applyInPandas(
-            block_pairs, "id_a bigint, id_b bigint, label int, cosine double"
-        )
+        exploded.groupBy("grp")
+        .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine double")
         .orderBy("id_a", "id_b")
     )
 
@@ -1657,14 +1721,28 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "dedup_embedding_cosine": f"""
-        WITH e AS (SELECT vec_id, label,
+        WITH bits AS (
+            SELECT coalesce(min(b), {EMB_BITS_MAX}) AS b
+            FROM range({EMB_BITS_MIN}, {EMB_BITS_MAX + 1}) t(b),
+                 (SELECT count(*) AS n FROM embeddings) c
+            WHERE (1::BIGINT << b) * {EMB_BLOCK_TARGET} >= c.n),
+        e AS (SELECT vec_id,
+                embedding::DOUBLE[] AS raw,
                 list_transform(embedding::DOUBLE[], x ->
                     x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                      y -> y*y)))) AS v
-            FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+            FROM embeddings),
+        bk AS (SELECT vec_id, v,
+                CAST(list_sum(list_transform(range(0, {EMB_BITS_MAX}), j ->
+                    CASE WHEN j < bits.b AND e.raw[j + 1] >= 0
+                         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+                    AS bucket
+            FROM e, bits)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM bk a JOIN bk b
+          ON a.vec_id < b.vec_id
+          AND bit_count(xor(a.bucket, b.bucket)) <= 1
         WHERE (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
               >= {COSINE_DUP_THRESHOLD}
         ORDER BY id_a, id_b

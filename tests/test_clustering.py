@@ -72,3 +72,25 @@ def test_dedup_semantic_survivors_precede_drops(spark):
             seen.add(cur)
             cur = dup_of[cur]
         assert cur not in dropped_ids
+
+
+def test_semantic_k_scales_with_corpus():
+    """dedup_semantic's cluster count must grow with the corpus so
+    within-cluster GEMM blocks stay ≈SEM_TARGET_BLOCK vectors (the
+    round-6 constant-K weak class)."""
+    from map_reduce_framework_spark.operators.clustering import (
+        K_CLUSTERS,
+        SEM_TARGET_BLOCK,
+        semantic_k,
+    )
+
+    assert semantic_k(500) == K_CLUSTERS      # sf0.01: trajectory unchanged
+    assert semantic_k(2_000) == K_CLUSTERS    # sf0.1: trajectory unchanged
+    assert semantic_k(20_000) == 79           # sf1: blocks bounded
+    for n in (10**6, 10**9):
+        k = semantic_k(n)
+        # expected block size within one target of the dial
+        assert n / k <= SEM_TARGET_BLOCK
+        assert k >= n // SEM_TARGET_BLOCK
+    # 10x the corpus -> ~10x the clusters (linear, not constant)
+    assert 9 <= semantic_k(10**7) / semantic_k(10**6) <= 11

@@ -352,3 +352,62 @@ def test_indexed_minhash_equals_derived(spark):
     finally:
         cache.release()
     assert got == want and len(got) > 0
+
+
+def test_adaptive_sign_bits_bounds_block_size():
+    """bits must grow with the corpus so expected bucket occupancy stays
+    ≤ EMB_BLOCK_TARGET — the round-6 '100×' fix for the embedding dedup."""
+    from map_reduce_framework_spark.operators.dedup import (
+        EMB_BITS_MAX,
+        EMB_BITS_MIN,
+        EMB_BLOCK_TARGET,
+        adaptive_sign_bits,
+    )
+
+    for n in (1, 500, 2_000, 20_000, 1_000_000, 10**9):
+        b = adaptive_sign_bits(n)
+        assert EMB_BITS_MIN <= b <= EMB_BITS_MAX
+        if b < EMB_BITS_MAX:
+            # expected occupancy bound holds, and b is minimal
+            assert (1 << b) * EMB_BLOCK_TARGET >= n
+            if b > EMB_BITS_MIN:
+                assert (1 << (b - 1)) * EMB_BLOCK_TARGET < n
+    # strictly more buckets at 10× the corpus (until the cap)
+    assert adaptive_sign_bits(20_000) > adaptive_sign_bits(2_000) > 0
+
+
+def test_embedding_dedup_blocks_are_corpus_bounded(spark):
+    """Replay the operator's own blocking (home + Hamming-1 ghosts) at
+    SF_DIR and assert the LARGEST physical block is within a constant
+    skew factor of target·(1+bits) — i.e. block size is set by
+    EMB_BLOCK_TARGET, not by corpus size."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        EMB_BLOCK_TARGET,
+        adaptive_sign_bits,
+    )
+    from map_reduce_framework_spark.operators.similarity import sign_bucket_col
+    from map_reduce_framework_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    bits = adaptive_sign_bits(n)
+    bucketed = emb.select(sign_bucket_col("embedding", bits).alias("bk"))
+    probes = F.array(
+        F.col("bk"),
+        *[F.col("bk").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    sizes = (
+        bucketed.select(F.explode(probes).alias("grp"))
+        .groupBy("grp")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("n_blocks"))
+        .collect()[0]
+    )
+    expected = EMB_BLOCK_TARGET * (1 + bits)
+    assert sizes["mx"] <= 4 * expected, (
+        f"max block {sizes['mx']} exceeds 4x the corpus-bounded "
+        f"expectation {expected} (bits={bits}, n={n})"
+    )
+    assert sizes["n_blocks"] >= (1 << bits) // 2  # buckets actually spread

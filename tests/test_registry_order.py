@@ -1,15 +1,17 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-6 policy (CORRECTNESS_r05 was 50/50 green — pure evidence-
-freshness rotation): the window holds (a) every query whose plan
-changed this round (bucket-sliced windows, skew-safe gram-df cap
-consumers, the q2 tiebreak), (b) the two round-1-only greens, (c) all
-32 round-3-latest greens (oldest evidence on current code), (d) 10
-round-4-latest greens picked for persist/cache exposure and sf1-probe
-family coverage.  The two approx sketches are excluded permanently —
-they can never hash-match DuckDB's sketches and would burn slots on
-guaranteed `no_oracle` rows.
+Round-7 policy (CORRECTNESS_r06 was 50/50 green and the judge re-ran
+the full 140/140 sweep — pure evidence-freshness rotation plus this
+round's plan changes): the window holds (a) the five rows with the
+oldest driver evidence (the r01-only green and the four r03-latest
+greens — the documented round-7 rotation debt), (b) every query whose
+plan changed this round (ANN-bucket embedding dedup, batched BPE
+trainer + application, text-verified substring dedup), (c) 41 of the
+45 round-4-latest greens.  Four trivially-stable r04 rows are deferred
+to round 8 (named in registry.py).  The two approx sketches are
+excluded permanently — they can never hash-match DuckDB's sketches and
+would burn slots on guaranteed `no_oracle` rows.
 """
 
 from __future__ import annotations
@@ -19,26 +21,30 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-PLAN_CHANGED_IN_R6 = {
-    "rolling_zscore",
-    "window_range_interval",
-    "pack_sequences",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "tpch_q2_min_cost_supplier",
-    "window_distribution",
-    # salted two-phase ANN top-k (ann_ivf_kmeans shares the rewrite and
-    # already sits in block d)
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf",
+PLAN_CHANGED_IN_R7 = {
+    "dedup_embedding_cosine",
+    "bpe_train_merges",
+    "bpe_segment_docs",
+    "dedup_exact_substring",
 }
 
-# r01-only greens: set_intersect yielded its slot to ann_ivf_indexed
-# late in round 6 (trivially-stable plan, rotates back next round)
-OLDEST_EVIDENCE = {"set_union_all"}
+#: r01/r03-latest greens — every one must get a fresh row this round
+OLDEST_EVIDENCE = {
+    "set_intersect",
+    "json_extract",
+    "gap_fill_hourly",
+    "string_agg_sorted",
+    "search_dir_listing",
+}
+
+#: r04-green rows deferred to round 8 for the plan-changed slots —
+#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
+DEFERRED_TO_R8 = {
+    "date_arithmetic",
+    "search_substring",
+    "set_intersect_all",
+    "histogram_totalprice",
+}
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
 
@@ -47,6 +53,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 
@@ -67,8 +74,17 @@ def test_driver_window_is_first_50():
 
 def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert PLAN_CHANGED_IN_R6 <= window
+    assert PLAN_CHANGED_IN_R7 <= window
     assert OLDEST_EVIDENCE <= window
+
+
+def test_deferred_rows_are_known_and_green_elsewhere():
+    """The four deferred rows must be real queries with a prior driver
+    green (they are debt, not gaps)."""
+    window = set(registry.DRIVER_WINDOW)
+    assert not (DEFERRED_TO_R8 & window)
+    assert DEFERRED_TO_R8 <= set(registry.get_queries())
+    assert DEFERRED_TO_R8 <= _prior_checked()
 
 
 def test_no_oracle_queries_stay_out_of_window():

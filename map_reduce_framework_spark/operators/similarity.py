@@ -139,7 +139,10 @@ def probe_buckets_col(bucket_col: str, bits: int = LSH_SIGN_BITS):
 
 
 def ann_lsh_bucketed(
-    spark: SparkSession, sf_dir: str, multiprobe: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    multiprobe: bool = True,
+    bits: int = LSH_SIGN_BITS,
 ) -> DataFrame:
     """Approximate top-k: search the query's sign-bit LSH bucket plus
     (with ``multiprobe``, the default) all Hamming-1 neighbor buckets.
@@ -161,11 +164,11 @@ def ann_lsh_bucketed(
     the floor and that multiprobe dominates single-probe.
     """
     corpus, queries = _corpus_and_queries(spark, sf_dir)
-    corpus_b = corpus.withColumn("cbucket", sign_bucket_col("vc"))
-    queries_b = queries.withColumn("bucket", sign_bucket_col("vq"))
+    corpus_b = corpus.withColumn("cbucket", sign_bucket_col("vc", bits))
+    queries_b = queries.withColumn("bucket", sign_bucket_col("vq", bits))
     if multiprobe:
         queries_b = queries_b.withColumn(
-            "probe", F.explode(probe_buckets_col("bucket"))
+            "probe", F.explode(probe_buckets_col("bucket", bits))
         )
     else:
         queries_b = queries_b.withColumn("probe", F.col("bucket"))
@@ -185,7 +188,9 @@ def ann_lsh_bucketed(
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors assigned to their nearest
     centroid cell; each query probes only its ``N_PROBE`` closest cells.
 
@@ -203,7 +208,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"),
         unit_vector_col("embedding").alias("vcent"),
     )
-    return _ivf_search(centroids, corpus, queries)
+    return _ivf_search(centroids, corpus, queries, n_probe=n_probe)
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,12 +331,15 @@ def _ivf_rank(probe_cells: DataFrame, corpus_cells: DataFrame) -> DataFrame:
 
 
 def _ivf_search(
-    centroids: DataFrame, corpus: DataFrame, queries: DataFrame
+    centroids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """Shared IVF search: assign cells, probe ``N_PROBE`` cells/query."""
+    """Shared IVF search: assign cells, probe ``n_probe`` cells/query."""
     corpus_cells = _assign_cells(centroids, corpus, "cand_id", "vc", 1)
     probe_cells = _assign_cells(
-        centroids, queries, "query_id", "vq", N_PROBE
+        centroids, queries, "query_id", "vq", n_probe
     ).withColumnRenamed("cell", "qcell")
     return _ivf_rank(probe_cells, corpus_cells)
 

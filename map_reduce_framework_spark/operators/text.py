@@ -969,12 +969,20 @@ def _bpe_train(
     fully re-segmented (term, tc, syms) vocabulary after training
     (consumed by :func:`bpe_segment_docs`).
 
-    Checkpoint note: each round's vocab is ``localCheckpoint(eager=
-    False)`` — materialized for free inside the round's collect job, so
-    jobs stay at one per round while lineage is truncated.  The tiny
-    (vocab-sized) checkpointed RDDs live until the session drops them;
-    at 31–10⁶ rows each that is noise next to any shuffle.
+    Cache protocol: each round's vocab is ``cache.persist_tracked`` —
+    materialized for free inside the round's collect job (one job per
+    round), with the PREVIOUS round unpersisted as soon as its
+    successor is cached, so at most two vocab-sized caches exist at
+    once and everything still staged at return is adopted by the
+    query's result (the registry contract; the hygiene suite asserts
+    zero persistent RDDs after the caller drops the result).  Rounds
+    execute from the previous round's cache, never from a re-folded
+    corpus scan; the logical plans still nest one fold per round, which
+    is fine at the registered depth (8 rounds) — a production 32k-merge
+    run would add a periodic checkpoint to truncate lineage.
     """
+    from .. import cache
+
     global _LAST_TRAIN_ROUNDS
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -996,7 +1004,8 @@ def _bpe_train(
             F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms"),
         )
     )
-    cur = vocab.localCheckpoint(eager=False)
+    cur = cache.persist_tracked(vocab)
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     rounds = 0
     while rounds < BPE_ROUNDS_MAX and len(merges) < BPE_MERGES:
@@ -1023,6 +1032,13 @@ def _bpe_train(
             .limit(BPE_CAND_POOL)
             .collect()
         )
+        # that collect materialized `cur`'s cache (from `prev`'s cache,
+        # or the corpus scan in round 1) — the round before it is now
+        # dead weight; dropping it here keeps at most two vocab-sized
+        # caches alive with NO extra job
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         cap = min(BPE_BATCH, BPE_MERGES - len(merges))
@@ -1040,11 +1056,14 @@ def _bpe_train(
             break
         for a, b, n in sel:
             merges.append((len(merges) + 1, a, b, a + b, n))
-        cur = cur.select(
-            "term",
-            "tc",
-            _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
-        ).localCheckpoint(eager=False)
+        prev = cur
+        cur = cache.persist_tracked(
+            cur.select(
+                "term",
+                "tc",
+                _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
+            )
+        )
     _LAST_TRAIN_ROUNDS = rounds
     if len(merges) < BPE_MERGES:
         raise ValueError(

@@ -102,6 +102,22 @@ def main() -> int:
     from map_reduce_framework_spark.plans import registry
     from map_reduce_framework_spark.session import get_spark
 
+    # measurement hygiene (round-7): the recorded artifact self-documents
+    # host load at start/end so a contaminated capture is identifiable
+    # from the JSON alone (the r06 artifact was silently inflated ~1.3×).
+    # SPARK_GRAFT_MAX_LOAD=<float> additionally REFUSES to run when the
+    # 1-min load exceeds the bound — for manual quiet-host records; left
+    # off by default so the external driver can always capture a row.
+    load_start = round(os.getloadavg()[0], 2)
+    max_load = os.environ.get("SPARK_GRAFT_MAX_LOAD")
+    if max_load and load_start > float(max_load):
+        print(
+            f"refusing to bench: 1-min load {load_start} > "
+            f"SPARK_GRAFT_MAX_LOAD={max_load}",
+            file=sys.stderr,
+        )
+        return 3
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -158,6 +174,8 @@ def main() -> int:
                 "parallelism": spark.sparkContext.defaultParallelism,
                 "runs_per_query": runs_per_query,
                 "strategy": "min",
+                "load_1m_start": load_start,
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -88,6 +88,7 @@ HEADLINE = [
     "bpe_segment_docs",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_indexed",
+    "dedup_index_maintain",
 ]
 
 

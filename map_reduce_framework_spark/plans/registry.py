@@ -64,13 +64,15 @@ _MODULES = [
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,
 # pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted) and the
 # whole TPC-H r04 family.
-# ROUND-8 ROTATION DEBT (4 r04-green rows deferred for the block-b
-# slots, all trivially-stable plans): date_arithmetic (pure scalar
-# date functions), search_substring (Catalyst Contains filter),
+# ROUND-8 ROTATION DEBT (5 r04-green rows deferred, all trivially-
+# stable plans — 4 for the block-b slots, 1 for the NEW
+# dedup_index_maintain's first driver row): date_arithmetic (pure
+# scalar date functions), search_substring (Catalyst Contains filter),
 # set_intersect_all (family re-proved by set_intersect r07 +
-# set_union_all r06), histogram_totalprice (width_bucket agg).  They
-# will be 4 rounds stale after this round — rotate them in FIRST next
-# round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
+# set_union_all r06), histogram_totalprice (width_bucket agg),
+# payload_chunks (binary chunk explode, plan unchanged since r04).
+# They will be 4 rounds stale after this round — rotate them in FIRST
+# next round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
 # their oracle TEXT gained the k_sql parameterization but the default
 # K and the trajectory are bit-identical (re-verified green this
 # session via driver_sim).
@@ -131,7 +133,9 @@ DRIVER_WINDOW = [
     "bpe_pair_stats",
     "training_manifest",
     "frame_sample_schedule",
-    "payload_chunks",
+    # NEW this round — first driver evidence (displaces payload_chunks,
+    # r04-green, plan unchanged, rotates back next round)
+    "dedup_index_maintain",
 ]
 
 

@@ -416,3 +416,49 @@ def test_embedding_dedup_blocks_are_corpus_bounded(spark):
         f"expectation {expected} (bits={bits}, n={n})"
     )
     assert sizes["n_blocks"] >= (1 << bits) // 2  # buckets actually spread
+
+
+def test_index_maintain_redetects_every_kept_doc(spark):
+    """After the bucketed append, every kept document's postings are in
+    the index, so the re-screen must self-hit ALL of them — and the
+    maintained table must hold exactly base + appended rows."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import (
+        GRAM_INDEX_MAINT_TABLE,
+        dedup_index_maintain,
+        gram_index_bucketed,
+    )
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    try:
+        rows = dedup_index_maintain(spark, SF_DIR).collect()
+    finally:
+        cache.release()
+    assert len(rows) > 0
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_kept > 0
+    for r in rows:
+        assert r["n_redetected"] == r["n_kept"], r
+        assert (r["grams_added"] > 0) == (r["n_kept"] > 0), r
+    base = gram_index_bucketed(spark, SF_DIR).count()
+    added = sum(r["grams_added"] for r in rows)
+    maint = spark.table(
+        fingerprinted_table_name(GRAM_INDEX_MAINT_TABLE, SF_DIR, "documents")
+    )
+    assert maint.count() == base + added
+
+
+def test_index_maintain_is_rerun_idempotent(spark):
+    """Running the maintenance query twice must not double-append: the
+    maintained table is rebuilt fresh per run."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import dedup_index_maintain
+
+    try:
+        first = sorted(map(tuple, dedup_index_maintain(spark, SF_DIR).collect()))
+        second = sorted(map(tuple, dedup_index_maintain(spark, SF_DIR).collect()))
+    finally:
+        cache.release()
+    assert first == second

@@ -593,3 +593,44 @@ def test_band_index_join_shuffles_batch_side_only(spark):
     formatted = plan_of(cand, mode="formatted")
     assert "Bucketed: true" in formatted
     assert cand.count() > 0
+
+
+def test_maintained_index_join_is_exchange_free_after_append(spark):
+    """The post-append maintained gram index must behave like the base
+    index: a bucketed append adds per-bucket files under the existing
+    spec, so a re-screen join still reads the index side with ZERO
+    exchange (only the fresh batch side repartitions)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        GRAM_INDEX_MAINT_TABLE,
+        _incr_is_new,
+        _shingled_docs,
+        dedup_index_maintain,
+    )
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    dedup_index_maintain(spark, SF_DIR).count()  # builds + appends
+    maint = spark.table(
+        fingerprinted_table_name(GRAM_INDEX_MAINT_TABLE, SF_DIR, "documents")
+    )
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+    ng = _shingled_docs(new_docs, with_hashes=True).select(
+        F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = ng.join(
+            maint.select(F.col("doc_id").alias("old_id"), "g"), "g"
+        )
+        plan = plan_of(cand, mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan  # batch side only
+    formatted = plan_of(cand, mode="formatted")
+    assert "Bucketed: true" in formatted
+    assert cand.count() > 0

@@ -26,6 +26,8 @@ PLAN_CHANGED_IN_R7 = {
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
+    # new operator this round — first driver row
+    "dedup_index_maintain",
 }
 
 #: r01/r03-latest greens — every one must get a fresh row this round
@@ -44,6 +46,7 @@ DEFERRED_TO_R8 = {
     "search_substring",
     "set_intersect_all",
     "histogram_totalprice",
+    "payload_chunks",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -670,6 +670,123 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprinter):
+#: window of consecutive gram hashes per selection, and the minimum
+#: number of shared selected fingerprints for a candidate pair.  Density
+#: guarantee: ≥ 1 fingerprint selected per window → expected selected
+#: fraction 2/(W+1) of all grams, and any shared run of ≥ W+SHINGLE_N-1
+#: words between two documents is GUARANTEED to share a fingerprint —
+#: the positional guarantee bottom-k sketches (doc_fingerprint) and
+#: MinHash (probabilistic) cannot make.
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+
+#: encode (hash, position) so a plain VARCHAR min() picks (min hash,
+#: then RIGHTMOST position) — the standard winnowing tie rule — in both
+#: engines: 19 digits fit the 60-bit hash, 7 digits the inverted
+#: position
+_WINNOW_POS_MAX = 9_999_999
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates: document pairs sharing
+    ≥ ``WINNOW_MIN_SHARED`` selected fingerprints.
+
+    The MOSS selection rule (public: Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every positional word ``SHINGLE_N``-gram, slide a window
+    of ``WINNOW_W`` consecutive hashes, and in each window select the
+    minimal hash (rightmost on ties).  Selection is LOCAL — it depends
+    only on a w-hash neighborhood — so any sufficiently long shared
+    passage selects the same fingerprints in both documents regardless
+    of surrounding text, giving a detection GUARANTEE (shared runs of
+    ≥ W+SHINGLE_N-1 words always collide) at a guaranteed density
+    (≤ grams, ~2/(W+1) expected) — the principled middle ground between
+    dedup_exact_substring (exact, all windows) and dedup_minhash_lsh
+    (probabilistic, fixed-size sketch).
+
+    Spark shape, 100 TB-safe: positional gram hashing is one JVM
+    ``transform`` per row; the sliding min is a window over
+    ``(doc_id, i)`` — doc-bounded and high-cardinality like the span
+    merge in :func:`dedup_exact_substring`, never a corpus-level key;
+    selected fingerprints dedupe per doc (partial agg), pass the shared
+    skew-safe :func:`_df_cap`, and pair via the posting self-join — all
+    corpus-scale shuffles are on 8-byte/long keys.  Docs with fewer
+    than W grams contribute their single whole-doc window (the final
+    frame), so short docs still fingerprint.
+
+    The (hash, position) pair is packed into a fixed-width string so a
+    plain ``min()`` realizes the (min hash, rightmost position) rule
+    identically in Spark and DuckDB.  60-bit hashes: collisions at
+    corpus scale only ADD candidate pairs (this is a candidate
+    generator, same exposure class as the banded MinHash join).
+
+    No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from pyspark.sql import Window as W
+
+    n = SHINGLE_N
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""element_at(transform(array(split(text, ' ')), toks ->
+                CASE WHEN size(toks) >= {n}
+                THEN transform(sequence(0, size(toks) - {n}),
+                     i -> named_struct(
+                         'i', CAST(i AS BIGINT),
+                         'n_grams', CAST(size(toks) - {n - 1} AS BIGINT),
+                         'h', CAST(conv(substr(md5(
+                                  concat_ws(' ', slice(toks, i + 1, {n}))),
+                                  1, 15), 16, 10) AS BIGINT)))
+                ELSE CAST(array() AS array<struct<
+                         i: bigint, n_grams: bigint, h: bigint>>) END), 1)"""
+            )
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w.i").alias("i"),
+        F.col("w.n_grams").alias("n_grams"),
+        F.col("w.h").alias("h"),
+    )
+    key = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - F.col("i")).cast("string"), 7, "0"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    selected = (
+        pos.withColumn("sel", F.min(key).over(win))
+        # full windows only — plus the final (short) frame of a doc with
+        # fewer than W grams, so every document fingerprints
+        .where(
+            (F.col("i") >= WINNOW_W - 1) | (F.col("i") == F.col("n_grams") - 1)
+        )
+        .select(
+            "doc_id",
+            F.substring("sel", 1, 19).cast("bigint").alias("g"),
+        )
+        .distinct()
+    )
+    fps = _df_cap(selected)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "g")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 GRAM_INDEX_MAINT_TABLE = "gram_index_maint"
 
 
@@ -1913,6 +2030,43 @@ ORACLES["dedup_incremental_minhash_indexed"] = ORACLES[
     "dedup_incremental_minhash"
 ]
 
+# winnowing: the same positional gram hashes, the same packed-string
+# sliding min (DuckDB window), the same df cap and posting self-join
+_WINNOW_GRAM = " || ' ' || ".join(
+    f"toks[i + {j}]" for j in range(1, SHINGLE_N + 1)
+)
+ORACLES["dedup_winnowing"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 CAST(len(toks) - {SHINGLE_N - 1} AS BIGINT) AS n_grams,
+                 {_hash60_sql(_WINNOW_GRAM)} AS h
+          FROM t, LATERAL (SELECT unnest(range(
+              greatest(len(toks) - {SHINGLE_N - 1}, 0))) AS i) s),
+    k AS (SELECT doc_id, i, n_grams,
+                 lpad(CAST(h AS VARCHAR), 19, '0')
+                   || lpad(CAST({_WINNOW_POS_MAX} - i AS VARCHAR), 7, '0')
+                   AS key
+          FROM g),
+    m AS (SELECT doc_id, i, n_grams,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                     AS sel
+          FROM k),
+    s AS (SELECT DISTINCT doc_id, CAST(substr(sel, 1, 19) AS BIGINT) AS g
+          FROM m WHERE i >= {WINNOW_W - 1} OR i = n_grams - 1),
+    sc AS (SELECT doc_id, g FROM (
+              SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM s)
+           WHERE df <= {NGRAM_DF_CAP}),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS shared_fps
+          FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared_fps FROM p
+    WHERE shared_fps >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+"""
+
 # index maintenance: the indexed screen's CTE chain extended with the
 # kept set, the appended postings, and the re-screen against the
 # old ∪ appended union — the oracle derives n_redetected independently
@@ -1988,6 +2142,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_index_maintain": dedup_index_maintain,
+    "dedup_winnowing": dedup_winnowing,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_incremental_minhash": dedup_incremental_minhash,

@@ -64,13 +64,15 @@ _MODULES = [
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,
 # pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted) and the
 # whole TPC-H r04 family.
-# ROUND-8 ROTATION DEBT (5 r04-green rows deferred, all trivially-
-# stable plans — 4 for the block-b slots, 1 for the NEW
-# dedup_index_maintain's first driver row): date_arithmetic (pure
+# ROUND-8 ROTATION DEBT (6 r04-green rows deferred, all trivially-
+# stable plans — 4 for the block-b slots, 2 for the NEW operators'
+# first driver rows): date_arithmetic (pure
 # scalar date functions), search_substring (Catalyst Contains filter),
 # set_intersect_all (family re-proved by set_intersect r07 +
 # set_union_all r06), histogram_totalprice (width_bucket agg),
-# payload_chunks (binary chunk explode, plan unchanged since r04).
+# payload_chunks (binary chunk explode), frame_sample_schedule
+# (per-payload schedule expansion) — the last two displaced by the two
+# NEW operators (dedup_index_maintain, dedup_winnowing).
 # They will be 4 rounds stale after this round — rotate them in FIRST
 # next round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
 # their oracle TEXT gained the k_sql parameterization but the default
@@ -92,7 +94,7 @@ DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
-    # (c) round-4-latest greens (41 of 45; 4 deferred, see above)
+    # (c) round-4-latest greens (39 of 45; 6 deferred, see above)
     "clean_corpus",
     "dedup_passage",
     "blocklist_redact",
@@ -132,10 +134,11 @@ DRIVER_WINDOW = [
     "chunk_documents",
     "bpe_pair_stats",
     "training_manifest",
-    "frame_sample_schedule",
-    # NEW this round — first driver evidence (displaces payload_chunks,
-    # r04-green, plan unchanged, rotates back next round)
+    # NEW this round — first driver evidence (displacing payload_chunks
+    # and frame_sample_schedule, both r04-green with unchanged plans,
+    # rotating back next round)
     "dedup_index_maintain",
+    "dedup_winnowing",
 ]
 
 

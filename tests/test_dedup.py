@@ -462,3 +462,97 @@ def test_index_maintain_is_rerun_idempotent(spark):
     finally:
         cache.release()
     assert first == second
+
+
+def test_winnowing_guarantee_on_planted_run(spark, tmp_path):
+    """The winnowing detection guarantee: two documents sharing a run of
+    >= WINNOW_W + SHINGLE_N - 1 = 6 words MUST share a selected
+    fingerprint (selection is local), while unrelated docs share none.
+    Also pins the threshold: a pair sharing exactly one long run
+    produces >= WINNOW_MIN_SHARED shared fingerprints only when the run
+    spans enough windows — here the 12-word run gives several."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    doc_a = " ".join(f"a{i}" for i in range(9)) + " " + shared
+    doc_b = shared + " " + " ".join(f"b{i}" for i in range(9))
+    doc_c = " ".join(f"c{i}" for i in range(25))
+    texts = [doc_a, doc_b, doc_c]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = dedup.dedup_winnowing(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"] for r in rows}
+    assert (0, 1) in pairs, "guaranteed shared-run fingerprint missed"
+    assert pairs[(0, 1)] >= dedup.WINNOW_MIN_SHARED
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnowing_density_bound(spark):
+    """Selected fingerprints per document must respect the winnowing
+    density: more than 1/W of grams (every window selects) and at most
+    all grams; expected ~2/(W+1)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        SHINGLE_N,
+        WINNOW_W,
+        _df_cap,  # noqa: F401  (documented pairing)
+    )
+    from map_reduce_framework_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_grams = docs.select(
+        F.sum(
+            F.greatest(
+                F.size(F.split("text", " ")) - (SHINGLE_N - 1), F.lit(0)
+            )
+        ).alias("n")
+    ).collect()[0]["n"]
+    # count distinct selected fingerprints via the operator's own
+    # selection (pairs output is post-threshold, so recompute inline)
+    from map_reduce_framework_spark.operators import dedup as D
+
+    out = D.dedup_winnowing(spark, SF_DIR)
+    out.count()  # runs end-to-end (plan sanity)
+    # density check on the windowed selection itself
+    sel = (
+        docs.selectExpr(
+            "doc_id",
+            f"""explode(element_at(transform(array(split(text, ' ')), toks ->
+            CASE WHEN size(toks) >= {SHINGLE_N}
+            THEN transform(sequence(0, size(toks) - {SHINGLE_N}),
+                 i -> named_struct('i', CAST(i AS BIGINT),
+                      'n_grams', CAST(size(toks) - {SHINGLE_N - 1} AS BIGINT),
+                      'h', CAST(conv(substr(md5(concat_ws(' ',
+                           slice(toks, i + 1, {SHINGLE_N}))), 1, 15), 16, 10)
+                           AS BIGINT)))
+            ELSE CAST(array() AS array<struct<
+                 i: bigint, n_grams: bigint, h: bigint>>) END), 1)) AS w""",
+        )
+        .select("doc_id", "w.i", "w.n_grams", "w.h")
+    )
+    from pyspark.sql import Window as W
+
+    key = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lpad((F.lit(D._WINNOW_POS_MAX) - F.col("i")).cast("string"), 7, "0"),
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(WINNOW_W - 1), 0)
+    n_sel = (
+        sel.withColumn("s", F.min(key).over(win))
+        .where((F.col("i") >= WINNOW_W - 1) | (F.col("i") == F.col("n_grams") - 1))
+        .select("doc_id", "s")
+        .distinct()
+        .count()
+    )
+    assert n_grams > 0
+    frac = n_sel / n_grams
+    # expected 2/(W+1) = 0.4; generous band that still catches a broken
+    # frame (1.0) or a degenerate global min (≈ 1/doc)
+    assert 0.15 <= frac <= 0.8, frac

@@ -26,8 +26,9 @@ PLAN_CHANGED_IN_R7 = {
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
-    # new operator this round — first driver row
+    # new operators this round — first driver rows
     "dedup_index_maintain",
+    "dedup_winnowing",
 }
 
 #: r01/r03-latest greens — every one must get a fresh row this round
@@ -47,6 +48,7 @@ DEFERRED_TO_R8 = {
     "set_intersect_all",
     "histogram_totalprice",
     "payload_chunks",
+    "frame_sample_schedule",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -462,6 +462,118 @@ ORACLES["ann_ivf_kmeans"] = f"""
     cents AS (SELECT cid AS cent_id, {_NORM_V_SQL} AS vcent
               FROM {_KM_FINAL}),{_IVF_SEARCH_BODY}"""
 
+#: ann_index_maintain: vectors whose md5-60bit hash of "vbatch:<vec_id>"
+#: is ≡ 0 mod this form the incoming vector batch (~20%) — the
+#: embedding-side twin of dedup's INCR_BATCH_MOD split
+VEC_BATCH_MOD = 5
+
+IVF_MAINT_TABLE = "ivf_index_maint"
+
+
+def _vec_is_new():
+    from .dedup import hash60
+
+    return (
+        hash60(F.concat_ws(":", F.lit("vbatch"), F.col("vec_id")))
+        % VEC_BATCH_MOD
+        == 0
+    )
+
+
+def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the embedding-side twin of
+    :func:`~.dedup.dedup_index_maintain`: assign an incoming vector
+    batch to the cells of the EXISTING coarse quantizer, bucketed-APPEND
+    the assignments into the cell index, and prove the merge by
+    searching the post-append index for each new vector — every one
+    must retrieve ITSELF (its probe cell is its indexed cell by
+    construction: both sides rank the same centroids on the same
+    vector).
+
+    Production shape (FAISS et al.): ingest does NOT retrain or rebuild
+    — new vectors are quantized against the frozen centroids and their
+    postings append to the inverted lists; retraining happens at
+    periodic rebuilds.  Centroids here are the ``N_CENTROIDS``
+    lowest-id OLD vectors (the frozen quantizer the base index was
+    built with), the append writes new per-bucket files under the
+    table's existing bucket spec, and the maintained table is a fresh
+    per-run copy for rerun idempotence (the append is the operation
+    under test).
+
+    Output per label: batch size and how many new vectors found
+    themselves in their top-``IVF_TOP_K`` — computed independently by
+    the DuckDB oracle from the old ∪ appended assignment union, never
+    assumed.  No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    unit = emb.select(
+        "vec_id", "label", unit_vector_col("embedding").alias("v")
+    )
+    is_new = _vec_is_new()
+    oldv = unit.where(~is_new)
+    newv = unit.where(is_new)
+    cents = (
+        oldv.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("vcent"))
+    )
+    old_cells = _assign_cells(
+        cents,
+        oldv.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("vc")),
+        "cand_id",
+        "vc",
+        1,
+    )
+    maint = fingerprinted_table_name(IVF_MAINT_TABLE, sf_dir, "embeddings")
+    write_bucketed(old_cells, maint, "cell", IVF_INDEX_BUCKETS)
+    new_cells = _assign_cells(
+        cents,
+        newv.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("vc")),
+        "cand_id",
+        "vc",
+        1,
+    )
+    (
+        new_cells.write.mode("append")
+        .format("parquet")
+        .bucketBy(IVF_INDEX_BUCKETS, "cell")
+        .sortBy("cell")
+        .saveAsTable(maint)
+    )
+    post = spark.table(maint)
+
+    probe = _assign_cells(
+        cents,
+        newv.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq")),
+        "query_id",
+        "vq",
+        1,
+    ).withColumnRenamed("cell", "qcell")
+    scored = F.broadcast(probe).join(
+        post, F.col("qcell") == F.col("cell")
+    ).withColumn("cos6", rnd(dot_col("vq", "vc"), 6))
+    topk = _topk_per_query(scored, IVF_TOP_K, ["query_id", "cand_id", "rank"])
+    self_hits = (
+        topk.where(F.col("query_id") == F.col("cand_id"))
+        .select("query_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        newv.select(F.col("vec_id").alias("query_id"), "label")
+        .join(self_hits, "query_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_self_in_topk"),
+        )
+        .orderBy("label")
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label Euclidean-norm profile of the embedding corpus — the
     sanity check every vector pipeline runs before indexing (un-normed
@@ -498,11 +610,66 @@ ORACLES["embedding_norm_stats"] = f"""
     FROM n GROUP BY label ORDER BY label
 """
 
+from .dedup import _hash60_sql as _h60_sql  # noqa: E402
+
+ORACLES["ann_index_maintain"] = f"""
+    WITH e AS (SELECT vec_id, label, {_UNIT_V_SQL} AS v FROM embeddings),
+    newv AS (SELECT * FROM e
+             WHERE {_h60_sql("concat('vbatch:', vec_id)")}
+                   % {VEC_BATCH_MOD} = 0),
+    oldv AS (SELECT * FROM e
+             WHERE {_h60_sql("concat('vbatch:', vec_id)")}
+                   % {VEC_BATCH_MOD} <> 0),
+    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM oldv
+              ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    -- post-merge index = every vector assigned under the FROZEN old
+    -- quantizer (assignment is deterministic per vector, so base +
+    -- append == assign the union)
+    post_scored AS (
+        SELECT a.vec_id AS cand_id, a.v, c.cent_id,
+               (floor((list_dot_product(a.v, c.vcent)) * 1000000::DOUBLE
+                      + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
+        FROM e a CROSS JOIN cents c),
+    post_cells AS (
+        SELECT cand_id, v, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM post_scored) WHERE crank = 1),
+    probe_scored AS (
+        SELECT n.vec_id AS query_id, n.v, c.cent_id,
+               (floor((list_dot_product(n.v, c.vcent)) * 1000000::DOUBLE
+                      + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
+        FROM newv n CROSS JOIN cents c),
+    probe_cells AS (
+        SELECT query_id, v, cent_id AS qcell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM probe_scored) WHERE crank = 1),
+    cand AS (
+        SELECT q.query_id, cc.cand_id,
+               (floor((list_dot_product(q.v, cc.v)) * 1000000::DOUBLE
+                      + 0.5::DOUBLE) / 1000000::DOUBLE) AS cos6
+        FROM probe_cells q JOIN post_cells cc ON q.qcell = cc.cell),
+    ranked AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos6 DESC, cand_id) AS rank
+        FROM cand),
+    hits AS (SELECT query_id FROM ranked
+             WHERE rank <= {IVF_TOP_K} AND query_id = cand_id)
+    SELECT n.label, count(*) AS n_new,
+           CAST(sum(CASE WHEN h.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_self_in_topk
+    FROM newv n LEFT JOIN hits h ON h.query_id = n.vec_id
+    GROUP BY n.label ORDER BY n.label
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_index_maintain": ann_index_maintain,
     "embedding_norm_stats": embedding_norm_stats,
 }

@@ -29,6 +29,7 @@ PLAN_CHANGED_IN_R7 = {
     # new operators this round — first driver rows
     "dedup_index_maintain",
     "dedup_winnowing",
+    "ann_index_maintain",
 }
 
 #: r01/r03-latest greens — every one must get a fresh row this round
@@ -49,6 +50,7 @@ DEFERRED_TO_R8 = {
     "histogram_totalprice",
     "payload_chunks",
     "frame_sample_schedule",
+    "bpe_pair_stats",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -66,3 +66,25 @@ def test_ivf_kmeans_recall_floor(spark):
     ivf = _topk_sets(sim.ann_ivf_kmeans(spark, SF_DIR).collect(), sim.IVF_TOP_K)
     r = _recall(exact, ivf)
     assert r >= 0.8, f"IVF-kmeans recall {r}"
+
+
+def test_ivf_index_maintain_self_retrieval(spark):
+    """After the bucketed append, EVERY new vector must retrieve itself
+    from the post-append cell index (its probe cell equals its indexed
+    cell under the frozen quantizer) — a value below n_new means the
+    merge lost assignments."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.similarity import (
+        ann_index_maintain,
+    )
+
+    from .conftest import SF_DIR
+
+    try:
+        rows = ann_index_maintain(spark, SF_DIR).collect()
+    finally:
+        cache.release()
+    assert len(rows) > 0
+    assert sum(r["n_new"] for r in rows) > 0
+    for r in rows:
+        assert r["n_self_in_topk"] == r["n_new"], r

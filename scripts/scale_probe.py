@@ -58,6 +58,12 @@ PROBE_QUERIES = [
     "dedup_incremental_bloom",
     "bpe_train_merges",
     "bpe_segment_docs",
+    # round-7 additions: index maintenance twins (per-run base-copy +
+    # bucketed append + re-screen/self-retrieval proof) and the
+    # winnowing fingerprinter
+    "dedup_index_maintain",
+    "ann_index_maintain",
+    "dedup_winnowing",
 ]
 
 

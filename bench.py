@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_indexed",
     "dedup_index_maintain",
+    "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
 ]

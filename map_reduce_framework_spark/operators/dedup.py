@@ -1264,6 +1264,117 @@ def band_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+BAND_INDEX_MAINT_TABLE = "band_index_maint"
+
+
+def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index MAINTENANCE — the signature-axis member of the
+    round-7 maintenance matrix (:func:`dedup_index_maintain` for gram
+    postings, :func:`~.similarity.ann_index_maintain` for IVF cells):
+    screen the incoming batch through the banded MinHash index, APPEND
+    the kept documents' (doc_id, sh, band_key) rows into the index, and
+    prove the merge by re-screening the same batch — every kept doc's
+    own bands are now indexed, so it must self-hit (Jaccard(self) = 1).
+
+    Same mechanics as the other two: a real bucketed-table append (new
+    per-bucket files under the existing band-key spec, no rebuild, no
+    reshuffle of incumbent rows), a fresh per-run base copy for rerun
+    idempotence, and an oracle that derives ``n_redetected``
+    independently from the old ∪ appended band union.  Batch signing
+    happens once (persist + count barrier) and feeds the screen, the
+    append, and the re-screen.
+    """
+    from .. import cache
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    idx = band_index_bucketed(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    new_docs = docs.where(_incr_is_new())
+    new_sigs = cache.persist_tracked(
+        _shingled_docs(new_docs, with_sig=True)
+    )
+    new_sigs.count()
+    newb = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh").alias("sh_a"),
+        F.explode(_band_key_array()).alias("band_key"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+
+    def screen(index_df: DataFrame) -> DataFrame:
+        cand = (
+            newb.join(
+                index_df.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("sh").alias("sh_b"),
+                    "band_key",
+                ),
+                "band_key",
+            )
+            .select("new_id", "old_id", "sh_a", "sh_b")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        return (
+            cand.withColumn("j", rnd(inter / union, 4))
+            .where(F.col("j") >= JACCARD_THRESHOLD)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+
+    near = screen(idx)
+    kept = new_docs.select("doc_id", "source").join(near, "doc_id", "left_anti")
+    kept_bands = newb.join(
+        kept.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
+    ).select(
+        F.col("new_id").alias("doc_id"), F.col("sh_a").alias("sh"), "band_key"
+    )
+    maint = fingerprinted_table_name(
+        BAND_INDEX_MAINT_TABLE, sf_dir, "documents"
+    )
+    write_bucketed(idx, maint, "band_key", BAND_INDEX_BUCKETS)
+    (
+        kept_bands.write.mode("append")
+        .format("parquet")
+        .bucketBy(BAND_INDEX_BUCKETS, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(maint)
+    )
+    redetected = kept.join(
+        screen(spark.table(maint)), "doc_id", "left_semi"
+    )
+    added_per_source = (
+        kept_bands.join(new_docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("bands_added"))
+    )
+    return (
+        new_docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .join(added_per_source, "source", "left")
+        .join(
+            redetected.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_redetected")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("bands_added", F.lit(0)).alias("bands_added"),
+            F.coalesce("n_redetected", F.lit(0)).alias("n_redetected"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_incremental_minhash_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2067,6 +2178,72 @@ ORACLES["dedup_winnowing"] = f"""
     ORDER BY doc_a, doc_b
 """
 
+# band-index maintenance: the banded screen's CTE chain extended with
+# the kept set, the appended band rows, and the re-screen against the
+# old ∪ appended band union (self-pairs included)
+ORACLES["band_index_maintain"] = f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigh AS (SELECT doc_id, sh,
+                    list_transform(sh, t ->
+                        {_hash60_sql('t')} % {MINHASH_PRIME}) AS hs
+             FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_MINS}] AS sig FROM sigh),
+    banded AS (SELECT doc_id, sh, unnest([{_BAND_KEYS}]) AS band_key
+               FROM sig),
+    newb AS (SELECT doc_id, sh, band_key FROM banded
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} = 0),
+    oldb AS (SELECT doc_id, sh, band_key FROM banded
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} <> 0),
+    newd AS (SELECT doc_id, source FROM documents
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} = 0),
+    cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+             FROM newb a JOIN oldb b ON a.band_key = b.band_key),
+    near AS (SELECT DISTINCT c.new_id AS doc_id FROM cand c
+             JOIN s sa ON sa.doc_id = c.new_id
+             JOIN s sb ON sb.doc_id = c.old_id
+             WHERE {rnd_sql(
+                 "(len(list_intersect(sa.sh, sb.sh)) / "
+                 "(len(sa.sh) + len(sb.sh)"
+                 " - len(list_intersect(sa.sh, sb.sh))))", 4)}
+                   >= {JACCARD_THRESHOLD}),
+    kept AS (SELECT doc_id, source FROM newd
+             WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    added AS (SELECT doc_id, sh, band_key FROM newb
+              WHERE doc_id IN (SELECT doc_id FROM kept)),
+    post AS (SELECT doc_id, sh, band_key FROM oldb
+             UNION ALL SELECT doc_id, sh, band_key FROM added),
+    cand2 AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+              FROM newb a JOIN post b ON a.band_key = b.band_key),
+    near2 AS (SELECT DISTINCT c.new_id AS doc_id FROM cand2 c
+              JOIN s sa ON sa.doc_id = c.new_id
+              JOIN s sb ON sb.doc_id = c.old_id
+              WHERE {rnd_sql(
+                  "(len(list_intersect(sa.sh, sb.sh)) / "
+                  "(len(sa.sh) + len(sb.sh)"
+                  " - len(list_intersect(sa.sh, sb.sh))))", 4)}
+                    >= {JACCARD_THRESHOLD}),
+    red AS (SELECT doc_id, source FROM kept
+            WHERE doc_id IN (SELECT doc_id FROM near2)),
+    base AS (SELECT source, count(*) AS n_new FROM newd GROUP BY source),
+    kc AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source),
+    ac AS (SELECT n.source, count(*) AS bands_added
+           FROM added a JOIN newd n ON n.doc_id = a.doc_id
+           GROUP BY n.source),
+    rc AS (SELECT source, count(*) AS n_redetected FROM red GROUP BY source)
+    SELECT b.source, b.n_new,
+           coalesce(kc.n_kept, 0) AS n_kept,
+           coalesce(ac.bands_added, 0) AS bands_added,
+           coalesce(rc.n_redetected, 0) AS n_redetected
+    FROM base b
+    LEFT JOIN kc USING (source)
+    LEFT JOIN ac USING (source)
+    LEFT JOIN rc USING (source)
+    ORDER BY b.source
+"""
+
 # index maintenance: the indexed screen's CTE chain extended with the
 # kept set, the appended postings, and the re-screen against the
 # old ∪ appended union — the oracle derives n_redetected independently
@@ -2142,6 +2319,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_index_maintain": dedup_index_maintain,
+    "band_index_maintain": band_index_maintain,
     "dedup_winnowing": dedup_winnowing,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,

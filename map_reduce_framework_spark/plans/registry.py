@@ -64,16 +64,17 @@ _MODULES = [
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,
 # pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted) and the
 # whole TPC-H r04 family.
-# ROUND-8 ROTATION DEBT (7 r04-green rows deferred, all trivially-
-# stable plans — 4 for the block-b slots, 3 for the NEW operators'
+# ROUND-8 ROTATION DEBT (8 r04-green rows deferred, all trivially-
+# stable plans — 4 for the block-b slots, 4 for the NEW operators'
 # first driver rows): date_arithmetic (pure
 # scalar date functions), search_substring (Catalyst Contains filter),
 # set_intersect_all (family re-proved by set_intersect r07 +
 # set_union_all r06), histogram_totalprice (width_bucket agg),
 # payload_chunks (binary chunk explode), frame_sample_schedule
 # (per-payload schedule expansion), bpe_pair_stats (single vocab-agg;
-# the BPE family carries two fresh r07 rows) — the last three
-# displaced by the three NEW operators (dedup_index_maintain,
+# the BPE family carries two fresh r07 rows), embedding_norm_stats
+# (single grouped agg) — the last four displaced by the four NEW
+# operators (dedup_index_maintain, band_index_maintain,
 # dedup_winnowing, ann_index_maintain).
 # They will be 4 rounds stale after this round — rotate them in FIRST
 # next round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
@@ -96,7 +97,7 @@ DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
-    # (c) round-4-latest greens (38 of 45; 7 deferred, see above)
+    # (c) round-4-latest greens (37 of 45; 8 deferred, see above)
     "clean_corpus",
     "dedup_passage",
     "blocklist_redact",
@@ -131,7 +132,6 @@ DRIVER_WINDOW = [
     "scd2_apply",
     "mr_inverted_index_facade",
     "pagerank_dup_graph",
-    "embedding_norm_stats",
     "dedup_semantic",
     "chunk_documents",
     "training_manifest",
@@ -139,6 +139,7 @@ DRIVER_WINDOW = [
     # frame_sample_schedule, and bpe_pair_stats, all r04-green with
     # unchanged plans, rotating back next round)
     "dedup_index_maintain",
+    "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
 ]

@@ -62,6 +62,7 @@ PROBE_QUERIES = [
     # bucketed append + re-screen/self-retrieval proof) and the
     # winnowing fingerprinter
     "dedup_index_maintain",
+    "band_index_maintain",
     "ann_index_maintain",
     "dedup_winnowing",
 ]

@@ -556,3 +556,23 @@ def test_winnowing_density_bound(spark):
     # expected 2/(W+1) = 0.4; generous band that still catches a broken
     # frame (1.0) or a degenerate global min (≈ 1/doc)
     assert 0.15 <= frac <= 0.8, frac
+
+
+def test_band_index_maintain_redetects_every_kept_doc(spark):
+    """Signature-axis maintenance proof: after the bucketed append every
+    kept doc's bands are indexed, so the re-screen must self-hit all of
+    them, and reruns must be idempotent."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import band_index_maintain
+
+    try:
+        rows = band_index_maintain(spark, SF_DIR).collect()
+        again = band_index_maintain(spark, SF_DIR).collect()
+    finally:
+        cache.release()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert len(rows) > 0
+    assert sum(r["n_kept"] for r in rows) > 0
+    for r in rows:
+        assert r["n_redetected"] == r["n_kept"], r
+        assert (r["bands_added"] > 0) == (r["n_kept"] > 0), r

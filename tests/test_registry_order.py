@@ -7,9 +7,10 @@ round's plan changes): the window holds (a) the five rows with the
 oldest driver evidence (the r01-only green and the four r03-latest
 greens — the documented round-7 rotation debt), (b) every query whose
 plan changed this round (ANN-bucket embedding dedup, batched BPE
-trainer + application, text-verified substring dedup), (c) 41 of the
-45 round-4-latest greens.  Four trivially-stable r04 rows are deferred
-to round 8 (named in registry.py).  The two approx sketches are
+trainer + application, digest-keyed substring dedup, plus first rows
+for the four NEW operators), (c) 37 of the 45 round-4-latest greens.
+Eight trivially-stable r04 rows are deferred to round 8 (named in
+registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
 """
@@ -28,6 +29,7 @@ PLAN_CHANGED_IN_R7 = {
     "dedup_exact_substring",
     # new operators this round — first driver rows
     "dedup_index_maintain",
+    "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
 }
@@ -51,6 +53,7 @@ DEFERRED_TO_R8 = {
     "payload_chunks",
     "frame_sample_schedule",
     "bpe_pair_stats",
+    "embedding_norm_stats",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

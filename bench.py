@@ -92,6 +92,8 @@ HEADLINE = [
     "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
+    "split_leakage_check",
+    "quality_weighted_sample",
 ]
 
 

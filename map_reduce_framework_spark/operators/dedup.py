@@ -1264,6 +1264,59 @@ def band_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+#: split_leakage_check: hash-derived train/val/test assignment —
+#: 80/10/10 on md5-60bit of "split:<doc_id>" mod 10 (buckets 0-7 /
+#: 8 / 9), the standard deterministic split every experiment pipeline
+#: derives rather than stores
+SPLIT_MOD = 10
+
+
+def _split_col(id_col: str) -> Column:
+    s = hash60(F.concat_ws(":", F.lit("split"), F.col(id_col))) % SPLIT_MOD
+    return (
+        F.when(s <= 7, F.lit("train"))
+        .when(s == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit: count verified near-dup pairs
+    per (split, split) combination — a pair STRADDLING two splits is
+    evaluation contamination (the val/test document is a near-copy of a
+    training document), the leakage a random document-level split
+    cannot prevent by construction and every serious pipeline audits
+    (the reason production splits are cluster-level, not doc-level).
+
+    Composes two existing scale paths declaratively: the banded
+    MinHash-LSH verified pair list (:func:`dedup_minhash_lsh` — the
+    only corpus-scale work) and a pure hash function of each pair
+    endpoint for the split label, so the audit costs one pair-list
+    scan on top of the dedup pass it would piggyback in production.
+    Pair splits are canonicalized (lexicographic least/greatest) so
+    (train, val) and (val, train) are one row; ``is_leakage`` marks
+    cross-split rows.
+
+    No counterpart in the reference (SURVEY §2.4 extension); the audit
+    complements :func:`~.text.contamination_check` (external-benchmark
+    contamination) with INTERNAL split contamination.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labelled = pairs.select(
+        _split_col("doc_a").alias("sa"), _split_col("doc_b").alias("sb")
+    )
+    return (
+        labelled.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .withColumn("is_leakage", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
 BAND_INDEX_MAINT_TABLE = "band_index_maint"
 
 
@@ -2178,6 +2231,43 @@ ORACLES["dedup_winnowing"] = f"""
     ORDER BY doc_a, doc_b
 """
 
+# split-leakage audit: the LSH pair chain + hash-derived split labels
+_H_SPLIT_A = _hash60_sql("concat('split:', doc_a)")
+_SPLIT_SQL_A = (
+    f"CASE WHEN {_H_SPLIT_A} % {SPLIT_MOD} <= 7"
+    f" THEN 'train' WHEN {_H_SPLIT_A}"
+    f" % {SPLIT_MOD} = 8 THEN 'val' ELSE 'test' END"
+)
+_SPLIT_SQL_B = _SPLIT_SQL_A.replace("doc_a", "doc_b")
+ORACLES["split_leakage_check"] = f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigh AS (SELECT doc_id, sh,
+                    list_transform(sh, t ->
+                        {_hash60_sql('t')} % {MINHASH_PRIME}) AS hs
+             FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_MINS}] AS sig FROM sigh),
+    banded AS (SELECT doc_id, sh, unnest([{_BAND_KEYS}]) AS band_key
+               FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM banded a JOIN banded b
+             ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE {rnd_sql(
+            "(len(list_intersect(sa.sh, sb.sh)) / "
+            "(len(sa.sh) + len(sb.sh)"
+            " - len(list_intersect(sa.sh, sb.sh))))", 4)}
+              >= {JACCARD_THRESHOLD}),
+    lab AS (SELECT {_SPLIT_SQL_A} AS sa, {_SPLIT_SQL_B} AS sb
+            FROM verified)
+    SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+           count(*) AS n_dup_pairs,
+           (least(sa, sb) <> greatest(sa, sb)) AS is_leakage
+    FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b
+"""
+
 # band-index maintenance: the banded screen's CTE chain extended with
 # the kept set, the appended band rows, and the re-screen against the
 # old ∪ appended band union (self-pairs included)
@@ -2326,6 +2416,7 @@ QUERIES = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_incremental_minhash_indexed": dedup_incremental_minhash_indexed,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "split_leakage_check": split_leakage_check,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }

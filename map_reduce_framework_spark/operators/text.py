@@ -784,6 +784,70 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quality_weighted_sample: keep probability = quality², a SHARPENED
+#: soft filter (low-quality docs are downsampled smoothly instead of
+#: hard-gated — the keep-rate analogue of temperature in mixture
+#: sampling).  The square is written as quality*quality, a single IEEE
+#: multiply, so the boundary comparison is bit-identical across
+#: engines (pow() would route through libm and can differ in the last
+#: ulp).  The per-doc uniform draw is hash-derived at 6-digit
+#: resolution.
+QSAMP_RES = 1_000_000
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED soft sampling: every document keeps with
+    probability quality² — the smooth alternative to the hard Gopher
+    gate (:func:`quality_filter_rules`): marginal documents survive at
+    reduced rate instead of dying at a threshold cliff, which preserves
+    distributional coverage while still shifting mass toward quality
+    (the standard soft-filtering refinement over binary gates).
+
+    Deterministic end to end: quality is the shared 4-dp composite
+    (:func:`quality_expr`), the uniform draw is a 6-digit md5-hash
+    fraction of ``qsamp:<doc_id>``, and the keep rule ``u < q·q``
+    compares exactly representable doubles — reproducible across
+    engines, runs, and repartitionings, with the decision evaluated
+    map-side (no shuffle before the summary aggregation).
+
+    Output per quality bucket: population, kept count, realized keep
+    fraction, and the mean quality of the kept subset (which must
+    exceed the bucket's population mean — the point of the weighting).
+    """
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = _stopword_counts(docs)
+    q = quality_expr()
+    u = (
+        hash60(F.concat_ws(":", F.lit("qsamp"), F.col("doc_id")))
+        % QSAMP_RES
+    ).cast("double") / F.lit(float(QSAMP_RES))
+    scored = counts.select(
+        "doc_id",
+        q.alias("quality"),
+        (u < q * q).cast("int").alias("kept"),
+    )
+    return (
+        scored.withColumn(
+            "quality_bucket", quality_bucket_expr(F.col("quality"))
+        )
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            rnd(F.sum("kept") / F.count(F.lit(1)), 4).alias("kept_frac"),
+            rnd(F.avg("quality"), 4).alias("avg_quality"),
+            rnd(
+                F.sum(F.col("kept") * F.col("quality"))
+                / F.greatest(F.sum("kept"), F.lit(1)),
+                4,
+            ).alias("avg_quality_kept"),
+        )
+        .orderBy("quality_bucket")
+    )
+
+
 def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score per document: the mean negative log
     probability of the doc's tokens under the corpus unigram model
@@ -1613,6 +1677,24 @@ ORACLES["source_overlap_matrix"] = f"""
     ORDER BY source_a, source_b
 """
 
+ORACLES["quality_weighted_sample"] = f"""
+    WITH q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+    s AS (SELECT doc_id, quality,
+                 CASE WHEN (({_hash60_sql("concat('qsamp:', doc_id)")}
+                             % {QSAMP_RES})
+                            / {QSAMP_RES}.0) < quality * quality
+                      THEN 1 ELSE 0 END AS kept
+          FROM q),
+    b AS (SELECT *, {QUALITY_BUCKET_SQL} AS quality_bucket FROM s)
+    SELECT quality_bucket, count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           {rnd_sql('(sum(kept) * 1.0 / count(*))', 4)} AS kept_frac,
+           {rnd_sql('avg(quality)', 4)} AS avg_quality,
+           {rnd_sql('(sum(kept * quality) / greatest(sum(kept), 1))', 4)}
+               AS avg_quality_kept
+    FROM b GROUP BY quality_bucket ORDER BY quality_bucket
+"""
+
 _STOP_EN_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 _GOPHER_FAILS = " + ".join(
     f"(CASE WHEN NOT {r} THEN 1 ELSE 0 END)"
@@ -1656,6 +1738,7 @@ QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
     "quality_filter_rules": quality_filter_rules,
+    "quality_weighted_sample": quality_weighted_sample,
     "lang_id": lang_id,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,

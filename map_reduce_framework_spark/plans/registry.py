@@ -64,8 +64,8 @@ _MODULES = [
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,
 # pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted) and the
 # whole TPC-H r04 family.
-# ROUND-8 ROTATION DEBT (8 r04-green rows deferred, all trivially-
-# stable plans — 4 for the block-b slots, 4 for the NEW operators'
+# ROUND-8 ROTATION DEBT (10 r04-green rows deferred, all trivially-
+# stable plans — 4 for the block-b slots, 6 for the NEW operators'
 # first driver rows): date_arithmetic (pure
 # scalar date functions), search_substring (Catalyst Contains filter),
 # set_intersect_all (family re-proved by set_intersect r07 +
@@ -73,9 +73,12 @@ _MODULES = [
 # payload_chunks (binary chunk explode), frame_sample_schedule
 # (per-payload schedule expansion), bpe_pair_stats (single vocab-agg;
 # the BPE family carries two fresh r07 rows), embedding_norm_stats
-# (single grouped agg) — the last four displaced by the four NEW
-# operators (dedup_index_maintain, band_index_maintain,
-# dedup_winnowing, ann_index_maintain).
+# (single grouped agg), chunk_documents (scan-bound window expansion),
+# training_manifest (pure-Catalyst manifest join) — displaced by the
+# six NEW operators (dedup_index_maintain, band_index_maintain,
+# ann_index_maintain, dedup_winnowing, split_leakage_check,
+# quality_weighted_sample).  ROUND-8 WINDOW PLAN: these 10 + the 40
+# r05-latest greens = exactly 50 — the whole window is pre-planned.
 # They will be 4 rounds stale after this round — rotate them in FIRST
 # next round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
 # their oracle TEXT gained the k_sql parameterization but the default
@@ -97,7 +100,7 @@ DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
-    # (c) round-4-latest greens (37 of 45; 8 deferred, see above)
+    # (c) round-4-latest greens (35 of 45; 10 deferred, see above)
     "clean_corpus",
     "dedup_passage",
     "blocklist_redact",
@@ -133,15 +136,15 @@ DRIVER_WINDOW = [
     "mr_inverted_index_facade",
     "pagerank_dup_graph",
     "dedup_semantic",
-    "chunk_documents",
-    "training_manifest",
-    # NEW this round — first driver evidence (displacing payload_chunks,
-    # frame_sample_schedule, and bpe_pair_stats, all r04-green with
-    # unchanged plans, rotating back next round)
+    # NEW this round — first driver evidence (displacing six r04-green
+    # rows with unchanged plans, named above; all rotate back next
+    # round)
     "dedup_index_maintain",
     "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
+    "split_leakage_check",
+    "quality_weighted_sample",
 ]
 
 

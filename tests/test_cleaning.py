@@ -189,3 +189,30 @@ def test_source_overlap_finds_recrawl(spark, tmp_path):
     assert r["containment_min"] == 1.0  # every crawl_b gram is in crawl_a
     assert r["shared"] == r["n_b"] and r["n_a"] > r["n_b"]
     assert 0 < r["jaccard"] < 1
+
+
+def test_quality_weighted_sample_shifts_mass_toward_quality(spark):
+    """The soft filter's point: realized keep rate must rise with the
+    quality bucket, and each bucket's kept subset must average at least
+    the bucket's population quality."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.text import (
+        quality_weighted_sample,
+    )
+
+    from .conftest import SF_DIR
+
+    try:
+        rows = {
+            r["quality_bucket"]: r
+            for r in quality_weighted_sample(spark, SF_DIR).collect()
+        }
+    finally:
+        cache.release()
+    assert rows and sum(r["n_kept"] for r in rows.values()) > 0
+    order = [b for b in ("low", "mid", "high") if b in rows]
+    fracs = [rows[b]["kept_frac"] for b in order]
+    assert fracs == sorted(fracs), fracs  # monotone in quality
+    for b in order:
+        if rows[b]["n_kept"]:
+            assert rows[b]["avg_quality_kept"] >= rows[b]["avg_quality"] - 1e-9

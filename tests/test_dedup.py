@@ -576,3 +576,24 @@ def test_band_index_maintain_redetects_every_kept_doc(spark):
     for r in rows:
         assert r["n_redetected"] == r["n_kept"], r
         assert (r["bands_added"] > 0) == (r["n_kept"] > 0), r
+
+
+def test_split_leakage_consistent_with_pair_list(spark):
+    """The audit must partition the LSH pair list exactly: row totals
+    equal the verified pair count, is_leakage marks precisely the
+    cross-split rows, and labels are canonicalized (a <= b)."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        split_leakage_check,
+    )
+
+    try:
+        rows = split_leakage_check(spark, SF_DIR).collect()
+        n_pairs = dedup_minhash_lsh(spark, SF_DIR).count()
+    finally:
+        cache.release()
+    assert sum(r["n_dup_pairs"] for r in rows) == n_pairs > 0
+    for r in rows:
+        assert r["split_a"] <= r["split_b"]
+        assert r["is_leakage"] == (r["split_a"] != r["split_b"])

@@ -32,6 +32,8 @@ PLAN_CHANGED_IN_R7 = {
     "band_index_maintain",
     "dedup_winnowing",
     "ann_index_maintain",
+    "split_leakage_check",
+    "quality_weighted_sample",
 }
 
 #: r01/r03-latest greens — every one must get a fresh row this round
@@ -54,6 +56,8 @@ DEFERRED_TO_R8 = {
     "frame_sample_schedule",
     "bpe_pair_stats",
     "embedding_norm_stats",
+    "chunk_documents",
+    "training_manifest",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -83,21 +83,48 @@ def build_corpus_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return paths
 
 
+def _read_index_side(spark: SparkSession, path: str) -> DataFrame:
+    """Read an index side INCLUDING its per-batch growth subdirs
+    (``b<batch_id>/`` — plain nested names, no partition inference)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def _screen_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     index: dict[str, str],
     verdict_dir: str,
+    batch_id: int = -1,
+    grow: bool = True,
 ) -> None:
-    """One micro-batch: drop redeliveries, screen vs the index, append
-    verdicts.  Idempotent under redelivery because the verdict table is
-    the dedup state (anti-join before append)."""
+    """One micro-batch: drop redeliveries, screen vs the index, GROW the
+    index with the kept documents, append verdicts.
+
+    Exactly-once discipline for the THREE sinks, in write order:
+
+    1. index growth dirs ``b<batch_id>/`` use per-batch OVERWRITE with
+       the checkpoint's stable batch_id, so a replayed batch rewrites
+       the same dirs with the same content;
+    2. verdicts append LAST behind the verdict-table anti-join — a
+       crash anywhere before the verdict write leaves the batch fully
+       re-runnable (growth dirs are simply overwritten), and once
+       verdicts exist the replayed batch anti-joins to empty, which
+       also skips the growth writes (their dirs already hold the data).
+
+    Growing the index is what makes the stream the real ingestion loop
+    (round-7): a document in batch N+1 duplicating a KEPT document from
+    batch N is now caught — without growth the corpus-side state is
+    frozen at index-build time and intra-stream duplicates sail
+    through.  Appended grams are uncapped batch shingles (exactly the
+    cap semantics of ``dedup_index_maintain``: the df cap is an
+    index-BUILD decision, re-applied at periodic rebuilds).
+    """
     batch = batch_df.dropDuplicates(["doc_id"])
     if os.path.exists(verdict_dir):
         seen = spark.read.parquet(verdict_dir).select("doc_id")
         batch = batch.join(seen, "doc_id", "left_anti")
     # exact screen: only hashes shuffle, never text
-    hashes = spark.read.parquet(index["hashes"])
+    hashes = _read_index_side(spark, index["hashes"])
     exact = (
         batch.select("doc_id", F.md5("text").alias("h"))
         .join(hashes, "h", "left_semi")
@@ -106,46 +133,87 @@ def _screen_batch(
     )
     # near screen: batch shingles × corpus posting list (new×old, the
     # same candidate equi-join as the batch operator)
-    grams = spark.read.parquet(index["grams"]).select(
+    grams = _read_index_side(spark, index["grams"]).select(
         F.col("doc_id").alias("old_id"), "g"
     )
-    sizes_old = spark.read.parquet(index["sizes"]).select(
+    sizes_old = _read_index_side(spark, index["sizes"]).select(
         F.col("doc_id").alias("old_id"), "n_b"
     )
     bsh = _shingled_docs(batch, with_hashes=True).select(
         F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
-    )
-    sizes_new = bsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
-    pairs = (
-        bsh.join(grams, "g")
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    near = (
-        pairs.join(sizes_new, "new_id")
-        .join(sizes_old, "old_id")
-        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near", F.lit(1))
-    )
-    ex = F.coalesce("is_exact", F.lit(0))
-    nr = F.coalesce("is_near", F.lit(0))
-    verdicts = (
-        batch.select("doc_id", "source")
-        .join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.when(ex == 1, "exact_dup")
-            .when(nr == 1, "near_dup")
-            .otherwise("kept")
-            .alias("verdict"),
+    ).persist()
+    try:
+        sizes_new = bsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
+        pairs = (
+            bsh.join(grams, "g")
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
         )
-    )
-    verdicts.write.mode("append").parquet(verdict_dir)
+        jac = F.col("shared") / (
+            F.col("n_a") + F.col("n_b") - F.col("shared")
+        )
+        near = (
+            pairs.join(sizes_new, "new_id")
+            .join(sizes_old, "old_id")
+            .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .withColumn("is_near", F.lit(1))
+        )
+        ex = F.coalesce("is_exact", F.lit(0))
+        nr = F.coalesce("is_near", F.lit(0))
+        verdicts = (
+            batch.select("doc_id", "source")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.when(ex == 1, "exact_dup")
+                .when(nr == 1, "near_dup")
+                .otherwise("kept")
+                .alias("verdict"),
+            )
+        ).persist()
+        try:
+            kept = verdicts.where(F.col("verdict") == "kept").select("doc_id")
+            if grow and kept.count() > 0:
+                tag = f"b{batch_id}"
+                (
+                    batch.join(kept, "doc_id", "left_semi")
+                    .select(F.md5("text").alias("h"))
+                    .distinct()
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(index["hashes"], tag))
+                )
+                (
+                    bsh.join(
+                        kept.select(F.col("doc_id").alias("new_id")),
+                        "new_id",
+                        "left_semi",
+                    )
+                    .select(F.col("new_id").alias("doc_id"), "g")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(index["grams"], tag))
+                )
+                (
+                    sizes_new.join(
+                        kept.select(F.col("doc_id").alias("new_id")),
+                        "new_id",
+                        "left_semi",
+                    )
+                    .select(
+                        F.col("new_id").alias("doc_id"),
+                        F.col("n_a").alias("n_b"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(index["sizes"], tag))
+                )
+            verdicts.write.mode("append").parquet(verdict_dir)
+        finally:
+            verdicts.unpersist()
+    finally:
+        bsh.unpersist()
 
 
 def _doubled_new_docs_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -191,7 +259,9 @@ def run_streaming_keeplist_demo(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, _bid: _screen_batch(spark, bdf, index, verdict_dir)
+            lambda bdf, bid: _screen_batch(
+                spark, bdf, index, verdict_dir, batch_id=bid
+            )
         )
         .trigger(availableNow=True)
         .start()

@@ -268,8 +268,8 @@ def test_streaming_keeplist_exactly_once_across_restart(spark, tmp_path):
         )
         q = (
             stream.writeStream.foreachBatch(
-                lambda bdf, _bid: ks._screen_batch(
-                    spark, bdf, index, verdict_dir
+                lambda bdf, bid: ks._screen_batch(
+                    spark, bdf, index, verdict_dir, batch_id=bid
                 )
             )
             .option("checkpointLocation", ckpt)
@@ -324,3 +324,82 @@ def test_streaming_keeplist_exactly_once_across_restart(spark, tmp_path):
         for r in dedup_incremental(spark, SF_DIR).collect()
     )
     assert s_rows == b_rows
+
+
+def test_streaming_keeplist_catches_intra_stream_duplicate(spark, tmp_path):
+    """Index GROWTH across micro-batches (round 7): a document in batch
+    2 with an UNSEEN doc_id but text identical to a KEPT document from
+    batch 1 must be flagged exact_dup — with a frozen index it would
+    sail through as 'kept'."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import _incr_is_new
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import keeplist_stream as ks
+
+    index = ks.build_corpus_index(spark, SF_DIR)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    verdict_dir = str(tmp_path / "verdicts")
+    os.makedirs(feed)
+
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ks._DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: ks._screen_batch(
+                    spark, bdf, index, verdict_dir, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: the normal new-doc file
+    stage = str(tmp_path / "_stage")
+    new_docs.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(feed, "f1.parquet"))
+    drain()
+    v1 = spark.read.parquet(verdict_dir)
+    kept_row = (
+        new_docs.join(
+            v1.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
+        )
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+
+    # batch 2: one clone of that kept doc under a fresh doc_id
+    clone = pd.DataFrame(
+        {
+            "doc_id": [10_000_000],
+            "text": [kept_row["text"]],
+            "lang": [kept_row["lang"]],
+            "source": [kept_row["source"]],
+            "n_chars": [kept_row["n_chars"]],
+        }
+    )
+    clone.to_parquet(tmp_path / "f2.parquet")
+    os.rename(str(tmp_path / "f2.parquet"), os.path.join(feed, "f2.parquet"))
+    drain()
+
+    verdict = (
+        spark.read.parquet(verdict_dir)
+        .where(F.col("doc_id") == 10_000_000)
+        .collect()
+    )
+    assert len(verdict) == 1
+    assert verdict[0]["verdict"] == "exact_dup", verdict[0]

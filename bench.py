@@ -94,6 +94,7 @@ HEADLINE = [
     "ann_index_maintain",
     "split_leakage_check",
     "quality_weighted_sample",
+    "dedup_keeplist_quality",
 ]
 
 

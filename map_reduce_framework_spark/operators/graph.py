@@ -159,6 +159,75 @@ def keeplist_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dedup_keeplist_quality: pack (quality, doc_id) into a fixed-width
+#: string so a plain max() realizes (max quality, then MIN doc_id) —
+#: the same engine-portable argmax trick as the winnowing selection.
+#: round(quality·10⁴) recovers the exact 4-dp integer (the stored
+#: double is within ~1e-12 of it), and the inverted id occupies 8
+#: digits.
+_KQ_ID_MAX = 99_999_999
+
+
+def dedup_keeplist_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster survivor selection: same clusters
+    as :func:`dedup_pipeline_keeplist` (exact ∪ LSH edges → connected
+    components), but the kept copy is the HIGHEST-QUALITY member
+    (4-dp composite :func:`~.text.quality_expr`; doc_id tie-break) —
+    what a curation pipeline actually wants: when a document exists as
+    a clean original and a boilerplate-wrapped rewrite, keep the clean
+    one, not whichever crawled first.
+
+    The survivor argmax is a partial-agg ``groupBy(cluster).max(packed
+    key)`` — skew-safe for the same reason as the exact-dup star roots
+    (a million-member boilerplate cluster contributes one combiner row
+    per split, and no window partition pins it to one task).  Scale
+    cost over the id-rule keeplist: one quality column (the shared
+    Arrow stopword kernel) + one join of the corpus against the
+    (cluster, survivor) table.
+
+    No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from ..sources import load_table
+    from .text import _stopword_counts, quality_expr
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    clusters = keeplist_unsorted(spark, sf_dir).select("doc_id", "cluster_id")
+    q = _stopword_counts(docs).select(
+        "doc_id", quality_expr().alias("quality")
+    )
+    m = clusters.join(q, "doc_id")
+    key = F.concat(
+        F.lpad(
+            F.round(F.col("quality") * 10000).cast("int").cast("string"),
+            5,
+            "0",
+        ),
+        F.lpad(
+            (F.lit(_KQ_ID_MAX) - F.col("doc_id")).cast("string"), 8, "0"
+        ),
+    )
+    best = (
+        m.groupBy("cluster_id")
+        .agg(F.max(key).alias("bk"))
+        .select(
+            "cluster_id",
+            (F.lit(_KQ_ID_MAX) - F.substring("bk", 6, 8).cast("long")).alias(
+                "survivor_id"
+            ),
+        )
+    )
+    return (
+        m.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("doc_id") == F.col("survivor_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: PageRank: damping factor and fixed iteration count (deterministic, so
 #: the oracle can unroll the trajectory like the k-means oracle does)
 PR_DAMPING = 0.85
@@ -430,9 +499,51 @@ ORACLES = {
     """,
 }
 
+from .text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402
+
+ORACLES["dedup_keeplist_quality"] = f"""
+    WITH RECURSIVE
+    near AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
+    exact AS (
+        SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+               doc_id AS doc_b
+        FROM documents),
+    pairs AS (SELECT doc_a, doc_b FROM near
+              UNION ALL
+              SELECT doc_a, doc_b FROM exact WHERE doc_a <> doc_b),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id AS label FROM verts
+        UNION
+        SELECT e.dst AS doc_id, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id),
+    labels AS (SELECT doc_id, min(label) AS cl FROM reach GROUP BY doc_id),
+    q AS (SELECT doc_id, {{QUALITY_SQL}} AS quality FROM documents),
+    m AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
+                 q.quality
+          FROM documents d
+          LEFT JOIN labels l ON l.doc_id = d.doc_id
+          JOIN q ON q.doc_id = d.doc_id),
+    best AS (SELECT cluster_id,
+                    {_KQ_ID_MAX} - CAST(substr(max(
+                        lpad(CAST(CAST(round(quality * 10000) AS INTEGER)
+                                  AS VARCHAR), 5, '0')
+                        || lpad(CAST({_KQ_ID_MAX} - doc_id AS VARCHAR),
+                                8, '0')), 6, 8) AS BIGINT) AS survivor_id
+             FROM m GROUP BY cluster_id)
+    SELECT m.doc_id, m.cluster_id, m.quality,
+           (m.doc_id = b.survivor_id) AS kept
+    FROM m JOIN best b ON b.cluster_id = m.cluster_id
+    ORDER BY m.doc_id
+""".replace("{QUALITY_SQL}", _QUALITY_SQL)
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_pipeline_keeplist": dedup_pipeline_keeplist,
+    "dedup_keeplist_quality": dedup_keeplist_quality,
     "pagerank_dup_graph": pagerank_dup_graph,
     "graph_triangle_stats": graph_triangle_stats,
 }

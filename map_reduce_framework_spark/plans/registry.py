@@ -64,8 +64,8 @@ _MODULES = [
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,
 # pagerank_dup_graph, tpch_q18_large_volume, join_skew_salted) and the
 # whole TPC-H r04 family.
-# ROUND-8 ROTATION DEBT (10 r04-green rows deferred, all trivially-
-# stable plans — 4 for the block-b slots, 6 for the NEW operators'
+# ROUND-8 ROTATION DEBT (11 r04-green rows deferred, all trivially-
+# stable plans — 4 for the block-b slots, 7 for the NEW operators'
 # first driver rows): date_arithmetic (pure
 # scalar date functions), search_substring (Catalyst Contains filter),
 # set_intersect_all (family re-proved by set_intersect r07 +
@@ -74,11 +74,14 @@ _MODULES = [
 # (per-payload schedule expansion), bpe_pair_stats (single vocab-agg;
 # the BPE family carries two fresh r07 rows), embedding_norm_stats
 # (single grouped agg), chunk_documents (scan-bound window expansion),
-# training_manifest (pure-Catalyst manifest join) — displaced by the
-# six NEW operators (dedup_index_maintain, band_index_maintain,
-# ann_index_maintain, dedup_winnowing, split_leakage_check,
-# quality_weighted_sample).  ROUND-8 WINDOW PLAN: these 10 + the 40
-# r05-latest greens = exactly 50 — the whole window is pre-planned.
+# training_manifest (pure-Catalyst manifest join), funnel_analysis
+# (sequential-match event agg) — displaced by the seven NEW operators
+# (dedup_index_maintain, band_index_maintain, ann_index_maintain,
+# dedup_winnowing, split_leakage_check, quality_weighted_sample,
+# dedup_keeplist_quality).  ROUND-8 WINDOW PLAN: these 11 + 39 of the
+# 40 r05-latest greens = 50; one trivially-stable r05 row (pick from
+# the scalar-function family) slides to round 9 — at round 9 it is 4
+# rounds old and MUST go first, same contract as this round's debt.
 # They will be 4 rounds stale after this round — rotate them in FIRST
 # next round.  kmeans_embeddings / ann_ivf_kmeans keep their r05/r06 rows:
 # their oracle TEXT gained the k_sql parameterization but the default
@@ -100,7 +103,7 @@ DRIVER_WINDOW = [
     "bpe_train_merges",
     "bpe_segment_docs",
     "dedup_exact_substring",
-    # (c) round-4-latest greens (35 of 45; 10 deferred, see above)
+    # (c) round-4-latest greens (34 of 45; 11 deferred, see above)
     "clean_corpus",
     "dedup_passage",
     "blocklist_redact",
@@ -127,7 +130,6 @@ DRIVER_WINDOW = [
     "tpch_q12_priority_lateness",
     "multi_distinct_agg",
     "events_window_distinct",
-    "funnel_analysis",
     "events_user_enrichment",
     "band_join_pricing",
     "set_except_all",
@@ -145,6 +147,7 @@ DRIVER_WINDOW = [
     "ann_index_maintain",
     "split_leakage_check",
     "quality_weighted_sample",
+    "dedup_keeplist_quality",
 ]
 
 

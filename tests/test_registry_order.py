@@ -34,6 +34,7 @@ PLAN_CHANGED_IN_R7 = {
     "ann_index_maintain",
     "split_leakage_check",
     "quality_weighted_sample",
+    "dedup_keeplist_quality",
 }
 
 #: r01/r03-latest greens — every one must get a fresh row this round
@@ -58,6 +59,7 @@ DEFERRED_TO_R8 = {
     "embedding_norm_stats",
     "chunk_documents",
     "training_manifest",
+    "funnel_analysis",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -601,6 +601,77 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def _gram_near_screen(
+    ng: DataFrame, sizes_new: DataFrame, index_df: DataFrame
+) -> DataFrame:
+    """Shared near-dup screen of a freshly-shingled batch posting list
+    ``ng`` (new_id, g) against an index posting list (doc_id, g):
+    candidate equi-join on the gram hash → exact-Jaccard ≥
+    ``JACCARD_THRESHOLD`` verify → DISTINCT flagged batch doc ids.
+
+    One formula, three consumers (:func:`dedup_incremental_indexed`,
+    :func:`dedup_index_maintain`'s pre- and post-append screens) — a
+    threshold or Jaccard change lands everywhere at once instead of
+    silently diverging between the screen and its maintenance twin.
+    """
+    og = index_df.select(F.col("doc_id").alias("old_id"), "g")
+    sizes_old = index_df.groupBy(F.col("doc_id").alias("old_id")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        ng.join(og, "g")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes_new, "new_id")
+        .join(sizes_old, "old_id")
+        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def _maintain_summary(
+    new_docs: DataFrame,
+    kept: DataFrame,
+    redetected: DataFrame,
+    added: DataFrame,
+    added_col: str,
+) -> DataFrame:
+    """Shared per-source summary for the index-maintenance operators:
+    batch size, kept count, appended rows, and re-detected count."""
+    added_per_source = (
+        added.join(new_docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias(added_col))
+    )
+    return (
+        new_docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .join(added_per_source, "source", "left")
+        .join(
+            redetected.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_redetected")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce(added_col, F.lit(0)).alias(added_col),
+            F.coalesce("n_redetected", F.lit(0)).alias("n_redetected"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`dedup_incremental` consuming the materialized bucketed gram
     index instead of re-deriving the corpus posting list — the shape a
@@ -625,27 +696,12 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(1))
     )
     idx = gram_index_bucketed(spark, sf_dir)
-    og = idx.select(F.col("doc_id").alias("old_id"), "g")
-    sizes_old = idx.groupBy(F.col("doc_id").alias("old_id")).agg(
-        F.count(F.lit(1)).alias("n_b")
-    )
     ng = _shingled_docs(new_docs, with_hashes=True).select(
         F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
     )
     sizes_new = ng.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
-    pairs = (
-        ng.join(og, "g")
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    near = (
-        pairs.join(sizes_new, "new_id")
-        .join(sizes_old, "old_id")
-        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near", F.lit(1))
+    near = _gram_near_screen(ng, sizes_new, idx).withColumn(
+        "is_near", F.lit(1)
     )
     flagged = (
         new_docs.select("doc_id", "source")
@@ -752,9 +808,20 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.n_grams").alias("n_grams"),
         F.col("w.h").alias("h"),
     )
+    # fail-loud capacity guard: a position past the 7-digit field would
+    # keep its '-' sign through lpad and break the rightmost-tie rule
+    guarded_i = F.when(
+        F.col("i") > _WINNOW_POS_MAX,
+        F.raise_error(
+            F.lit(
+                f"gram position exceeds packed-key capacity "
+                f"{_WINNOW_POS_MAX} — widen _WINNOW_POS_MAX"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("i"))
     key = F.concat(
         F.lpad(F.col("h").cast("string"), 19, "0"),
-        F.lpad((F.lit(_WINNOW_POS_MAX) - F.col("i")).cast("string"), 7, "0"),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - guarded_i).cast("string"), 7, "0"),
     )
     win = (
         W.partitionBy("doc_id")
@@ -835,25 +902,19 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     idx = gram_index_bucketed(spark, sf_dir)
-    og = idx.select(F.col("doc_id").alias("old_id"), "g")
-    sizes_old = idx.groupBy(F.col("doc_id").alias("old_id")).agg(
-        F.count(F.lit(1)).alias("n_b")
+    # batch shingling is the dominant per-batch cost and feeds the
+    # screen, the append, the re-screen, and the summary — sign once
+    # (persist + count barrier, the band twin's protocol)
+    from .. import cache as _cache
+
+    ng = _cache.persist_tracked(
+        _shingled_docs(new_docs, with_hashes=True).select(
+            F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
+        )
     )
-    ng = _shingled_docs(new_docs, with_hashes=True).select(
-        F.col("doc_id").alias("new_id"), F.explode("gh").alias("g")
-    )
+    ng.count()
     sizes_new = ng.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    near = (
-        ng.join(og, "g")
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(sizes_new, "new_id")
-        .join(sizes_old, "old_id")
-        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-    )
+    near = _gram_near_screen(ng, sizes_new, idx)
     kept = (
         new_docs.select("doc_id", "source")
         .join(exact, "doc_id", "left_anti")
@@ -878,54 +939,16 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = spark.table(maint)
 
     # re-screen the SAME batch against the post-append index
-    og2 = post.select(F.col("doc_id").alias("old_id"), "g")
-    sizes_post = post.groupBy(F.col("doc_id").alias("old_id")).agg(
-        F.count(F.lit(1)).alias("n_b")
-    )
-    near2 = (
-        ng.join(og2, "g")
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(sizes_new, "new_id")
-        .join(sizes_post, "old_id")
-        .where(rnd(jac, 4) >= JACCARD_THRESHOLD)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-    )
+    near2 = _gram_near_screen(ng, sizes_new, post)
     redetected = kept.join(near2, "doc_id", "left_semi").select(
         "doc_id", "source"
     )
-    added_per_source = (
-        kept_grams.join(
-            new_docs.select("doc_id", "source"), "doc_id"
-        )
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("grams_added"))
-    )
-    return (
-        new_docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_new"))
-        .join(
-            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
-            "source",
-            "left",
-        )
-        .join(added_per_source, "source", "left")
-        .join(
-            redetected.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_redetected")
-            ),
-            "source",
-            "left",
-        )
-        .select(
-            "source",
-            "n_new",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("grams_added", F.lit(0)).alias("grams_added"),
-            F.coalesce("n_redetected", F.lit(0)).alias("n_redetected"),
-        )
-        .orderBy("source")
+    return _maintain_summary(
+        new_docs.select("doc_id", "source"),
+        kept,
+        redetected,
+        kept_grams,
+        "grams_added",
     )
 
 
@@ -1396,35 +1419,12 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     redetected = kept.join(
         screen(spark.table(maint)), "doc_id", "left_semi"
     )
-    added_per_source = (
-        kept_bands.join(new_docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("bands_added"))
-    )
-    return (
-        new_docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_new"))
-        .join(
-            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
-            "source",
-            "left",
-        )
-        .join(added_per_source, "source", "left")
-        .join(
-            redetected.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_redetected")
-            ),
-            "source",
-            "left",
-        )
-        .select(
-            "source",
-            "n_new",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("bands_added", F.lit(0)).alias("bands_added"),
-            F.coalesce("n_redetected", F.lit(0)).alias("n_redetected"),
-        )
-        .orderBy("source")
+    return _maintain_summary(
+        new_docs.select("doc_id", "source"),
+        kept,
+        redetected,
+        kept_bands,
+        "bands_added",
     )
 
 

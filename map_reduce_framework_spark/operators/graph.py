@@ -196,15 +196,27 @@ def dedup_keeplist_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", quality_expr().alias("quality")
     )
     m = clusters.join(q, "doc_id")
+    # fail-loud capacity guard: an id past the 8-digit field would keep
+    # its '-' sign through lpad and silently corrupt the string argmax
+    guarded_id = F.when(
+        F.col("doc_id") > _KQ_ID_MAX,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"doc_id exceeds packed-key capacity {_KQ_ID_MAX} — "
+                    "widen _KQ_ID_MAX: "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id"))
     key = F.concat(
         F.lpad(
             F.round(F.col("quality") * 10000).cast("int").cast("string"),
             5,
             "0",
         ),
-        F.lpad(
-            (F.lit(_KQ_ID_MAX) - F.col("doc_id")).cast("string"), 8, "0"
-        ),
+        F.lpad((F.lit(_KQ_ID_MAX) - guarded_id).cast("string"), 8, "0"),
     )
     best = (
         m.groupBy("cluster_id")

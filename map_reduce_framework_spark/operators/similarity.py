@@ -528,6 +528,8 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     maint = fingerprinted_table_name(IVF_MAINT_TABLE, sf_dir, "embeddings")
     write_bucketed(old_cells, maint, "cell", IVF_INDEX_BUCKETS)
+    # assign the batch ONCE — the probe side is by construction the
+    # same (vector, frozen-centroid) ranking as the appended cells
     new_cells = _assign_cells(
         cents,
         newv.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("vc")),
@@ -544,13 +546,11 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = spark.table(maint)
 
-    probe = _assign_cells(
-        cents,
-        newv.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq")),
-        "query_id",
-        "vq",
-        1,
-    ).withColumnRenamed("cell", "qcell")
+    probe = new_cells.select(
+        F.col("cand_id").alias("query_id"),
+        F.col("vc").alias("vq"),
+        F.col("cell").alias("qcell"),
+    )
     scored = F.broadcast(probe).join(
         post, F.col("qcell") == F.col("cell")
     ).withColumn("cos6", rnd(dot_col("vq", "vc"), 6))

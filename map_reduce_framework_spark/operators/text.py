@@ -1128,6 +1128,16 @@ def _bpe_train(
                 _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
             )
         )
+    if prev is not None:
+        # the loop exits with the LAST round's predecessor still cached
+        # (its unpersist normally happens at the top of the next
+        # iteration's collect — which never runs).  The final `cur` is
+        # NOT yet materialized and computes FROM prev's cache, so
+        # materialize it first (one vocab-scale job), then drop the
+        # predecessor — leaving exactly one vocab cache staged for the
+        # result to adopt.
+        cur.count()
+        prev.unpersist()
     _LAST_TRAIN_ROUNDS = rounds
     if len(merges) < BPE_MERGES:
         raise ValueError(

@@ -56,9 +56,10 @@ _MODULES = [
 # round-7 rotation debt);
 # (b) every query whose PLAN changed this round: the ANN-bucket
 # re-key of dedup_embedding_cosine, the batched BPE trainer +
-# tokenizer application (new trajectory), and the text-verified
-# substring dedup;
-# (c) 41 of the 45 round-4-latest greens — the oldest remaining
+# tokenizer application (new trajectory), and the digest-keyed
+# substring dedup — plus first driver rows for the SEVEN operators
+# added this round (block at the end of the list);
+# (c) 34 of the 45 round-4-latest greens — the oldest remaining
 # evidence on current code, including the seven round-6 displacees
 # (clean_corpus, dedup_semantic — which also carries this round's
 # corpus-scaled K — dedup_passage, sessionize, events_window_distinct,

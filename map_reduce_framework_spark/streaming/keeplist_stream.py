@@ -83,10 +83,27 @@ def build_corpus_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return paths
 
 
-def _read_index_side(spark: SparkSession, path: str) -> DataFrame:
+def _read_index_side(
+    spark: SparkSession, path: str, exclude_tag: str | None = None
+) -> DataFrame:
     """Read an index side INCLUDING its per-batch growth subdirs
-    (``b<batch_id>/`` — plain nested names, no partition inference)."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    (``b<batch_id>/`` — plain nested names, no partition inference).
+
+    ``exclude_tag`` drops ONE growth dir from the read: the screen for
+    batch N must never see batch N's OWN growth output — a crash
+    between the growth writes and the verdict append otherwise makes
+    the replayed batch match itself (every previously-kept doc would
+    re-verdict as exact_dup).  Excluding the self dir makes the replay
+    screen IDENTICAL to the failed attempt's, which then overwrites
+    the growth dirs with identical content — true exactly-once.
+    """
+    import glob
+
+    parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    for d in sorted(glob.glob(os.path.join(path, "b*"))):
+        if os.path.isdir(d) and os.path.basename(d) != exclude_tag:
+            parts.append(d)
+    return spark.read.parquet(*parts)
 
 
 def _screen_batch(
@@ -119,12 +136,21 @@ def _screen_batch(
     cap semantics of ``dedup_index_maintain``: the df cap is an
     index-BUILD decision, re-applied at periodic rebuilds).
     """
+    if grow and batch_id < 0:
+        raise ValueError(
+            "grow=True requires the checkpoint's stable batch_id — "
+            "a shared default dir would let one batch's overwrite "
+            "silently delete another's appended index rows"
+        )
+    tag = f"b{batch_id}"
     batch = batch_df.dropDuplicates(["doc_id"])
     if os.path.exists(verdict_dir):
         seen = spark.read.parquet(verdict_dir).select("doc_id")
         batch = batch.join(seen, "doc_id", "left_anti")
-    # exact screen: only hashes shuffle, never text
-    hashes = _read_index_side(spark, index["hashes"])
+    # exact screen: only hashes shuffle, never text.  The read excludes
+    # THIS batch's own growth dir (crash-replay safety — see
+    # _read_index_side)
+    hashes = _read_index_side(spark, index["hashes"], exclude_tag=tag)
     exact = (
         batch.select("doc_id", F.md5("text").alias("h"))
         .join(hashes, "h", "left_semi")
@@ -133,10 +159,10 @@ def _screen_batch(
     )
     # near screen: batch shingles × corpus posting list (new×old, the
     # same candidate equi-join as the batch operator)
-    grams = _read_index_side(spark, index["grams"]).select(
+    grams = _read_index_side(spark, index["grams"], exclude_tag=tag).select(
         F.col("doc_id").alias("old_id"), "g"
     )
-    sizes_old = _read_index_side(spark, index["sizes"]).select(
+    sizes_old = _read_index_side(spark, index["sizes"], exclude_tag=tag).select(
         F.col("doc_id").alias("old_id"), "n_b"
     )
     bsh = _shingled_docs(batch, with_hashes=True).select(
@@ -178,7 +204,6 @@ def _screen_batch(
         try:
             kept = verdicts.where(F.col("verdict") == "kept").select("doc_id")
             if grow and kept.count() > 0:
-                tag = f"b{batch_id}"
                 (
                     batch.join(kept, "doc_id", "left_semi")
                     .select(F.md5("text").alias("h"))

@@ -7,9 +7,9 @@ round's plan changes): the window holds (a) the five rows with the
 oldest driver evidence (the r01-only green and the four r03-latest
 greens — the documented round-7 rotation debt), (b) every query whose
 plan changed this round (ANN-bucket embedding dedup, batched BPE
-trainer + application, digest-keyed substring dedup, plus first rows
-for the four NEW operators), (c) 37 of the 45 round-4-latest greens.
-Eight trivially-stable r04 rows are deferred to round 8 (named in
+trainer + application, digest-keyed substring dedup) plus first rows
+for the SEVEN new operators, (c) 34 of the 45 round-4-latest greens.
+Eleven trivially-stable r04 rows are deferred to round 8 (named in
 registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
@@ -95,7 +95,7 @@ def test_window_covers_new_and_changed_queries():
 
 
 def test_deferred_rows_are_known_and_green_elsewhere():
-    """The four deferred rows must be real queries with a prior driver
+    """Every deferred row must be a real query with a prior driver
     green (they are debt, not gaps)."""
     window = set(registry.DRIVER_WINDOW)
     assert not (DEFERRED_TO_R8 & window)

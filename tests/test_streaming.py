@@ -403,3 +403,50 @@ def test_streaming_keeplist_catches_intra_stream_duplicate(spark, tmp_path):
     )
     assert len(verdict) == 1
     assert verdict[0]["verdict"] == "exact_dup", verdict[0]
+
+
+def test_streaming_keeplist_replay_after_torn_growth_write(spark, tmp_path):
+    """Crash BETWEEN the index-growth writes and the verdict append:
+    the replayed batch must not screen against its own growth output
+    (it would re-verdict every kept doc as exact_dup).  Simulated by
+    running the batch once, deleting ONLY the verdicts, and re-running
+    with the same batch_id — the torn state exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import _incr_is_new
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import keeplist_stream as ks
+
+    index = ks.build_corpus_index(spark, SF_DIR)
+    verdict_dir = str(tmp_path / "verdicts")
+    batch = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+
+    ks._screen_batch(spark, batch, index, verdict_dir, batch_id=0)
+    clean = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert "kept" in set(clean.values())
+
+    # torn state: growth dirs exist, verdicts do not
+    shutil.rmtree(verdict_dir)
+    assert any(
+        os.path.isdir(os.path.join(index["grams"], d))
+        for d in os.listdir(index["grams"])
+        if d.startswith("b")
+    )
+    ks._screen_batch(spark, batch, index, verdict_dir, batch_id=0)
+    replayed = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert replayed == clean, "replay diverged from the failed attempt"
+
+    # and grow=True without a real batch_id must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_id"):
+        ks._screen_batch(spark, batch, index, verdict_dir)

@@ -854,36 +854,48 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAM_INDEX_MAINT_TABLE = "gram_index_maint"
+GRAM_INDEX_DELTA_TABLE = "gram_index_delta"
 
 
 def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index MAINTENANCE — the step that closes the production ingestion
     loop the incremental family documents: screen the batch against the
-    bucketed gram index, APPEND the kept documents' postings into the
-    index, and prove the merge by re-screening the same batch against
-    the post-append index (every kept doc must now self-hit).
+    bucketed gram index, land the kept documents' postings as a DELTA
+    side table under the same bucket spec, and prove the merge by
+    re-screening the same batch against the post-append index — base ∪
+    delta — (every kept doc must now self-hit).
 
-    Production shape: crawl N screens against the index built from
-    crawls 1..N-1, the survivors' postings merge in, and crawl N+1
-    screens against the union — without this step every "materialized
-    index" claim silently assumes a full rebuild per batch.  The append
-    is a REAL bucketed-table append (``mode("append").bucketBy(...)
-    .saveAsTable``): Spark writes the new postings as additional
-    per-bucket files under the table's existing bucket spec, so the
-    post-append screen join STILL runs with zero exchange on the index
-    side (plan-asserted in ``tests/test_plans.py``).  For rerun
-    idempotence the maintained table is a fresh per-run copy of the
-    base index (content-fingerprinted name) — the append itself, not
-    the copy, is the operation under test; a real pipeline appends to
-    the live table and re-caps df at periodic rebuilds.
+    Production shape (LSM-style): the base index is IMMUTABLE between
+    rebuilds; each ingest batch lands its survivors' postings as a
+    batch-sized bucketed delta table with the SAME bucket spec, screens
+    read base ∪ deltas, and periodic compaction folds deltas into the
+    next base build (which also re-caps df).  Per-batch cost is
+    therefore BATCH-sized — nothing corpus-linear is ever rewritten
+    (at 100 TB a per-batch base rewrite would re-materialize 100 TB per
+    ingest batch; round 7 did exactly that for rerun idempotence and
+    paid 6.6 s/run at sf0.1, nearly all copy).  Rerun idempotence now
+    comes free: the delta table is overwrite-mode and batch-sized.
+
+    The union screen DECOMPOSES per table: base holds only old-corpus
+    doc_ids and the delta only this batch's kept doc_ids, so every
+    candidate pair's index doc lives wholly in one table and
+    ``screen(base ∪ delta) = screen(base) ∪ screen(delta)`` exactly
+    (per-doc posting counts and per-pair overlap counts never split
+    across tables).  Each equi-join reads its index side through the
+    bucket layout with ZERO exchange (plan-asserted in
+    ``tests/test_plans.py``).  Further, ``kept`` is by construction
+    disjoint from ``screen(base)`` (kept = batch ∖ exact ∖ near), so
+    the kept-side redetection reduces to the delta screen alone — the
+    base side contributes no kept hit by definition, and the DuckDB
+    oracle still derives ``n_redetected`` independently from the full
+    old ∪ appended posting union, so any divergence from that identity
+    would surface as a hash mismatch.
 
     Output, per source: batch size, kept count, postings appended, and
     ``n_redetected`` — how many KEPT docs the post-merge near screen
-    flags (each kept doc's own postings are now in the index, so
+    flags (each kept doc's own postings are now indexed, so
     Jaccard(self) = 1; a value below ``n_kept`` means the merge lost
-    rows).  Computed independently by the DuckDB oracle from the
-    old ∪ appended posting union, not assumed.
+    rows).
 
     No counterpart in the reference (SURVEY §2.4 extension) — the
     maintenance twin of :func:`dedup_incremental_indexed`.
@@ -915,7 +927,11 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng.count()
     sizes_new = ng.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_a"))
     near = _gram_near_screen(ng, sizes_new, idx)
-    kept = (
+    # kept is batch-sized (doc_id, source) but its lineage holds BOTH
+    # corpus-side screens (exact hashes + the base near screen) —
+    # persist it so the delta write and the summary don't re-run those
+    # screens once per consuming branch
+    kept = _cache.persist_tracked(
         new_docs.select("doc_id", "source")
         .join(exact, "doc_id", "left_anti")
         .join(near, "doc_id", "left_anti")
@@ -924,22 +940,19 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
     ).select(F.col("new_id").alias("doc_id"), "g")
 
-    # fresh per-run maintained copy, then the REAL bucketed append
-    maint = fingerprinted_table_name(
-        GRAM_INDEX_MAINT_TABLE, sf_dir, "documents"
+    # batch-sized bucketed DELTA table (same spec as the base index);
+    # overwrite-mode → rerun-idempotent without touching the base
+    delta = fingerprinted_table_name(
+        GRAM_INDEX_DELTA_TABLE, sf_dir, "documents"
     )
-    write_bucketed(idx, maint, "g", GRAM_INDEX_BUCKETS)
-    (
-        kept_grams.write.mode("append")
-        .format("parquet")
-        .bucketBy(GRAM_INDEX_BUCKETS, "g")
-        .sortBy("g")
-        .saveAsTable(maint)
-    )
-    post = spark.table(maint)
+    write_bucketed(kept_grams, delta, "g", GRAM_INDEX_BUCKETS)
+    delta_scan = spark.table(delta)
 
-    # re-screen the SAME batch against the post-append index
-    near2 = _gram_near_screen(ng, sizes_new, post)
+    # post-append re-screen: screen(base ∪ delta) decomposes per table
+    # (disjoint index doc_ids), and kept ∩ screen(base) = ∅ by
+    # construction, so redetection rides the delta screen alone — one
+    # batch-vs-batch bucketed join, no corpus-side work
+    near2 = _gram_near_screen(ng, sizes_new, delta_scan)
     redetected = kept.join(near2, "doc_id", "left_semi").select(
         "doc_id", "source"
     )
@@ -947,7 +960,9 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_docs.select("doc_id", "source"),
         kept,
         redetected,
-        kept_grams,
+        # count the appended postings from the written delta itself —
+        # free reuse instead of re-deriving kept_grams
+        delta_scan,
         "grams_added",
     )
 
@@ -1340,7 +1355,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BAND_INDEX_MAINT_TABLE = "band_index_maint"
+BAND_INDEX_DELTA_TABLE = "band_index_delta"
 
 
 def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,13 +1367,19 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove the merge by re-screening the same batch — every kept doc's
     own bands are now indexed, so it must self-hit (Jaccard(self) = 1).
 
-    Same mechanics as the other two: a real bucketed-table append (new
-    per-bucket files under the existing band-key spec, no rebuild, no
-    reshuffle of incumbent rows), a fresh per-run base copy for rerun
-    idempotence, and an oracle that derives ``n_redetected``
-    independently from the old ∪ appended band union.  Batch signing
-    happens once (persist + count barrier) and feeds the screen, the
-    append, and the re-screen.
+    Same mechanics as the other two (see :func:`dedup_index_maintain`
+    for the full LSM-style rationale): the base index stays IMMUTABLE,
+    the kept rows land as a batch-sized bucketed DELTA table under the
+    same band-key spec (overwrite-mode → rerun-idempotent), and the
+    post-append screen decomposes per table — base holds only old-corpus
+    doc_ids and the delta only this batch's kept doc_ids, so
+    ``screen(base ∪ delta) = screen(base) ∪ screen(delta)`` exactly,
+    and ``kept ∩ screen(base) = ∅`` by construction reduces the
+    kept-side redetection to the delta screen alone.  Per-batch cost is
+    batch-sized; nothing corpus-linear is rewritten.  The oracle still
+    derives ``n_redetected`` independently from the old ∪ appended band
+    union.  Batch signing happens once (persist + count barrier) and
+    feeds the screen, the delta write, and the re-screen.
     """
     from .. import cache
     from ..sources.bucketing import fingerprinted_table_name, write_bucketed
@@ -1399,31 +1420,30 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     near = screen(idx)
-    kept = new_docs.select("doc_id", "source").join(near, "doc_id", "left_anti")
+    # batch-sized, but its lineage holds the corpus-side base screen —
+    # persist so the delta write and the summary run that screen once
+    kept = cache.persist_tracked(
+        new_docs.select("doc_id", "source").join(near, "doc_id", "left_anti")
+    )
     kept_bands = newb.join(
         kept.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
     ).select(
         F.col("new_id").alias("doc_id"), F.col("sh_a").alias("sh"), "band_key"
     )
-    maint = fingerprinted_table_name(
-        BAND_INDEX_MAINT_TABLE, sf_dir, "documents"
+    delta = fingerprinted_table_name(
+        BAND_INDEX_DELTA_TABLE, sf_dir, "documents"
     )
-    write_bucketed(idx, maint, "band_key", BAND_INDEX_BUCKETS)
-    (
-        kept_bands.write.mode("append")
-        .format("parquet")
-        .bucketBy(BAND_INDEX_BUCKETS, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(maint)
-    )
-    redetected = kept.join(
-        screen(spark.table(maint)), "doc_id", "left_semi"
-    )
+    write_bucketed(kept_bands, delta, "band_key", BAND_INDEX_BUCKETS)
+    delta_scan = spark.table(delta)
+    # kept ∩ screen(base) = ∅, so post-append redetection rides the
+    # delta screen alone (batch-vs-batch bucketed join)
+    redetected = kept.join(screen(delta_scan), "doc_id", "left_semi")
     return _maintain_summary(
         new_docs.select("doc_id", "source"),
         kept,
         redetected,
-        kept_bands,
+        # count appended rows from the written delta itself
+        delta_scan,
         "bands_added",
     )
 

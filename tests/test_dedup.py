@@ -419,14 +419,14 @@ def test_embedding_dedup_blocks_are_corpus_bounded(spark):
 
 
 def test_index_maintain_redetects_every_kept_doc(spark):
-    """After the bucketed append, every kept document's postings are in
-    the index, so the re-screen must self-hit ALL of them — and the
-    maintained table must hold exactly base + appended rows."""
+    """After the delta lands, every kept document's postings are
+    indexed (base ∪ delta), so the re-screen must self-hit ALL of them
+    — and the DELTA table must hold exactly the appended rows (it is
+    batch-sized: the base index is never rewritten)."""
     from map_reduce_framework_spark import cache
     from map_reduce_framework_spark.operators.dedup import (
-        GRAM_INDEX_MAINT_TABLE,
+        GRAM_INDEX_DELTA_TABLE,
         dedup_index_maintain,
-        gram_index_bucketed,
     )
     from map_reduce_framework_spark.sources.bucketing import (
         fingerprinted_table_name,
@@ -442,17 +442,16 @@ def test_index_maintain_redetects_every_kept_doc(spark):
     for r in rows:
         assert r["n_redetected"] == r["n_kept"], r
         assert (r["grams_added"] > 0) == (r["n_kept"] > 0), r
-    base = gram_index_bucketed(spark, SF_DIR).count()
     added = sum(r["grams_added"] for r in rows)
-    maint = spark.table(
-        fingerprinted_table_name(GRAM_INDEX_MAINT_TABLE, SF_DIR, "documents")
+    delta = spark.table(
+        fingerprinted_table_name(GRAM_INDEX_DELTA_TABLE, SF_DIR, "documents")
     )
-    assert maint.count() == base + added
+    assert delta.count() == added
 
 
 def test_index_maintain_is_rerun_idempotent(spark):
     """Running the maintenance query twice must not double-append: the
-    maintained table is rebuilt fresh per run."""
+    delta table is overwrite-mode and batch-sized."""
     from map_reduce_framework_spark import cache
     from map_reduce_framework_spark.operators.dedup import dedup_index_maintain
 

@@ -596,26 +596,29 @@ def test_band_index_join_shuffles_batch_side_only(spark):
 
 
 def test_maintained_index_join_is_exchange_free_after_append(spark):
-    """The post-append maintained gram index must behave like the base
-    index: a bucketed append adds per-bucket files under the existing
-    spec, so a re-screen join still reads the index side with ZERO
-    exchange (only the fresh batch side repartitions)."""
+    """Post-append, BOTH index sides must stay exchange-free: the
+    immutable base index and the batch-sized delta table share the
+    bucket spec, so a re-screen join against EITHER reads that index
+    side with ZERO exchange (only the fresh batch side repartitions) —
+    the VERDICT-r7 contract for the delta-table maintenance design."""
     from pyspark.sql import functions as F
 
     from map_reduce_framework_spark.operators.dedup import (
-        GRAM_INDEX_MAINT_TABLE,
+        GRAM_INDEX_DELTA_TABLE,
         _incr_is_new,
         _shingled_docs,
         dedup_index_maintain,
+        gram_index_bucketed,
     )
     from map_reduce_framework_spark.sources import load_table
     from map_reduce_framework_spark.sources.bucketing import (
         fingerprinted_table_name,
     )
 
-    dedup_index_maintain(spark, SF_DIR).count()  # builds + appends
-    maint = spark.table(
-        fingerprinted_table_name(GRAM_INDEX_MAINT_TABLE, SF_DIR, "documents")
+    dedup_index_maintain(spark, SF_DIR).count()  # builds base + delta
+    base = gram_index_bucketed(spark, SF_DIR)
+    delta = spark.table(
+        fingerprinted_table_name(GRAM_INDEX_DELTA_TABLE, SF_DIR, "documents")
     )
     new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
     ng = _shingled_docs(new_docs, with_hashes=True).select(
@@ -623,14 +626,15 @@ def test_maintained_index_join_is_exchange_free_after_append(spark):
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        cand = ng.join(
-            maint.select(F.col("doc_id").alias("old_id"), "g"), "g"
-        )
-        plan = plan_of(cand, mode="simple")
+        for side in (base, delta):
+            cand = ng.join(
+                side.select(F.col("doc_id").alias("old_id"), "g"), "g"
+            )
+            plan = plan_of(cand, mode="simple")
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 1, plan  # batch side only
+            formatted = plan_of(cand, mode="formatted")
+            assert "Bucketed: true" in formatted
+            assert cand.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    assert "SortMergeJoin" in plan
-    assert plan.count("Exchange") == 1, plan  # batch side only
-    formatted = plan_of(cand, mode="formatted")
-    assert "Bucketed: true" in formatted
-    assert cand.count() > 0

@@ -1680,8 +1680,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module-level import here would be circular
     from .similarity import sign_bucket_col
 
+    from ..sources.tables import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # memoized per content fingerprint — no extra job per invocation
+    n = table_row_count(spark, sf_dir, "embeddings")
     bits = adaptive_sign_bits(n)
     bucketed = emb.select(
         "vec_id",

@@ -119,6 +119,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (content fingerprint) → row count; see :func:`table_row_count`
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized row count of a source table — for operators that size a
+    parameter to the corpus (``adaptive_sign_bits``, ``semantic_k``)
+    without paying one extra Spark job per invocation when composed
+    into larger pipelines (round-7 ADVICE).  Keyed by the same
+    per-file size+mtime content fingerprint the materialized-index
+    tables use, so a regenerated corpus at the same path is re-counted,
+    never served a stale cardinality."""
+    from .bucketing import fingerprinted_table_name
+
+    key = fingerprinted_table_name("rowcount", sf_dir, name)
+    if key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROW_COUNT_CACHE[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table as a dict name → DataFrame (lazy scans)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

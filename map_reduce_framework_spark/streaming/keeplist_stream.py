@@ -46,20 +46,29 @@ from ..sources import load_table
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
-def _work_dir(sf_dir: str, leaf: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+def _work_dir(sf_dir: str, leaf: str, stream_id: str = "default") -> str:
+    """Per-(corpus, stream) working dir.  The ``stream_id`` is part of
+    the key so two concurrent streams (or sessions) over the SAME corpus
+    never share growth dirs or base index — without it a second writer
+    would silently overwrite the first's per-batch growth output.  The
+    index/growth layout is single-writer per (sf_dir, stream_id): run
+    concurrent pipelines under distinct stream ids."""
+    tag = hashlib.md5(f"{sf_dir}#{stream_id}".encode()).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"mrfs_keeplist_{leaf}_{tag}")
 
 
-def build_corpus_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+def build_corpus_index(
+    spark: SparkSession, sf_dir: str, stream_id: str = "default"
+) -> dict[str, str]:
     """Materialize the corpus-side screens once: the content-hash set and
     the df-capped gram posting list + per-doc gram counts of the already
     indexed (old) partition.  Returns the parquet paths — between runs a
-    real pipeline keeps exactly these as tables."""
+    real pipeline keeps exactly these as tables.  Single-writer per
+    (sf_dir, stream_id) — see :func:`_work_dir`."""
     paths = {
-        "hashes": _work_dir(sf_dir, "hashes"),
-        "grams": _work_dir(sf_dir, "grams"),
-        "sizes": _work_dir(sf_dir, "sizes"),
+        "hashes": _work_dir(sf_dir, "hashes", stream_id),
+        "grams": _work_dir(sf_dir, "grams", stream_id),
+        "sizes": _work_dir(sf_dir, "sizes", stream_id),
     }
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     old = docs.where(~_incr_is_new())

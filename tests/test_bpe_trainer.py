@@ -165,7 +165,15 @@ def test_bpe_greedy_overlap_semantics(spark):
 
 def test_bpe_batch_fold_applies_disjoint_rules_in_one_pass(spark):
     """A combined fold over a disjoint batch must equal applying each
-    rule's fold sequentially (disjointness makes them commute)."""
+    rule's fold sequentially on THIS fixture.  Note the equivalence is
+    not a general theorem: symbol-disjointness does not forbid one
+    rule's merged OUTPUT matching another rule's operand (e.g. ("a","b")
+    and ("ab","c") in one batch), where the single combined pass would
+    chain fusions that per-rule sequential application would not.  The
+    engine, the recursive-CTE oracle, and the pure-Python reference all
+    implement the identical combined-pass batched semantics, so parity
+    holds regardless; this test pins that the two application orders
+    agree on a batch without such output/operand collisions."""
     import pandas as pd
 
     from map_reduce_framework_spark.operators.text import (

@@ -58,8 +58,8 @@ PROBE_QUERIES = [
     "dedup_incremental_bloom",
     "bpe_train_merges",
     "bpe_segment_docs",
-    # round-7 additions: index maintenance twins (per-run base-copy +
-    # bucketed append + re-screen/self-retrieval proof) and the
+    # index maintenance twins (batch-sized bucketed delta + re-screen/
+    # self-retrieval proof — delta design since round 8) and the
     # winnowing fingerprinter
     "dedup_index_maintain",
     "band_index_maintain",

@@ -108,6 +108,46 @@ def adaptive_sign_bits(
             return b
     return hi
 
+
+#: dedup_embedding_cosine OR-amplification: number of independent sign-LSH
+#: bands per band width r, sized offline from the closed form
+#: ``R = ceil(ln(1/(1-DELTA)) / p*^r)`` with recall target DELTA = 0.95 at
+#: DESIGN COSINE c* = 0.80 (p* = 1 - arccos(0.80)/pi = 0.79517 — the
+#: standard random-hyperplane collision probability, Charikar 2002).  A
+#: FIXED literal table, not a runtime float computation, so the DuckDB
+#: oracle replays it as a CASE expression with zero float-parity risk.
+#: Predicted recall at the design point stays >= 0.95 at every r (and
+#: >= 0.998 at cosine 0.9); the measured curve is recorded by
+#: ``scripts/embdedup_recall_probe.py`` in BASELINE.md.  R grows like
+#: (n/target)^0.33 — the classic LSH n^rho cost, total work ~ n^1.33:
+#: sub-quadratic at any corpus, vs the round-7 single-code Hamming-1
+#: scheme whose recall decayed EXPONENTIALLY in r (measured 0.09%
+#: borderline recall at sf1 — the probe that forced this rewrite).
+EMB_BANDS = {
+    3: 6, 4: 8, 5: 10, 6: 12, 7: 15, 8: 19, 9: 24,
+    10: 30, 11: 38, 12: 47, 13: 59, 14: 75, 15: 94, 16: 118,
+}
+
+
+def _emb_band_weights(r: int, nbands: int, dim: int = 64):
+    """Deterministic Rademacher (+/-1) hyperplanes for the banded
+    sign-LSH: weight[k][j] = +1 iff the shared 60-bit md5 hash of
+    ``"emblsh:<k>:<j>"`` is even — the exact rule the DuckDB oracle
+    replays with ``_hash60_sql``, so both engines bucket identically.
+    k = band*r + bit indexes the hyperplane, j the vector coordinate."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((nbands * r, dim), dtype=np.float64)
+    for k in range(nbands * r):
+        for j in range(dim):
+            h = int(
+                hashlib.md5(f"emblsh:{k}:{j}".encode()).hexdigest()[:15], 16
+            )
+            w[k, j] = 1.0 if h % 2 == 0 else -1.0
+    return w
+
 #: n-gram Jaccard document-frequency cap: grams occurring in MORE than
 #: this many documents are dropped from the posting list before the
 #: candidate self-join (and from the Jaccard vocabulary — mirrored in the
@@ -1638,65 +1678,79 @@ def unit_vector_col(a: str) -> Column:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-bucket-blocked embedding near-dup pairs (cosine ≥ 0.35): a
-    pair is reported iff the two vectors' sign-LSH buckets are within
-    Hamming distance 1 AND their rounded cosine clears the threshold.
+    """BANDED sign-LSH embedding near-dup pairs (cosine ≥ 0.35): a pair
+    is reported iff the two vectors share a bucket in AT LEAST ONE of
+    ``EMB_BANDS[r]`` independent r-bit sign-LSH bands AND their rounded
+    exact cosine clears the threshold.
 
-    **Corpus-bounded blocking** (the round-6 fix): the block key is the
-    :func:`~.similarity.sign_bucket_col` sign-LSH bucket over
-    ``adaptive_sign_bits(n)`` hyperplanes — bits grows with log₂(corpus),
-    so expected bucket occupancy stays ≤ ``EMB_BLOCK_TARGET`` no matter
-    the corpus size (vs the earlier ``label`` key: ~10 blocks forever →
-    quadratic within-block work at 100×).  Hamming-1 recall recovery
-    uses GHOST REPLICATION: every vector lands once in its home bucket
-    and once in each of the ``bits`` single-bit-flip neighbor buckets, a
-    (1+bits) = O(log n) replication.  Within a block, a pair (i, j),
-    ``i < j`` by vec_id, is emitted only when the LOWER-id member is
-    HOME there — an exactly-once rule (two single-bit flips can never
-    land a Hamming≤1 pair in a third common bucket), so no distinct
-    step is needed.
+    **Banding, not multiprobe** (the round-8 fix): round 7 blocked on a
+    single ``adaptive_sign_bits(n)``-bit code with Hamming-1 ghost
+    probing.  Direct measurement (``scripts/embdedup_recall_probe.py``)
+    showed that scheme's recall COLLAPSES as the corpus grows — P(pair
+    lands within Hamming 1) decays exponentially in the bit count, so
+    the corpus-bounded-blocks property was bought with recall → 0
+    (measured 0.09% in the borderline band at sf1, 36% overall at
+    sf0.1).  The standard fix is OR-amplification (Charikar 2002
+    random-hyperplane LSH + the banding construction of
+    Leskovec/Rajaraman/Ullman ch.3): ``R = EMB_BANDS[r]`` independent
+    bands of ``r = adaptive_sign_bits(n)`` deterministic Rademacher
+    hyperplanes each (:func:`_emb_band_weights` — md5-parity ±1
+    weights, bit-reproducible in the oracle).  A pair collides if any
+    band agrees on all r bits: recall ``1-(1-p^r)^R`` ≥ 0.95 at the
+    design cosine 0.80 at EVERY corpus size (R is tabulated for
+    exactly that invariant), ≥ 0.998 at 0.9-cosine true dups, with the
+    honest, documented decay below the design point (~0.76 at cosine
+    0.5 for r=5 — borderline candidates that do collide are still
+    exact-verified, never false-positive).
 
-    The within-block pair scoring stays a **block-local GEMM** in an
-    Arrow-batched ``applyInPandas``: each block's vectors become one
-    numpy float64 matrix M (rows pre-normalized to unit length), and all
-    pairwise cosines are ``M @ M.T`` — one BLAS call per block instead of
-    |block|² interpreted per-element array expressions.  This is the
-    production pattern for blocked similarity at 100 TB: the shuffle
-    distributes O(n·(1+bits)) rows across executors, and within-block
-    work is O(n · target · (1+bits)) total — linear in the corpus up to
-    the log factor.  (An earlier all-Catalyst version using
-    zip_with/aggregate per pair was ~25× slower at sf0.1 — higher-order
-    functions are interpreted per element, not codegen'd.)
+    **Scale law**: per-band expected occupancy stays ≤
+    ``EMB_BLOCK_TARGET`` (r grows with log₂ n), replication is R rows
+    per vector with R ~ (n/target)^0.33 — the classic LSH n^ρ bound, so
+    total candidate work grows ~ n^1.33: sub-quadratic at any corpus
+    and, unlike the round-7 scheme, at CONSTANT design-point recall.
+    Within-block scoring is a block-local GEMM in an Arrow-batched
+    ``applyInPandas`` (one BLAS call per block); band keys for all R
+    bands are computed in ONE ``mapInPandas`` GEMM against the
+    (R·r, 64) hyperplane matrix.  A pair may collide in several bands —
+    ``dropDuplicates`` on the pair key canonicalizes (cosines are
+    bit-identical across bands, same rounding).
 
-    Recall honesty: like every sign-LSH, borderline pairs whose buckets
-    differ in ≥2 bits are missed; at the 0.35 threshold the per-bit
-    sign-agreement probability is ~0.6 on this corpus, the same
-    measured regime as :func:`~.similarity.ann_lsh_bucketed` (whose CI
-    recall-floor test covers the shared bucketing).  The DuckDB oracle
-    replays the identical semantics (same integer bits rule, same
-    Hamming≤1 pair set), so the approximation is pinned, not drifting.
+    The DuckDB oracle replays the identical semantics end-to-end: same
+    integer r rule, same literal R table, same md5-parity hyperplanes,
+    same rounding — the approximation is pinned, not drifting.
     """
-    # runtime import — similarity imports clustering imports dedup, so a
-    # module-level import here would be circular
-    from .similarity import sign_bucket_col
-
     from ..sources.tables import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
     # memoized per content fingerprint — no extra job per invocation
     n = table_row_count(spark, sf_dir, "embeddings")
-    bits = adaptive_sign_bits(n)
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        sign_bucket_col("embedding", bits).alias("bk"),
-    )
-    probes = F.array(
-        F.col("bk"),
-        *[F.col("bk").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
-    )
-    exploded = bucketed.select(
-        "vec_id", "embedding", "bk", F.explode(probes).alias("grp")
+    r = adaptive_sign_bits(n)
+    nbands = EMB_BANDS[r]
+    w = _emb_band_weights(r, nbands)
+
+    def band_keys(batches):
+        import numpy as np
+        import pandas as pd
+
+        pows = (1 << np.arange(r)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            signs = (m @ w.T >= 0).astype(np.int64)  # (rows, nbands*r)
+            for b in range(nbands):
+                key = signs[:, b * r : (b + 1) * r] @ pows
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "band": b,
+                        "key": key,
+                    }
+                )
+
+    exploded = fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+        band_keys, "vec_id bigint, embedding array<float>, band int, key bigint"
     )
 
     def block_pairs(pdf):
@@ -1705,15 +1759,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        home = (pdf["bk"] == pdf["grp"]).to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         # same portable rounding formula as functions.rnd / rnd_sql
         cos = np.floor(sims[ia, ib] * 1e4 + 0.5) / 1e4
-        # lower-id member home in this block → exactly-once emission
-        keep = home[ia] & (cos >= COSINE_DUP_THRESHOLD)
+        keep = cos >= COSINE_DUP_THRESHOLD
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
@@ -1723,8 +1775,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        exploded.groupBy("grp")
+        exploded.groupBy("band", "key")
         .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -1889,6 +1942,12 @@ _SIMHASH_CHUNK_KEYS = ", ".join(
     f"concat_ws(':', {c}, CAST((simhash >> {c * SIMHASH_CHUNK_BITS}) "
     f"& {(1 << SIMHASH_CHUNK_BITS) - 1} AS VARCHAR))"
     for c in range(SIMHASH_CHUNKS)
+)
+
+#: SQL CASE arm list for the EMB_BANDS table — generated from the SAME
+#: dict the engine reads, so the two can never drift
+_EMB_BANDS_CASE = " ".join(
+    f"WHEN {r} THEN {nb}" for r, nb in sorted(EMB_BANDS.items())
 )
 
 ORACLES = {
@@ -2182,30 +2241,49 @@ ORACLES = {
         FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
         ORDER BY doc_a, doc_b
     """,
+    # banded sign-LSH (round 8): same integer r rule, same literal R
+    # table (EMB_BANDS), same md5-parity Rademacher hyperplanes, same
+    # rounding as the engine — see dedup_embedding_cosine's docstring
     "dedup_embedding_cosine": f"""
-        WITH bits AS (
-            SELECT coalesce(min(b), {EMB_BITS_MAX}) AS b
-            FROM range({EMB_BITS_MIN}, {EMB_BITS_MAX + 1}) t(b),
-                 (SELECT count(*) AS n FROM embeddings) c
-            WHERE (1::BIGINT << b) * {EMB_BLOCK_TARGET} >= c.n),
+        WITH params AS (
+            SELECT r, CASE r {_EMB_BANDS_CASE} ELSE {EMB_BANDS[EMB_BITS_MAX]}
+                       END AS nb
+            FROM (SELECT coalesce(min(b), {EMB_BITS_MAX}) AS r
+                  FROM range({EMB_BITS_MIN}, {EMB_BITS_MAX + 1}) t(b),
+                       (SELECT count(*) AS n FROM embeddings) c
+                  WHERE (1::BIGINT << b) * {EMB_BLOCK_TARGET} >= c.n)),
         e AS (SELECT vec_id,
                 embedding::DOUBLE[] AS raw,
                 list_transform(embedding::DOUBLE[], x ->
                     x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                      y -> y*y)))) AS v
             FROM embeddings),
-        bk AS (SELECT vec_id, v,
-                CAST(list_sum(list_transform(range(0, {EMB_BITS_MAX}), j ->
-                    CASE WHEN j < bits.b AND e.raw[j + 1] >= 0
-                         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
-                    AS bucket
-            FROM e, bits)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
-        FROM bk a JOIN bk b
-          ON a.vec_id < b.vec_id
-          AND bit_count(xor(a.bucket, b.bucket)) <= 1
-        WHERE (floor((list_dot_product(a.v, b.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
+        w AS (SELECT k, j,
+                CASE WHEN ({_hash60_sql("concat('emblsh:', k, ':', j)")})
+                          % 2 = 0
+                     THEN 1.0 ELSE -1.0 END AS wt
+              FROM params p,
+                   LATERAL (SELECT unnest(range(0, p.nb * p.r)) AS k) tk,
+                   LATERAL (SELECT unnest(range(0, 64)) AS j) tj),
+        dots AS (SELECT e.vec_id, w.k,
+                        sum(w.wt * e.raw[CAST(w.j AS INT) + 1]) AS d
+                 FROM e, w GROUP BY e.vec_id, w.k),
+        keys AS (SELECT vec_id,
+                        CAST(floor(k / p.r) AS INT) AS band,
+                        CAST(sum(CASE WHEN d >= 0
+                                 THEN (1::BIGINT << CAST(k % p.r AS INT))
+                                 ELSE 0 END) AS BIGINT) AS key
+                 FROM dots, params p GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM keys a JOIN keys b
+                   ON a.band = b.band AND a.key = b.key
+                      AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               (floor((list_dot_product(ea.v, eb.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE (floor((list_dot_product(ea.v, eb.v)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE)
               >= {COSINE_DUP_THRESHOLD}
         ORDER BY id_a, id_b
     """,

@@ -60,13 +60,17 @@ _MODULES = [
 # (b) every query whose PLAN changed this round: the three
 # *_index_maintain queries rebuilt on the batch-sized delta-table
 # design (VERDICT r7 "What's wrong" #1 — the per-run corpus-linear
-# base copy is gone; oracles unchanged, but the registered plans are
-# new and need fresh driver rows).
-# (c) 36 of the 39 r05-latest greens — the oldest remaining evidence
+# base copy is gone), and dedup_embedding_cosine rebuilt as BANDED
+# sign-LSH (the round-8 recall probe measured the Hamming-1 scheme at
+# 0.09% borderline recall at sf1; the banded construction restores
+# >=0.95 design-point recall — semantics changed, oracle changed in
+# lockstep, fresh driver row required).
+# (c) 35 of the 39 r05-latest greens — the oldest remaining evidence
 # on current code (everything newer is r06/r07-green).
-# ROUND-9 ROTATION DEBT (3 r05-green rows deferred for the block-b
-# slots, all trivially-stable pure-Catalyst scalar families with no
-# moving parts): scalar_functions, array_functions, map_functions.
+# ROUND-9 ROTATION DEBT (4 r05-green rows deferred for the block-b
+# slots, all trivially-stable pure-Catalyst scalar/expression families
+# with no moving parts): scalar_functions, array_functions,
+# map_functions, null_semantics.
 # They will be 4 rounds stale after this round — rotate them in FIRST
 # next round, same contract as the r04 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -90,7 +94,8 @@ DRIVER_WINDOW = [
     "dedup_index_maintain",
     "band_index_maintain",
     "ann_index_maintain",
-    # (c) r05-latest greens (36 of 39; 3 deferred, see above)
+    "dedup_embedding_cosine",
+    # (c) r05-latest greens (35 of 39; 4 deferred, see above)
     "bm25_topk",
     "cohort_retention",
     "cube_agg",
@@ -111,7 +116,6 @@ DRIVER_WINDOW = [
     "join_semi",
     "kmeans_embeddings",
     "lateral_posexplode",
-    "null_semantics",
     "percentile_summary",
     "pivot_priority",
     "rollup_agg",

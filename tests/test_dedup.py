@@ -377,45 +377,88 @@ def test_adaptive_sign_bits_bounds_block_size():
 
 
 def test_embedding_dedup_blocks_are_corpus_bounded(spark):
-    """Replay the operator's own blocking (home + Hamming-1 ghosts) at
-    SF_DIR and assert the LARGEST physical block is within a constant
-    skew factor of target·(1+bits) — i.e. block size is set by
-    EMB_BLOCK_TARGET, not by corpus size."""
-    import pyspark.sql.functions as F
+    """Replay the operator's own banded blocking at SF_DIR and assert
+    the LARGEST per-(band, key) block is within a constant skew factor
+    of EMB_BLOCK_TARGET — i.e. block size is set by the target, not by
+    corpus size — and that buckets actually spread.  Pure numpy (the
+    band-key rule is deterministic); the asymptotic law lives in
+    test_adaptive_sign_bits_bounds_block_size."""
+    import numpy as np
 
     from map_reduce_framework_spark.operators.dedup import (
+        EMB_BANDS,
         EMB_BLOCK_TARGET,
+        _emb_band_weights,
         adaptive_sign_bits,
     )
-    from map_reduce_framework_spark.operators.similarity import sign_bucket_col
     from map_reduce_framework_spark.sources import load_table
 
-    emb = load_table(spark, SF_DIR, "embeddings")
-    n = emb.count()
-    bits = adaptive_sign_bits(n)
-    bucketed = emb.select(sign_bucket_col("embedding", bits).alias("bk"))
-    probes = F.array(
-        F.col("bk"),
-        *[F.col("bk").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    n = len(emb)
+    r = adaptive_sign_bits(n)
+    nbands = EMB_BANDS[r]
+    w = _emb_band_weights(r, nbands)
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    signs = (m @ w.T >= 0).astype(np.int64)
+    pows = (1 << np.arange(r)).astype(np.int64)
+    max_block = 0
+    n_blocks = 0
+    for b in range(nbands):
+        keys = signs[:, b * r : (b + 1) * r] @ pows
+        _, counts = np.unique(keys, return_counts=True)
+        max_block = max(max_block, int(counts.max()))
+        n_blocks += len(counts)
+    # 8x skew allowance: the synthetic embeddings cluster around label
+    # centroids, so some sign buckets run well above their uniform
+    # expectation; what matters is the bound is a CONSTANT multiple of
+    # the target, independent of n (r grows to hold expected occupancy)
+    assert max_block <= 8 * EMB_BLOCK_TARGET, (
+        f"max block {max_block} exceeds 8x target (r={r}, n={n})"
     )
-    sizes = (
-        bucketed.select(F.explode(probes).alias("grp"))
-        .groupBy("grp")
-        .count()
-        .agg(F.max("count").alias("mx"), F.count("*").alias("n_blocks"))
-        .collect()[0]
+    assert n_blocks >= nbands * (1 << r) // 4  # buckets actually spread
+
+
+def test_embedding_dedup_recall_floor(spark):
+    """CI recall floor for dedup_embedding_cosine measured DIRECTLY
+    against exhaustive ground truth (round-8: VERDICT r7 item 5) — not
+    by analogy to ann_lsh_bucketed.  The banded construction targets
+    recall 0.95 at design cosine 0.80; at SF_DIR every true pair sits
+    in the borderline band (max cosine < 0.5), where predicted recall
+    for r=3/R=6 is ~0.84 — floor 0.70 leaves noise margin while still
+    catching any regression to the round-7 Hamming-1 scheme (measured
+    0.36 overall at sf0.1, 0.0009 borderline at sf1).  Precision must
+    be EXACTLY 1: every emitted pair is exact-verified in its block."""
+    import numpy as np
+
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        dedup_embedding_cosine,
     )
-    # 8x skew allowance: the synthetic embeddings cluster around 10
-    # label centroids, so sign buckets are measured ~5x their uniform
-    # expectation at sf1 (max block 3079 vs 640 expected, n=20000).
-    # The asymptotic law lives in test_adaptive_sign_bits_bounds_block
-    # _size; this is the physical-plan sanity check at test SF.
-    expected = EMB_BLOCK_TARGET * (1 + bits)
-    assert sizes["mx"] <= 8 * expected, (
-        f"max block {sizes['mx']} exceeds 8x the corpus-bounded "
-        f"expectation {expected} (bits={bits}, n={n})"
+    from map_reduce_framework_spark.sources import load_table
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
     )
-    assert sizes["n_blocks"] >= (1 << bits) // 2  # buckets actually spread
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+    sims = np.floor((m @ m.T) * 1e4 + 0.5) / 1e4
+    ia, ib = np.nonzero(np.triu(sims >= COSINE_DUP_THRESHOLD, k=1))
+    truth = {(ids[i], ids[j]) for i, j in zip(ia, ib)}
+    try:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup_embedding_cosine(spark, SF_DIR).collect()
+        }
+    finally:
+        cache.release()
+    assert truth, "fixture must plant pairs above threshold"
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.70, f"recall {recall:.3f} below floor"
 
 
 def test_index_maintain_redetects_every_kept_doc(spark):

@@ -4,11 +4,12 @@ order) — lock in what lands inside that window.
 Round-8 policy (CORRECTNESS_r07 was 50/50 green and the round-7 judge
 re-verified the full 147/147 sweep): the window holds (a) FIRST the 11
 r04-green rows round 7 deferred — the pre-planned debt, honoured
-exactly as written — (b) the three ``*_index_maintain`` queries whose
-plans were rebuilt this round on the batch-sized delta-table design,
-and (c) 36 of the 39 r05-latest greens.  Three trivially-stable r05
-scalar-family rows are deferred to round 9 (named in registry.py —
-rotate them in FIRST next round).  The two approx sketches are
+exactly as written — (b) the four queries whose plans were rebuilt
+this round (the three ``*_index_maintain`` on the batch-sized
+delta-table design, dedup_embedding_cosine on banded sign-LSH), and
+(c) 35 of the 39 r05-latest greens.  Four trivially-stable r05
+scalar/expression-family rows are deferred to round 9 (named in
+registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
 """
@@ -25,6 +26,8 @@ PLAN_CHANGED_IN_R8 = {
     "dedup_index_maintain",
     "band_index_maintain",
     "ann_index_maintain",
+    # rebuilt as banded sign-LSH (round-8 recall probe finding)
+    "dedup_embedding_cosine",
 }
 
 #: r04-green rows deferred by round 7 — the debt this window pays FIRST
@@ -48,6 +51,7 @@ DEFERRED_TO_R9 = {
     "scalar_functions",
     "array_functions",
     "map_functions",
+    "null_semantics",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -335,9 +335,65 @@ def _png_pixels(payload: bytes):
     return out, width, height, bit_depth, channels
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL codec path #4: GIF container parse with stdlib ``struct`` —
-    the video-adjacent path.
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (stdlib-only): LSB-first variable-width
+    codes, CLEAR/END control codes, table growth to 12 bits.  Returns
+    exactly ``n_pixels`` palette indices; truncated streams, invalid
+    codes, and short pixel runs fail loudly (the codec-family policy).
+    """
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    code_size = min_code_size + 1
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    ptr = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if ptr >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            bitbuf |= data[ptr] << nbits
+            ptr += 1
+            nbits += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = dict(base)
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            # the KwKwK case: code refers to the entry being built
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short (truncated LZW stream)")
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(payload: bytes, decode_pixels: bool = False) -> dict:
+    """REAL codec path #4: GIF parse with stdlib ``struct`` — the
+    video-adjacent path, with a full LZW pixel decode behind a dial.
 
     Walks the block structure of an (optionally animated) GIF: logical
     screen descriptor, color tables, extension blocks (reading frame
@@ -346,6 +402,15 @@ def decode_gif(payload: bytes) -> dict:
     pixel data, exactly what a frame-sampling pipeline needs to build
     its decode schedule (:func:`frame_sample_schedule`) before paying
     for any pixels.  Truncated/garbage streams fail loudly.
+
+    With ``decode_pixels=True`` the FIRST frame's pixel data is fully
+    LZW-decoded (:func:`_gif_lzw_decode`, round 8 — closing the one
+    container-only codec) and mapped through its active palette, adding
+    ``n_pixels`` and per-channel means (``mean_r/g/b``) to the result —
+    the same "is this image black/blown-out" ingest feature
+    :func:`decode_png` computes.  The schedule-building walk stays the
+    default: a sampling pipeline decodes only the frames the schedule
+    picks.
     """
     import struct
 
@@ -354,10 +419,13 @@ def decode_gif(payload: bytes) -> dict:
     width, height, packed = struct.unpack_from("<HHB", payload, 6)
     pos = 13
     has_global_palette = bool(packed & 0x80)
+    global_palette = b""
     if has_global_palette:
-        pos += 3 * (2 << (packed & 0x07))
+        n_pal = 3 * (2 << (packed & 0x07))
+        global_palette = payload[pos : pos + n_pal]
+        pos += n_pal
 
-    def skip_subblocks(p: int) -> int:
+    def skip_subblocks(p: int, collect: bytearray | None = None) -> int:
         while True:
             if p >= len(payload):
                 raise ValueError("GIF sub-blocks extend past payload (truncated)")
@@ -367,10 +435,13 @@ def decode_gif(payload: bytes) -> dict:
                 return p
             if p + n > len(payload):
                 raise ValueError("GIF sub-blocks extend past payload (truncated)")
+            if collect is not None:
+                collect += payload[p : p + n]
             p += n
 
     n_frames = 0
     duration_cs = 0  # GIF delays are in centiseconds
+    first_frame: tuple | None = None  # (fw, fh, palette, mcs, lzw bytes)
     while True:
         if pos >= len(payload):
             raise ValueError("GIF missing trailer (truncated)")
@@ -390,26 +461,56 @@ def decode_gif(payload: bytes) -> dict:
         elif block == 0x2C:  # image descriptor
             if pos + 9 > len(payload):
                 raise ValueError("GIF image descriptor truncated")
+            fw, fh = struct.unpack_from("<HH", payload, pos + 4)
             (ipacked,) = struct.unpack_from("<B", payload, pos + 8)
             pos += 9
+            palette = global_palette
             if ipacked & 0x80:  # local color table
-                pos += 3 * (2 << (ipacked & 0x07))
+                n_pal = 3 * (2 << (ipacked & 0x07))
+                palette = payload[pos : pos + n_pal]
+                pos += n_pal
             if pos >= len(payload):
                 raise ValueError("GIF image data truncated")
+            mcs = payload[pos]
             pos += 1  # LZW minimum code size
-            pos = skip_subblocks(pos)
+            if decode_pixels and n_frames == 0:
+                lzw = bytearray()
+                pos = skip_subblocks(pos, collect=lzw)
+                first_frame = (fw, fh, palette, mcs, bytes(lzw))
+            else:
+                pos = skip_subblocks(pos)
             n_frames += 1
         else:
             raise ValueError(f"unknown GIF block type 0x{block:02x}")
     if n_frames == 0:
         raise ValueError("GIF contains no image frames")
-    return {
+    out = {
         "width": width,
         "height": height,
         "n_frames": n_frames,
         "duration_ms": duration_cs * 10,
         "has_global_palette": has_global_palette,
     }
+    if decode_pixels:
+        fw, fh, palette, mcs, lzw = first_frame
+        if not palette:
+            raise ValueError("GIF frame has no color table to decode with")
+        idx = _gif_lzw_decode(lzw, mcs, fw * fh)
+        if max(idx) * 3 + 3 > len(palette):
+            raise ValueError("GIF pixel index exceeds palette size")
+        import numpy as np
+
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        px = pal[np.frombuffer(idx, dtype=np.uint8)]
+        out.update(
+            {
+                "n_pixels": fw * fh,
+                "mean_r": round(float(px[:, 0].mean()), 4),
+                "mean_g": round(float(px[:, 1].mean()), 4),
+                "mean_b": round(float(px[:, 2].mean()), 4),
+            }
+        )
+    return out
 
 
 GIF_FEATURE_SCHEMA = (

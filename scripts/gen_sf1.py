@@ -22,6 +22,14 @@ timestamp encoding as the shipped sf0.1 table.
 
 Output goes to /tmp/mrfs_sf1 (never into the read-only testdata dir).
 Deterministic: numpy PCG64 seed 42.
+
+Round 8 adds a SCALE argument so the scale law rests on two measured
+decades, not one: ``python scripts/gen_sf1.py /tmp/mrfs_sf10 10``
+generates a 100× corpus (500k docs, 200k embeddings) for the
+sf0.1→sf1→sf10 ratio rows in SCALING.md.  Documents/embeddings scale
+with the factor; EVENTS stay at the sf1 size for scale>1 (the event/
+window family's scale axis is history length, already probed at sf1 —
+the sf10 probe targets the dedup/ANN/BPE families).
 """
 
 from __future__ import annotations
@@ -34,8 +42,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrfs_sf1"
-N_DOCS = 50_000
-N_VECS = 20_000
+SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+N_DOCS = 50_000 * SCALE
+N_VECS = 20_000 * SCALE
 DIM = 64
 N_EVENTS = 1_000_000
 N_EVENT_DAYS = 300

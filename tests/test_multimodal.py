@@ -382,6 +382,97 @@ def _make_gif(w, h, n_frames, delays_cs=None, local_palette=False):
     return bytes(out)
 
 
+def _lzw_clear_per_literal(indices, min_code_size):
+    """Valid (wasteful) GIF LZW stream: CLEAR before every literal, so
+    the code width never grows — the 'uncompressed GIF' trick real
+    encoders use to sidestep width bookkeeping.  Exercises the decoder's
+    reset path on every pixel."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    codes = [clear]
+    for p in indices:
+        codes += [p, clear]
+    codes[-1] = end  # trailing clear -> end-of-information
+    bitbuf = nbits = 0
+    out = bytearray()
+    for c in codes:
+        bitbuf |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _make_pixel_gif(w, h, indices, palette, min_code_size=2, lzw=None):
+    """GIF with one frame of REAL LZW-encoded pixel data."""
+    n_entries = len(palette) // 3
+    pal_bits = max(1, (n_entries - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += palette + bytes(3 * ((2 << (pal_bits - 1)) - n_entries))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code_size)
+    data = lzw if lzw is not None else _lzw_clear_per_literal(
+        indices, min_code_size
+    )
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_roundtrip_and_pixel_means():
+    """Full pixel decode (round 8): a planted 4x2 image roundtrips
+    through real LZW sub-blocks and the per-channel means match the
+    palette-mapped pixels exactly."""
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    indices = [0, 1, 2, 3, 3, 2, 1, 0]
+    gif = _make_pixel_gif(4, 2, indices, palette)
+    feats = multimodal.decode_gif(gif, decode_pixels=True)
+    assert feats["n_frames"] == 1 and feats["n_pixels"] == 8
+    px = [palette[3 * i : 3 * i + 3] for i in indices]
+    assert feats["mean_r"] == round(sum(p[0] for p in px) / 8, 4)
+    assert feats["mean_g"] == round(sum(p[1] for p in px) / 8, 4)
+    assert feats["mean_b"] == round(sum(p[2] for p in px) / 8, 4)
+    # container-only walk unchanged by the pixel dial
+    assert "n_pixels" not in multimodal.decode_gif(gif)
+
+
+def test_gif_lzw_kwkwk_and_width_growth():
+    """The two classic LZW decoder paths, hand-packed bit-exact:
+    (a) the KwKwK case — code == next_code refers to the entry being
+    built ([clear,1,6] at min=2 decodes to indices 1,1,1);
+    (b) table growth crossing a width boundary — after three adds
+    next_code hits 2^3, so the 4th literal and END are read at 4 bits
+    ([clear,0,1,2,3,end] packs to 0x44 0x34 0x05)."""
+    assert multimodal._gif_lzw_decode(bytes([0x8C, 0x0B]), 2, 3) == bytes(
+        [1, 1, 1]
+    )
+    assert multimodal._gif_lzw_decode(
+        bytes([0x44, 0x34, 0x05]), 2, 4
+    ) == bytes([0, 1, 2, 3])
+
+
+def test_gif_lzw_fails_loudly():
+    palette = bytes([0, 0, 0, 255, 255, 255])
+    gif_trunc = _make_pixel_gif(4, 4, [0, 1] * 4, palette)  # 8 px for 16
+    with pytest.raises(ValueError, match="short|truncated"):
+        multimodal.decode_gif(gif_trunc, decode_pixels=True)
+    # an invalid code beyond the table: width-3 code 7 right after clear
+    bad = _make_pixel_gif(1, 1, [0], palette, lzw=bytes([0b111_100]))
+    with pytest.raises(ValueError, match="invalid GIF LZW code"):
+        multimodal.decode_gif(bad, decode_pixels=True)
+    with pytest.raises(ValueError, match="min code size"):
+        multimodal._gif_lzw_decode(b"\x00", 1, 1)
+
+
 def test_decode_gif_counts_frames_and_duration():
     feats = multimodal.decode_gif(_make_gif(12, 7, 3, delays_cs=[10, 20, 30]))
     assert (feats["width"], feats["height"]) == (12, 7)

@@ -450,3 +450,94 @@ def test_streaming_keeplist_replay_after_torn_growth_write(spark, tmp_path):
 
     with pytest.raises(ValueError, match="batch_id"):
         ks._screen_batch(spark, batch, index, verdict_dir)
+
+
+def test_upsert_sink_exactly_once_across_restart(spark, tmp_path):
+    """Round-7 verdict item 6: the foreachBatch MERGE sink must absorb a
+    replayed epoch.  Drain event file A through the upsert sink with a
+    checkpoint; simulate a crash BETWEEN the table swap and the offset
+    commit by deleting the batch-0 commit marker; restart — Spark
+    replays batch 0 with the same batch id against a table that already
+    holds its merge, and the ``_committed_batch`` marker must make the
+    replay a no-op (an additive MERGE would double every measure); then
+    deliver file B and resume.  Final table must equal the batch
+    per-user aggregate of A ∪ B."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.events_stream import (
+        events_stream_source,
+    )
+    from map_reduce_framework_spark.streaming.upsert_sink import _merge_batch
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    table_dir = str(tmp_path / "upsert_table")
+    os.makedirs(feed)
+
+    events = load_table(spark, SF_DIR, "events")
+    half_a = events.where(F.col("event_id") % 2 == 0)
+    half_b = events.where(F.col("event_id") % 2 == 1)
+
+    def deliver(df, name: str) -> None:
+        # int64-micros ts, so events_stream_source's footer probe sees
+        # the same encoding the readStream schema will use (Spark's
+        # default INT96 reads as timestamp[ns] in the probe but is not
+        # int64-nanos, which would desync probe and schema)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            stage = str(tmp_path / "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, name))
+
+    def drain() -> None:
+        q = (
+            events_stream_source(spark, feed)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: _merge_batch(
+                    spark, bdf, table_dir, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table_rows() -> dict:
+        return {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.read.parquet(table_dir).collect()
+        }
+
+    deliver(half_a, "events_a.parquet")
+    drain()
+    after_a = table_rows()
+    assert len(after_a) > 0
+
+    # crash-during-commit: the table swap landed, the offset commit
+    # didn't (drop the Hadoop .crc sidecar too — see the keeplist twin)
+    for f in ("0", ".0.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+    drain()  # restart replays batch 0 with the same batch id
+    assert table_rows() == after_a, "replayed epoch was double-counted"
+
+    deliver(half_b, "events_b.parquet")
+    drain()
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert table_rows() == want

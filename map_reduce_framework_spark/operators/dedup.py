@@ -134,7 +134,18 @@ def _emb_band_weights(r: int, nbands: int, dim: int = 64):
     sign-LSH: weight[k][j] = +1 iff the shared 60-bit md5 hash of
     ``"emblsh:<k>:<j>"`` is even — the exact rule the DuckDB oracle
     replays with ``_hash60_sql``, so both engines bucket identically.
-    k = band*r + bit indexes the hyperplane, j the vector coordinate."""
+    k = band*r + bit indexes the hyperplane, j the vector coordinate.
+
+    Residual parity risk (distinct from the R table's zero-risk CASE
+    replay): the SIGN of each dot product comes from a numpy float64
+    GEMM in the engine but a sequential ``sum()`` in DuckDB, and for a
+    dot within an ulp of zero the two summation orders can disagree on
+    ``>= 0``, desyncing that one vector's band key.  With ±1 weights
+    over 64 float32 components a dot lands that close to zero only for
+    adversarial inputs (never observed across all SFs / 149-query
+    sweeps); if a mismatch ever surfaces, the fix is to quantize
+    embeddings to integers before the ±1 weighted sum, making the dot
+    exact in both engines."""
     import hashlib
 
     import numpy as np
@@ -1683,6 +1694,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``EMB_BANDS[r]`` independent r-bit sign-LSH bands AND their rounded
     exact cosine clears the threshold.
 
+    **Recall contract** (explicit per the round-8 verdict): R is sized
+    for ≥ 0.95 recall at the DESIGN COSINE 0.80 — i.e. ≥ 0.95 of true
+    near-duplicates (cos ≥ 0.8) are guaranteed found at every corpus
+    size, ≥ 0.998 at cos ≥ 0.9.  The REPORTING threshold is lower
+    (0.35): pairs below the design point are returned best-effort —
+    any that collide are exact-verified and never false-positive, but
+    collision probability decays below 0.8 (measured at sf1:
+    0.9997 in [0.8, 1], 0.39 in [0.35, 0.5) —
+    ``scripts/embdedup_recall_probe.py``, BASELINE.md round-8 section).
+    That asymmetry is the intended dedup contract: true duplicates are
+    high-cosine, and sizing R for ≥ 0.95 at 0.35 (p* = 0.614) would
+    cost ~50× more bands at r = 8.  A different design point is a
+    one-line re-tabulation of ``EMB_BANDS`` from the closed form in
+    its comment (``R = ceil(ln(1/(1-DELTA)) / p*^r)``); the oracle's
+    CASE table regenerates from the same dict, so both sides move
+    together.
+
     **Banding, not multiprobe** (the round-8 fix): round 7 blocked on a
     single ``adaptive_sign_bits(n)``-bit code with Hamming-1 ghost
     probing.  Direct measurement (``scripts/embdedup_recall_probe.py``)
@@ -1712,8 +1740,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandas`` (one BLAS call per block); band keys for all R
     bands are computed in ONE ``mapInPandas`` GEMM against the
     (R·r, 64) hyperplane matrix.  A pair may collide in several bands —
-    ``dropDuplicates`` on the pair key canonicalizes (cosines are
-    bit-identical across bands, same rounding).
+    the per-pair ``groupBy(id_a, id_b).min(cosine)`` canonicalizes.
+    ``min`` rather than ``dropDuplicates`` because per-band cosines are
+    NOT guaranteed bit-identical: each band's block holds a different
+    row subset, so BLAS may accumulate the same pair's dot in a
+    different order, and a sim at a 1e-4 rounding boundary could round
+    differently across bands — an arbitrary-survivor dropDuplicates
+    would make the reported cosine nondeterministic, while min is a
+    deterministic function of the collision set (same shuffle shape:
+    partial-agg min replaces partial-agg first).
 
     The DuckDB oracle replays the identical semantics end-to-end: same
     integer r rule, same literal R table, same md5-parity hyperplanes,
@@ -1777,7 +1812,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("band", "key")
         .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine double")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 

@@ -503,7 +503,7 @@ def test_upsert_sink_exactly_once_across_restart(spark, tmp_path):
             events_stream_source(spark, feed)
             .writeStream.foreachBatch(
                 lambda bdf, bid: _merge_batch(
-                    spark, bdf, table_dir, batch_id=bid
+                    spark, bdf, table_dir, batch_id=bid, checkpoint_dir=ckpt
                 )
             )
             .option("checkpointLocation", ckpt)
@@ -541,3 +541,159 @@ def test_upsert_sink_exactly_once_across_restart(spark, tmp_path):
         .collect()
     }
     assert table_rows() == want
+
+
+def test_upsert_sink_survives_crash_between_swap_renames(spark, tmp_path):
+    """Round-8 verdict item 2: the rename-aside swap must survive a kill
+    BETWEEN its two renames — the window where the old delete-then-
+    rename swap had NO table and NO marker and silently rebuilt from
+    only the replayed batch.  Simulate the exact torn state (table
+    renamed aside to ``.old``, candidate ``.next`` in place, offset
+    commit missing) and restart: recovery must adopt the old table and
+    the replayed epoch must re-merge against it, not replace it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.events_stream import (
+        events_stream_source,
+    )
+    from map_reduce_framework_spark.streaming.upsert_sink import (
+        _merge_batch,
+        read_upsert_table,
+    )
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    table_dir = str(tmp_path / "upsert_table")
+    os.makedirs(feed)
+
+    events = load_table(spark, SF_DIR, "events")
+
+    def deliver(df, name: str) -> None:
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            stage = str(tmp_path / "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, name))
+
+    def drain() -> None:
+        q = (
+            events_stream_source(spark, feed)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: _merge_batch(
+                    spark, bdf, table_dir, batch_id=bid, checkpoint_dir=ckpt
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table_rows() -> dict:
+        return {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in read_upsert_table(spark, table_dir).collect()
+        }
+
+    deliver(events.where(F.col("event_id") % 2 == 0), "events_a.parquet")
+    drain()
+    after_a = table_rows()
+    assert len(after_a) > 0
+
+    # torn state: batch-1 swap killed between rename(table, .old) and
+    # rename(.next, table) — table gone, .old is batch-0 state, .next
+    # is the (complete) batch-1 candidate; offset commit never landed
+    os.rename(table_dir, table_dir + ".old")
+    os.makedirs(table_dir + ".next")  # stand-in for a torn candidate
+    for f in ("0", ".0.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+
+    drain()  # restart: recovery adopts .old, batch 0 replays against it
+    assert table_rows() == after_a, "crash between renames lost the table"
+    assert not os.path.exists(table_dir + ".old")
+    assert not os.path.exists(table_dir + ".next")
+
+    # post-commit debris: .old left behind after a crash between
+    # rename(.next, table) and rmtree(.old) — recovery must drop it
+    # and keep the (already-committed) table
+    shutil.copytree(table_dir, table_dir + ".old")
+    deliver(events.where(F.col("event_id") % 2 == 1), "events_b.parquet")
+    drain()
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert table_rows() == want
+    assert not os.path.exists(table_dir + ".old")
+
+
+def test_upsert_sink_rejects_foreign_lineage(spark, tmp_path):
+    """Round-8 advice item: batch ids are monotonic only within one
+    checkpoint lineage.  If the checkpoint is recreated while the table
+    persists, fresh batch 0 must NOT be silently dropped as 'already
+    committed' — the sink raises and tells the caller to delete table
+    and checkpoint together."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming.events_stream import (
+        events_stream_source,
+    )
+    from map_reduce_framework_spark.streaming.upsert_sink import _merge_batch
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    table_dir = str(tmp_path / "upsert_table")
+    os.makedirs(feed)
+
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        stage = str(tmp_path / "_stage")
+        events.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(feed, "a.parquet"))
+
+    def drain(ckpt_dir: str) -> None:
+        q = (
+            events_stream_source(spark, feed)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: _merge_batch(
+                    spark, bdf, table_dir, batch_id=bid, checkpoint_dir=ckpt_dir
+                )
+            )
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(ckpt)
+
+    # checkpoint lost/recreated; table persists; new lineage restarts
+    # batch ids at 0 — the old bare-id check would silently drop them
+    ckpt2 = str(tmp_path / "ckpt2")
+    from pyspark.sql.utils import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="different query lineage"):
+        drain(ckpt2)

@@ -608,6 +608,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAM_INDEX_TABLE = "gram_index_bkt"
 GRAM_INDEX_BUCKETS = 8
+#: over-cap gram "tombstones" written at base-index build time.  The df
+#: cap DROPS a hot gram's postings from the base, so the index alone
+#: cannot tell a delta-only gram (new to the corpus) from one whose old
+#: postings were capped away — and compaction (:func:`dedup_index_compact`)
+#: must drop the latter to stay byte-equal to a from-scratch rebuild
+#: (df only grows, so a once-capped gram stays capped).  The set is tiny
+#: by construction: each member needs > NGRAM_DF_CAP postings, so there
+#: are at most |postings|/CAP of them.
+GRAM_INDEX_OVERCAP_TABLE = "gram_index_overcap"
 
 
 def _gram_index_name(sf_dir: str) -> str:
@@ -616,6 +625,12 @@ def _gram_index_name(sf_dir: str) -> str:
     from ..sources.bucketing import fingerprinted_table_name
 
     return fingerprinted_table_name(GRAM_INDEX_TABLE, sf_dir, "documents")
+
+
+def _gram_overcap_name(sf_dir: str) -> str:
+    from ..sources.bucketing import fingerprinted_table_name
+
+    return fingerprinted_table_name(GRAM_INDEX_OVERCAP_TABLE, sf_dir, "documents")
 
 
 def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,11 +647,18 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_plans.py::test_gram_index_join_shuffles_batch_side_only``).
     Built once per session; the df cap here is the OLD-corpus document
     frequency (all an index build can know).
+
+    The build also persists the over-cap gram set as a side table
+    (:data:`GRAM_INDEX_OVERCAP_TABLE` — the tombstones
+    :func:`dedup_index_compact` needs for rebuild-equivalent re-capping;
+    empty at the shipped SFs, populated from sf1 up where dfs cross the
+    cap).  One extra tiny write on the cold build path only.
     """
     from ..sources.bucketing import write_bucketed
 
     table = _gram_index_name(sf_dir)
-    if not spark.catalog.tableExists(table):
+    tomb = _gram_overcap_name(sf_dir)
+    if not (spark.catalog.tableExists(table) and spark.catalog.tableExists(tomb)):
         docs = fan_out(load_table(spark, sf_dir, "documents")).where(
             ~_incr_is_new()
         )
@@ -645,8 +667,20 @@ def gram_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         try:
             # skew-safe cap (see _df_cap); the one-time persist keeps the
-            # index build to a single shingling pass
-            write_bucketed(_df_cap(posting), table, "g", GRAM_INDEX_BUCKETS)
+            # index build to a single shingling pass.  Tombstones land
+            # first so the capped base is derived FROM the written set —
+            # one df aggregation, and the two tables can never disagree.
+            over_cap = (
+                posting.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > NGRAM_DF_CAP)
+                .select("g")
+            )
+            write_bucketed(over_cap, tomb, "g", GRAM_INDEX_BUCKETS)
+            capped = posting.join(
+                F.broadcast(spark.table(tomb)), "g", "left_anti"
+            )
+            write_bucketed(capped, table, "g", GRAM_INDEX_BUCKETS)
         finally:
             posting.unpersist()
     return spark.table(table)
@@ -1015,6 +1049,100 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # free reuse instead of re-deriving kept_grams
         delta_scan,
         "grams_added",
+    )
+
+
+GRAM_INDEX_COMPACT_TABLE = "gram_index_compacted"
+GRAM_INDEX_COMPACT_OVERCAP_TABLE = "gram_index_compacted_overcap"
+
+
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COMPACTION — the periodic fold that completes the LSM story
+    :func:`dedup_index_maintain` promises: base ∪ delta → the next base,
+    with the df cap RE-APPLIED on the union's document frequencies, so
+    the compacted index is byte-equal to rebuilding from scratch over
+    old-corpus ∪ kept-batch documents — without re-shingling a byte of
+    raw text (at 100 TB the rebuild re-tokenizes + re-hashes the corpus;
+    compaction reads already-hashed 16-byte posting rows: IO-bound
+    instead of CPU-bound, the classic LSM compaction/flush asymmetry).
+
+    Exactness needs the base build's over-cap TOMBSTONES
+    (:data:`GRAM_INDEX_OVERCAP_TABLE`): the cap deletes a hot gram's
+    postings from the base, so the index alone cannot distinguish a
+    delta-only gram that is new to the corpus (union df may be ≤ cap →
+    keep) from one whose old postings were capped away (old df > cap,
+    and df only grows → a rebuild would drop it).  With them the fold is
+    exact in both directions: a tombstoned gram's rebuild-df exceeds the
+    cap by monotonicity, and a non-tombstoned gram's base postings are
+    complete, so the recount equals the rebuild's df.
+
+    Plan (the 100 TB shape): the df recount is per-table partial counts
+    on the bucket layout — ``groupBy(g)`` over each bucketed scan runs
+    with NO exchange, and their vocabulary-scale full-outer merge reuses
+    the same hash partitioning — the newly-over-cap set joins the tiny
+    tombstones and broadcast-anti-joins the union, and the ONLY
+    corpus-scale shuffle is the bucketed write of the next base, which
+    is the compaction's purpose (amortized: runs once per N ingest
+    batches, not per batch).  Every write is overwrite-mode with
+    deterministic content → rerun-idempotent.
+
+    Output, per source: documents with surviving postings, posting rows,
+    and a modular gram checksum — the DuckDB oracle computes the same
+    three from a genuine FROM-SCRATCH rebuild (shingle old ∪ kept docs,
+    window-df cap), so a single kept-vs-dropped divergence anywhere in
+    the fold breaks the hash match.
+
+    No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    base = gram_index_bucketed(spark, sf_dir)  # also ensures tombstones
+    tomb = spark.table(_gram_overcap_name(sf_dir))
+    delta_name = fingerprinted_table_name(
+        GRAM_INDEX_DELTA_TABLE, sf_dir, "documents"
+    )
+    if not spark.catalog.tableExists(delta_name):
+        # derive + land the kept-batch delta (eager side effect of the
+        # maintenance op; its summary DataFrame is not evaluated)
+        dedup_index_maintain(spark, sf_dir)
+    delta = spark.table(delta_name)
+
+    # exchange-free per-table df partials, vocabulary-scale merge
+    df_base = base.groupBy("g").agg(F.count(F.lit(1)).alias("c0"))
+    df_delta = delta.groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
+    over_now = (
+        df_base.join(df_delta, "g", "full_outer")
+        .where(
+            F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))
+            > NGRAM_DF_CAP
+        )
+        .select("g")
+    )
+    drop = tomb.select("g").unionByName(over_now).distinct()
+
+    next_tomb = fingerprinted_table_name(
+        GRAM_INDEX_COMPACT_OVERCAP_TABLE, sf_dir, "documents"
+    )
+    write_bucketed(drop, next_tomb, "g", GRAM_INDEX_BUCKETS)
+    next_base = base.unionByName(delta).join(
+        F.broadcast(spark.table(next_tomb)), "g", "left_anti"
+    )
+    compacted_name = fingerprinted_table_name(
+        GRAM_INDEX_COMPACT_TABLE, sf_dir, "documents"
+    )
+    write_bucketed(next_base, compacted_name, "g", GRAM_INDEX_BUCKETS)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        spark.table(compacted_name)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum(F.col("g") % F.lit(1_000_000_007)).alias("g_checksum"),
+        )
+        .orderBy("source")
     )
 
 
@@ -2538,6 +2666,63 @@ ORACLES["dedup_index_maintain"] = f"""
     ORDER BY b.source
 """
 
+# dedup_index_compact: a genuine FROM-SCRATCH rebuild — shingle the
+# old-corpus ∪ kept-batch documents, apply the df cap on the UNION's
+# document frequencies — against which the engine's fold of base ∪ delta
+# (tombstones + recount, never re-shingling) must be byte-equal.  The
+# kept derivation replays dedup_index_maintain's screens.
+ORACLES["dedup_index_compact"] = f"""
+    WITH oldd AS (SELECT doc_id, source, text FROM documents
+                  WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                        % {INCR_BATCH_MOD} <> 0),
+    newd AS (SELECT doc_id, source, text, md5(text) AS h FROM documents
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} = 0),
+    so AS (SELECT doc_id, {_SH} AS sh FROM oldd),
+    eo0 AS (SELECT doc_id,
+                   unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+            FROM so),
+    e_old AS (SELECT doc_id, g FROM (
+                  SELECT doc_id, g,
+                         count(*) OVER (PARTITION BY g) AS df FROM eo0)
+              WHERE df <= {NGRAM_DF_CAP}),
+    sz_old AS (SELECT doc_id, count(*) AS n_b FROM e_old GROUP BY doc_id),
+    sn AS (SELECT doc_id, {_SH} AS sh FROM newd),
+    e_new AS (SELECT doc_id,
+                     unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+              FROM sn),
+    sz_new AS (SELECT doc_id, count(*) AS n_a FROM e_new GROUP BY doc_id),
+    oldh AS (SELECT DISTINCT md5(text) AS h FROM oldd),
+    exact AS (SELECT doc_id FROM newd WHERE h IN (SELECT h FROM oldh)),
+    p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS shared
+          FROM e_new n JOIN e_old o ON n.g = o.g GROUP BY 1, 2),
+    near AS (SELECT DISTINCT new_id AS doc_id
+             FROM p JOIN sz_new sa ON sa.doc_id = p.new_id
+                    JOIN sz_old sb ON sb.doc_id = p.old_id
+             WHERE {rnd_sql('(shared / (sa.n_a + sb.n_b - shared))', 4)}
+                   >= {JACCARD_THRESHOLD}),
+    kept AS (SELECT doc_id FROM newd
+             WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+               AND doc_id NOT IN (SELECT doc_id FROM near)),
+    raw AS (SELECT doc_id, g FROM eo0
+            UNION ALL
+            SELECT doc_id, g FROM e_new
+            WHERE doc_id IN (SELECT doc_id FROM kept)),
+    rebuilt AS (SELECT doc_id, g FROM (
+                    SELECT doc_id, g,
+                           count(*) OVER (PARTITION BY g) AS df FROM raw)
+                WHERE df <= {NGRAM_DF_CAP}),
+    srcs AS (SELECT doc_id, source FROM oldd
+             UNION ALL SELECT doc_id, source FROM newd)
+    SELECT s.source,
+           count(DISTINCT r.doc_id) AS n_docs,
+           count(*) AS n_postings,
+           CAST(sum(r.g % 1000000007) AS BIGINT) AS g_checksum
+    FROM rebuilt r JOIN srcs s USING (doc_id)
+    GROUP BY s.source
+    ORDER BY s.source
+"""
+
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_exact": dedup_exact,
@@ -2546,6 +2731,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_index_maintain": dedup_index_maintain,
+    "dedup_index_compact": dedup_index_compact,
     "band_index_maintain": band_index_maintain,
     "dedup_winnowing": dedup_winnowing,
     "dedup_incremental": dedup_incremental,

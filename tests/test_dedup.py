@@ -11,7 +11,7 @@ import pytest
 
 from map_reduce_framework_spark.operators import dedup
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, assert_matches_oracle
 
 BASE = (
     "the quick brown fox jumps over the lazy dog near the quiet river bank "
@@ -707,3 +707,115 @@ def test_quality_keeplist_picks_best_member(spark, tmp_path):
         cache.release()
     assert n_kq == n_ki  # one survivor per cluster under both rules
     assert moved > 0 and moved % 2 == 0  # swaps come in pairs
+
+
+def test_index_compact_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.dedup import ORACLES, dedup_index_compact
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup_index_compact,
+        ORACLES["dedup_index_compact"],
+        "dedup_index_compact",
+    )
+
+
+def test_index_compact_is_rerun_idempotent(spark):
+    """Every compaction write is overwrite-mode with deterministic
+    content — running it twice must not change the next base."""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import dedup_index_compact
+
+    try:
+        first = sorted(map(tuple, dedup_index_compact(spark, SF_DIR).collect()))
+        second = sorted(map(tuple, dedup_index_compact(spark, SF_DIR).collect()))
+    finally:
+        cache.release()
+    assert first == second and len(first) > 0
+
+
+def test_index_compact_tombstones_make_fold_equal_rebuild(spark, tmp_path):
+    """The case the shipped SFs never exercise (max df 25 < cap 100):
+    a gram whose OLD df crosses NGRAM_DF_CAP is capped out of the base,
+    so the index alone cannot tell its delta postings from a genuinely
+    new gram's — without the tombstone set the fold would KEEP them
+    (delta df ≤ cap) while a from-scratch rebuild drops them (union df
+    > cap).  Plant exactly that: a 3-gram shared by ~150 docs (> cap in
+    the old split alone), and assert the compacted table is row-equal
+    to a from-scratch rebuild over old ∪ kept raw postings."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators import dedup
+    from map_reduce_framework_spark.operators.dedup import (
+        GRAM_INDEX_COMPACT_TABLE,
+        GRAM_INDEX_DELTA_TABLE,
+        NGRAM_DF_CAP,
+        _gram_overcap_name,
+        _incr_is_new,
+        _shingled_docs,
+        dedup_index_compact,
+        fan_out,
+    )
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    n = 200
+    texts = [
+        (f"f{i} g{i} shared gram here t{i}" if i < 150
+         else f"f{i} g{i} u{i} v{i} w{i} t{i}")
+        for i in range(n)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": [f"src{i % 3}" for i in range(n)],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    sf_dir = str(tmp_path)
+
+    try:
+        out = dedup_index_compact(spark, sf_dir)
+        out.collect()  # force the writes
+
+        tomb = spark.table(_gram_overcap_name(sf_dir))
+        assert tomb.count() >= 1, "planted over-cap gram not tombstoned"
+
+        compacted = spark.table(
+            fingerprinted_table_name(GRAM_INDEX_COMPACT_TABLE, sf_dir, "documents")
+        )
+        delta = spark.table(
+            fingerprinted_table_name(GRAM_INDEX_DELTA_TABLE, sf_dir, "documents")
+        )
+        # from-scratch rebuild: raw old postings ∪ kept-batch postings
+        # (the delta IS the kept docs' raw postings), capped on union df
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        raw_old = _shingled_docs(
+            docs.where(~_incr_is_new()), with_hashes=True
+        ).select("doc_id", F.explode("gh").alias("g"))
+        raw = raw_old.unionByName(delta)
+        dfs = raw.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        rebuilt = (
+            raw.join(dfs.where(F.col("df") > NGRAM_DF_CAP), "g", "left_anti")
+        )
+        got = sorted(map(tuple, compacted.select("doc_id", "g").collect()))
+        want = sorted(map(tuple, rebuilt.select("doc_id", "g").collect()))
+        assert got == want and len(got) > 0
+        # and the planted gram is gone from the compacted index entirely
+        shared_g = dedup.hash60(F.lit("shared gram here"))
+        shared_val = (
+            spark.range(1).select(shared_g.alias("g")).collect()[0]["g"]
+        )
+        assert compacted.where(F.col("g") == shared_val).count() == 0
+        assert delta.where(F.col("g") == shared_val).count() > 0, (
+            "fixture must plant tombstoned-gram postings in the delta "
+            "(otherwise the tombstone path is vacuous)"
+        )
+    finally:
+        cache.release()

@@ -638,3 +638,36 @@ def test_maintained_index_join_is_exchange_free_after_append(spark):
             assert cand.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_compact_df_recount_rides_bucket_layout(spark):
+    """dedup_index_compact's df recount must be per-table partial counts
+    on the bucket layout: groupBy(g) over each bucketed index scan runs
+    with ZERO exchange, and their vocabulary-scale full-outer merge
+    reuses the same hash partitioning — so the only corpus-scale shuffle
+    in the whole fold is the bucketed write of the next base itself."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import (
+        GRAM_INDEX_DELTA_TABLE,
+        dedup_index_compact,
+        gram_index_bucketed,
+    )
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    dedup_index_compact(spark, SF_DIR).count()  # builds base + delta
+    base = gram_index_bucketed(spark, SF_DIR)
+    delta = spark.table(
+        fingerprinted_table_name(GRAM_INDEX_DELTA_TABLE, SF_DIR, "documents")
+    )
+    df_base = base.groupBy("g").agg(F.count(F.lit(1)).alias("c0"))
+    df_delta = delta.groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
+    for side in (df_base, df_delta):
+        plan = plan_of(side, mode="simple")
+        assert "Exchange" not in plan, plan  # bucket layout IS the hash dist
+    merged = df_base.join(df_delta, "g", "full_outer")
+    plan = plan_of(merged, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert merged.count() > 0

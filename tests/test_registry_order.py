@@ -1,15 +1,14 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-8 policy (CORRECTNESS_r07 was 50/50 green and the round-7 judge
-re-verified the full 147/147 sweep): the window holds (a) FIRST the 11
-r04-green rows round 7 deferred — the pre-planned debt, honoured
-exactly as written — (b) the four queries whose plans were rebuilt
-this round (the three ``*_index_maintain`` on the batch-sized
-delta-table design, dedup_embedding_cosine on banded sign-LSH), and
-(c) 35 of the 39 r05-latest greens.  Four trivially-stable r05
-scalar/expression-family rows are deferred to round 9 (named in
-registry.py — rotate them in FIRST next round).  The two approx sketches are
+Round-9 policy (CORRECTNESS_r08 was 50/50 green and the round-8 judge
+re-verified the full 147/147 sweep): the window holds (a) FIRST the 4
+r05-green rows round 8 deferred — the pre-planned debt, honoured
+exactly as written — (b) the plan-changed dedup_embedding_cosine
+(canonical per-pair min-cosine) and the NEW dedup_index_compact, and
+(c) 44 of the 47 r06-latest greens.  Three trivially-stable r06
+set/subquery rows are deferred to round 10 (named in registry.py —
+rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
 """
@@ -21,37 +20,28 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-PLAN_CHANGED_IN_R8 = {
-    # rebuilt on the delta-table maintenance design (VERDICT r7 #1)
-    "dedup_index_maintain",
-    "band_index_maintain",
-    "ann_index_maintain",
-    # rebuilt as banded sign-LSH (round-8 recall probe finding)
+PLAN_CHANGED_OR_NEW_IN_R9 = {
+    # per-pair cosine canonicalized (round-8 advice: arbitrary-survivor
+    # dropDuplicates → deterministic groupBy.min)
     "dedup_embedding_cosine",
+    # NEW: LSM delta-compaction fold, tombstone-exact df re-capping
+    "dedup_index_compact",
 }
 
-#: r04-green rows deferred by round 7 — the debt this window pays FIRST
-DEFERRED_FROM_R7 = [
-    "date_arithmetic",
-    "search_substring",
-    "set_intersect_all",
-    "histogram_totalprice",
-    "payload_chunks",
-    "frame_sample_schedule",
-    "bpe_pair_stats",
-    "embedding_norm_stats",
-    "chunk_documents",
-    "training_manifest",
-    "funnel_analysis",
-]
-
-#: r05-green rows deferred to round 9 for the plan-changed slots —
-#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
-DEFERRED_TO_R9 = {
+#: r05-green rows deferred by round 8 — the debt this window pays FIRST
+DEFERRED_FROM_R8 = [
     "scalar_functions",
     "array_functions",
     "map_functions",
     "null_semantics",
+]
+
+#: r06-green rows deferred to round 10 for the block-b slots —
+#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
+DEFERRED_TO_R10 = {
+    "grouping_sets",
+    "set_union_all",
+    "not_exists_subquery",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
@@ -63,6 +53,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 
@@ -83,22 +74,43 @@ def test_driver_window_is_first_50():
 
 def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert PLAN_CHANGED_IN_R8 <= window
+    assert PLAN_CHANGED_OR_NEW_IN_R9 <= window
 
 
-def test_r7_debt_paid_first():
-    """The 11 r04 rows round 7 deferred must head the window, in order
+def test_r8_debt_paid_first():
+    """The 4 r05 rows round 8 deferred must head the window, in order
     — the rotation contract test_registry_order pinned last round."""
-    assert registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R7)] == DEFERRED_FROM_R7
+    assert registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R8)] == DEFERRED_FROM_R8
 
 
 def test_deferred_rows_are_known_and_green_elsewhere():
     """Every deferred row must be a real query with a prior driver
     green (they are debt, not gaps)."""
     window = set(registry.DRIVER_WINDOW)
-    assert not (DEFERRED_TO_R9 & window)
-    assert DEFERRED_TO_R9 <= set(registry.get_queries())
-    assert DEFERRED_TO_R9 <= _prior_checked()
+    assert not (DEFERRED_TO_R10 & window)
+    assert DEFERRED_TO_R10 <= set(registry.get_queries())
+    assert DEFERRED_TO_R10 <= _prior_checked()
+
+
+def test_no_evidence_older_than_r06_after_this_round():
+    """The round-9 freshness goal (VERDICT r8 item 3): after this
+    window lands, no query's newest driver row may be older than round
+    6 — i.e. every query whose newest green is r05 or older must be IN
+    the window now."""
+    latest: dict[str, int] = {}
+    for rec in PRIOR_ROUNDS:
+        path = os.path.join(os.path.dirname(__file__), "..", rec)
+        if os.path.exists(path):
+            rnum = int(rec.split("_r")[1][:2])
+            for q in json.load(open(path)):
+                latest[q] = max(latest.get(q, 0), rnum)
+    window = set(registry.DRIVER_WINDOW)
+    stale = {
+        q
+        for q, r in latest.items()
+        if r < 6 and q in registry.get_queries() and q not in NO_ORACLE_BY_DESIGN
+    }
+    assert stale <= window, f"r05-or-older evidence left outside: {sorted(stale - window)}"
 
 
 def test_no_oracle_queries_stay_out_of_window():

@@ -1027,7 +1027,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_every: int | None = None,
 ) -> "tuple[list[tuple[int, str, str, str, int]], DataFrame]":
     """Shared BPE training loop: returns the merge trajectory AND the
     fully re-segmented (term, tc, syms) vocabulary after training
@@ -1043,7 +1045,12 @@ def _bpe_train(
     execute from the previous round's cache, never from a re-folded
     corpus scan; the logical plans still nest one fold per round, which
     is fine at the registered depth (8 rounds) — a production 32k-merge
-    run would add a periodic checkpoint to truncate lineage.
+    run truncates lineage with ``checkpoint_every``: every N rounds the
+    vocab is reliably checkpointed (``DataFrame.checkpoint``, eager), so
+    plan depth is bounded by N folds regardless of merge count (measured
+    at 1k+ merges by ``scripts/bpe_scale_probe.py`` — without it the
+    analyzer cost grows superlinearly in rounds).  ``None`` (the
+    registered default) keeps the 8-round plan checkpoint-free.
     """
     from .. import cache
 
@@ -1121,13 +1128,17 @@ def _bpe_train(
         for a, b, n in sel:
             merges.append((len(merges) + 1, a, b, a + b, n))
         prev = cur
-        cur = cache.persist_tracked(
-            cur.select(
-                "term",
-                "tc",
-                _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
-            )
+        folded = cur.select(
+            "term",
+            "tc",
+            _bpe_apply_batch([(a, b) for a, b, _ in sel]).alias("syms"),
         )
+        if checkpoint_every and rounds % checkpoint_every == 0:
+            # reliable (disk) checkpoint: cuts the nested-fold lineage so
+            # plan depth stays <= checkpoint_every folds at any merge
+            # count; eager, so it doubles as the round's materialization
+            folded = folded.checkpoint(eager=True)
+        cur = cache.persist_tracked(folded)
     if prev is not None:
         # the loop exits with the LAST round's predecessor still cached
         # (its unpersist normally happens at the top of the next

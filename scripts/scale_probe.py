@@ -127,18 +127,34 @@ def main() -> None:
     if any(q.startswith("ann_ivf") for q in probe_queries):
         ivf_index_bucketed(spark, SF1)  # build outside the timing loop
 
+    # SPARK_GRAFT_PROBE_RUNS=2 runs each query twice and reports both:
+    # `sec` stays the FIRST (cold) run for continuity with prior rounds'
+    # records, `sec_warm` is the second.  The warm number is the one for
+    # the maintenance-family scale law — their first run in a session
+    # also builds the session's base index tables (a once-per-rebuild
+    # cost), while the warm run measures the per-batch work (screen +
+    # delta overwrite) that the delta design claims is batch-sized.
+    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "1"))
     results = {}
     for name in probe_queries:
-        t0 = time.time()
         try:
-            n = QUERIES[name](spark, SF1).count()
-            dt = round(time.time() - t0, 2)
-            results[name] = dt
-            print(json.dumps({"query": name, "sec": dt, "rows": n}))
+            times = []
+            n = 0
+            for _ in range(runs):
+                t0 = time.time()
+                n = QUERIES[name](spark, SF1).count()
+                times.append(round(time.time() - t0, 2))
+                cache.release()
+                spark.catalog.clearCache()
+            results[name] = times[-1]
+            rec = {"query": name, "sec": times[0], "rows": n}
+            if runs > 1:
+                rec["sec_warm"] = times[-1]
+            print(json.dumps(rec))
         except Exception as e:  # keep probing the rest
             print(json.dumps({"query": name, "error": str(e)[:200]}))
-        cache.release()
-        spark.catalog.clearCache()
+            cache.release()
+            spark.catalog.clearCache()
     print(
         json.dumps(
             {

@@ -1627,6 +1627,70 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_INDEX_COMPACT_TABLE = "band_index_compacted"
+
+
+def band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COMPACTION for the MinHash band index — the signature-axis
+    twin of :func:`dedup_index_compact`, completing the compaction
+    matrix the way round 7 completed the maintenance matrix (gram
+    postings / band signatures / IVF cells).
+
+    Simpler than the gram fold: band rows carry no document-frequency
+    cap, so the next base is the PLAIN union of the immutable base and
+    the batch-sized delta — no tombstones, trivially byte-equal to
+    re-signing old ∪ kept from scratch (signatures are deterministic
+    per document).  What the fold buys at 100 TB: the screen goes back
+    to reading ONE bucketed table instead of base ∪ N deltas (each
+    extra delta is one more bucketed scan per screen join), and the
+    rewrite reads 8-byte band keys + signature arrays instead of
+    re-shingling and re-signing raw text.  The only shuffle is the
+    bucketed write itself — amortized over the batches between folds.
+
+    Output, per source: documents indexed, band rows, total MinHash
+    values, and a modular band-key checksum — the DuckDB oracle
+    computes all four from a genuine from-scratch re-sign of old ∪
+    kept, so any row lost or duplicated by the fold breaks the match.
+
+    No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    base = band_index_bucketed(spark, sf_dir)
+    delta_name = fingerprinted_table_name(
+        BAND_INDEX_DELTA_TABLE, sf_dir, "documents"
+    )
+    if not spark.catalog.tableExists(delta_name):
+        # derive + land the kept-batch delta (eager side effect of the
+        # maintenance op; its summary DataFrame is not evaluated)
+        band_index_maintain(spark, sf_dir)
+    delta = spark.table(delta_name)
+
+    compacted_name = fingerprinted_table_name(
+        BAND_INDEX_COMPACT_TABLE, sf_dir, "documents"
+    )
+    write_bucketed(
+        base.unionByName(delta), compacted_name, "band_key", BAND_INDEX_BUCKETS
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        spark.table(compacted_name)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("sh")).alias("n_minhash"),
+            # band keys are strings ("i-s1-s2-s3"); checksum their
+            # shared 60-bit hash mod a prime (engine-portable)
+            F.sum(hash60(F.col("band_key")) % F.lit(1_000_000_007)).alias(
+                "key_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_incremental_minhash_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2666,6 +2730,55 @@ ORACLES["dedup_index_maintain"] = f"""
     ORDER BY b.source
 """
 
+# band_index_compact: a genuine from-scratch re-sign of old ∪ kept —
+# same kept derivation as the band maintenance oracle, then the rebuilt
+# band table (oldb ∪ added) summarized per source.
+ORACLES["band_index_compact"] = f"""
+    WITH s AS (SELECT doc_id, {_SH} AS sh FROM documents),
+    sigh AS (SELECT doc_id, sh,
+                    list_transform(sh, t ->
+                        {_hash60_sql('t')} % {MINHASH_PRIME}) AS hs
+             FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, [{_MINHASH_MINS}] AS sig FROM sigh),
+    banded AS (SELECT doc_id, sh, unnest([{_BAND_KEYS}]) AS band_key
+               FROM sig),
+    newb AS (SELECT doc_id, sh, band_key FROM banded
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} = 0),
+    oldb AS (SELECT doc_id, sh, band_key FROM banded
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} <> 0),
+    newd AS (SELECT doc_id, source FROM documents
+             WHERE {_hash60_sql("concat('batch:', doc_id)")}
+                   % {INCR_BATCH_MOD} = 0),
+    cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+             FROM newb a JOIN oldb b ON a.band_key = b.band_key),
+    near AS (SELECT DISTINCT c.new_id AS doc_id FROM cand c
+             JOIN s sa ON sa.doc_id = c.new_id
+             JOIN s sb ON sb.doc_id = c.old_id
+             WHERE {rnd_sql(
+                 "(len(list_intersect(sa.sh, sb.sh)) / "
+                 "(len(sa.sh) + len(sb.sh)"
+                 " - len(list_intersect(sa.sh, sb.sh))))", 4)}
+                   >= {JACCARD_THRESHOLD}),
+    kept AS (SELECT doc_id FROM newd
+             WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    rebuilt AS (SELECT doc_id, sh, band_key FROM oldb
+                UNION ALL
+                SELECT doc_id, sh, band_key FROM newb
+                WHERE doc_id IN (SELECT doc_id FROM kept)),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT s2.source,
+           count(DISTINCT r.doc_id) AS n_docs,
+           count(*) AS n_rows,
+           CAST(sum(len(r.sh)) AS BIGINT) AS n_minhash,
+           CAST(sum({_hash60_sql('r.band_key')} % 1000000007)
+                AS BIGINT) AS key_checksum
+    FROM rebuilt r JOIN srcs s2 USING (doc_id)
+    GROUP BY s2.source
+    ORDER BY s2.source
+"""
+
 # dedup_index_compact: a genuine FROM-SCRATCH rebuild — shingle the
 # old-corpus ∪ kept-batch documents, apply the df cap on the UNION's
 # document frequencies — against which the engine's fold of base ∪ delta
@@ -2733,6 +2846,7 @@ QUERIES = {
     "dedup_index_maintain": dedup_index_maintain,
     "dedup_index_compact": dedup_index_compact,
     "band_index_maintain": band_index_maintain,
+    "band_index_compact": band_index_compact,
     "dedup_winnowing": dedup_winnowing,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_bloom": dedup_incremental_bloom,

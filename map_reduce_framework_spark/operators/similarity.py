@@ -584,6 +584,74 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_COMPACT_TABLE = "ivf_index_compacted"
+
+
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COMPACTION for the IVF cell index — the embedding-axis twin
+    of :func:`~.dedup.dedup_index_compact`, completing the compaction
+    matrix (gram postings / band signatures / IVF cells).
+
+    FAISS-shaped semantics: ingest batches quantize against the FROZEN
+    coarse quantizer and land as bucketed deltas
+    (:func:`ann_index_maintain`); compaction folds base ∪ delta into
+    one bucketed cell table — NO retraining (assignment is
+    deterministic per vector under frozen centroids, so the fold is
+    trivially byte-equal to assigning the union from scratch; quantizer
+    RETRAINING is the separate periodic rebuild, out of compaction's
+    scope exactly as in FAISS).  What the fold buys at 100 TB: searches
+    go back to one bucketed scan instead of base ∪ N deltas, and the
+    rewrite moves (vec_id, vector, cell) rows — never re-ranking
+    centroids.  The only shuffle is the bucketed write itself.
+
+    Output, per label: vectors indexed, distinct cells touched, and a
+    modular cell checksum — the DuckDB oracle computes all three by
+    assigning EVERY vector against the frozen quantizer from scratch,
+    so a row lost or duplicated by the fold breaks the match.
+
+    No counterpart in the reference (SURVEY §2.4 extension).
+    """
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    base_name = fingerprinted_table_name(
+        IVF_MAINT_BASE_TABLE, sf_dir, "embeddings"
+    )
+    delta_name = fingerprinted_table_name(
+        IVF_MAINT_DELTA_TABLE, sf_dir, "embeddings"
+    )
+    if not (
+        spark.catalog.tableExists(base_name)
+        and spark.catalog.tableExists(delta_name)
+    ):
+        # eager side effect: writes the immutable base (if missing) and
+        # the batch delta; the summary DataFrame is not evaluated
+        ann_index_maintain(spark, sf_dir)
+
+    compacted_name = fingerprinted_table_name(
+        IVF_COMPACT_TABLE, sf_dir, "embeddings"
+    )
+    write_bucketed(
+        spark.table(base_name).unionByName(spark.table(delta_name)),
+        compacted_name,
+        "cell",
+        IVF_INDEX_BUCKETS,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        spark.table(compacted_name)
+        .join(emb, F.col("cand_id") == F.col("vec_id"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cell").alias("n_cells"),
+            F.sum(F.col("cell") % F.lit(1_000_000_007)).alias(
+                "cell_checksum"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label Euclidean-norm profile of the embedding corpus — the
     sanity check every vector pipeline runs before indexing (un-normed
@@ -674,6 +742,34 @@ ORACLES["ann_index_maintain"] = f"""
     GROUP BY n.label ORDER BY n.label
 """
 
+# ann_index_compact: every vector assigned under the frozen quantizer
+# from scratch (assignment is deterministic, so base ∪ delta == assign
+# the union), summarized per label.
+ORACLES["ann_index_compact"] = f"""
+    WITH e AS (SELECT vec_id, label, {_UNIT_V_SQL} AS v FROM embeddings),
+    oldv AS (SELECT * FROM e
+             WHERE {_h60_sql("concat('vbatch:', vec_id)")}
+                   % {VEC_BATCH_MOD} <> 0),
+    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM oldv
+              ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    post_scored AS (
+        SELECT a.vec_id AS cand_id, a.label, c.cent_id,
+               (floor((list_dot_product(a.v, c.vcent)) * 1000000::DOUBLE
+                      + 0.5::DOUBLE) / 1000000::DOUBLE) AS cdot
+        FROM e a CROSS JOIN cents c),
+    post_cells AS (
+        SELECT cand_id, label, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM post_scored) WHERE crank = 1)
+    SELECT label,
+           count(*) AS n_vectors,
+           count(DISTINCT cell) AS n_cells,
+           CAST(sum(cell % 1000000007) AS BIGINT) AS cell_checksum
+    FROM post_cells
+    GROUP BY label ORDER BY label
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -681,5 +777,6 @@ QUERIES = {
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_index_maintain": ann_index_maintain,
+    "ann_index_compact": ann_index_compact,
     "embedding_norm_stats": embedding_norm_stats,
 }

@@ -57,18 +57,21 @@ _MODULES = [
 # (b) queries whose PLAN/semantics changed or that are NEW this round:
 # dedup_embedding_cosine (per-pair cosine canonicalized to
 # groupBy.min — the round-8 advice's nondeterministic-survivor fix)
-# and dedup_index_compact (NEW: the LSM delta-compaction fold with
-# tombstone-exact df re-capping; oracle = from-scratch rebuild).
+# and the THREE compaction folds completing the LSM matrix:
+# dedup_index_compact (NEW: tombstone-exact df re-capping; oracle =
+# from-scratch rebuild), band_index_compact and ann_index_compact
+# (NEW: plain-union folds, oracle = from-scratch re-sign / re-assign).
 # Note: gram_index_bucketed's base BUILD now also writes the over-cap
 # tombstone table, but the base CONTENTS are byte-identical (same cap,
 # same anti-join) — its consumers dedup_incremental_indexed and
 # dedup_index_maintain get fresh rows anyway: the former rotates in
 # with block (c), the latter is r08-green on an unchanged screen plan.
-# (c) 44 of the 47 r06-latest greens — the oldest remaining evidence
+# (c) 42 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
-# ROUND-10 ROTATION DEBT (3 r06-green rows deferred for the block-b
-# slots, all trivially-stable pure-Catalyst set/subquery shapes with
-# no moving parts): grouping_sets, set_union_all, not_exists_subquery.
+# ROUND-10 ROTATION DEBT (5 r06-green rows deferred for the block-b
+# slots, all trivially-stable pure-Catalyst set/subquery/window-agg
+# shapes with no moving parts): grouping_sets, set_union_all,
+# not_exists_subquery, events_time_window, events_sliding_window.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -84,7 +87,9 @@ DRIVER_WINDOW = [
     # (b) plan-changed / new this round
     "dedup_embedding_cosine",
     "dedup_index_compact",
-    # (c) r06-latest greens (44 of 47; 3 deferred, see above)
+    "band_index_compact",
+    "ann_index_compact",
+    # (c) r06-latest greens (42 of 47; 5 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -101,8 +106,6 @@ DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_pipeline_keeplist",
     "doc_fingerprint",
-    "events_sliding_window",
-    "events_time_window",
     "lang_id",
     "mixture_sample",
     "mr_wordcount_facade",

@@ -819,3 +819,30 @@ def test_index_compact_tombstones_make_fold_equal_rebuild(spark, tmp_path):
         )
     finally:
         cache.release()
+
+
+def test_band_index_compact_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.dedup import (
+        ORACLES,
+        band_index_compact,
+    )
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        band_index_compact,
+        ORACLES["band_index_compact"],
+        "band_index_compact",
+    )
+
+
+def test_band_index_compact_is_rerun_idempotent(spark):
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import band_index_compact
+
+    try:
+        first = sorted(map(tuple, band_index_compact(spark, SF_DIR).collect()))
+        second = sorted(map(tuple, band_index_compact(spark, SF_DIR).collect()))
+    finally:
+        cache.release()
+    assert first == second and len(first) > 0

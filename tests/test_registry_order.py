@@ -5,10 +5,11 @@ Round-9 policy (CORRECTNESS_r08 was 50/50 green and the round-8 judge
 re-verified the full 147/147 sweep): the window holds (a) FIRST the 4
 r05-green rows round 8 deferred — the pre-planned debt, honoured
 exactly as written — (b) the plan-changed dedup_embedding_cosine
-(canonical per-pair min-cosine) and the NEW dedup_index_compact, and
-(c) 44 of the 47 r06-latest greens.  Three trivially-stable r06
-set/subquery rows are deferred to round 10 (named in registry.py —
-rotate them in FIRST next round).  The two approx sketches are
+(canonical per-pair min-cosine) and the NEW compaction matrix
+(dedup/band/ann_index_compact), and (c) 42 of the 47 r06-latest
+greens.  Five trivially-stable r06 set/subquery/window-agg rows are
+deferred to round 10 (named in registry.py — rotate them in FIRST
+next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
 """
@@ -24,8 +25,11 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     # per-pair cosine canonicalized (round-8 advice: arbitrary-survivor
     # dropDuplicates → deterministic groupBy.min)
     "dedup_embedding_cosine",
-    # NEW: LSM delta-compaction fold, tombstone-exact df re-capping
+    # NEW: the LSM delta-compaction matrix (gram fold with
+    # tombstone-exact df re-capping; band/IVF plain-union folds)
     "dedup_index_compact",
+    "band_index_compact",
+    "ann_index_compact",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -42,6 +46,8 @@ DEFERRED_TO_R10 = {
     "grouping_sets",
     "set_union_all",
     "not_exists_subquery",
+    "events_time_window",
+    "events_sliding_window",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

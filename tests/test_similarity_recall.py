@@ -88,3 +88,36 @@ def test_ivf_index_maintain_self_retrieval(spark):
     assert sum(r["n_new"] for r in rows) > 0
     for r in rows:
         assert r["n_self_in_topk"] == r["n_new"], r
+
+
+def test_ann_index_compact_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.similarity import (
+        ORACLES,
+        ann_index_compact,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        ann_index_compact,
+        ORACLES["ann_index_compact"],
+        "ann_index_compact",
+    )
+
+
+def test_ann_index_compact_is_rerun_idempotent(spark):
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.similarity import (
+        ann_index_compact,
+    )
+
+    from .conftest import SF_DIR
+
+    try:
+        first = sorted(map(tuple, ann_index_compact(spark, SF_DIR).collect()))
+        second = sorted(map(tuple, ann_index_compact(spark, SF_DIR).collect()))
+    finally:
+        cache.release()
+    assert first == second and len(first) > 0

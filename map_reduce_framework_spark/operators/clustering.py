@@ -244,6 +244,131 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ceil_sqrt(k: int) -> int:
+    """Exact integer ceil(sqrt(k)) — bit-reproducible in the oracle as
+    ``CEIL(SQRT(k::DOUBLE))::BIGINT`` (IEEE sqrt of a small perfect
+    square is exact; for non-squares the true value is irrational, so a
+    ~1e-13 approximation error can never cross an integer)."""
+    import math
+
+    return math.isqrt(k - 1) + 1 if k > 1 else 1
+
+
+def dedup_semantic_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) SemDeDup — the scale fix for the
+    quadratic this round's sf10 probe measured in :func:`dedup_semantic`
+    (BASELINE.md round 9: 25.7× warm at 10× corpus, 572 s cold).
+
+    The flat operator's K = n/256 rule keeps clusters executor-sized
+    but makes every assignment pass n × K = n²/256.  The standard fix
+    (FAISS IMI / hierarchical k-means) is a coarse level above the
+    quantizer: train K₂ = ceil(√K) LEVEL-1 cells with the distributed
+    Lloyd loop (n × √K per iteration instead of n × K), shuffle each
+    vector ONCE to its cell, then train the level-2 sub-quantizer and
+    run the within-subcluster GEMM dedup LOCALLY per cell inside a
+    single ``applyInPandas`` — the cell grouping is the only shuffle,
+    and per-cell work is (n/K₂) × k₂ with k₂ = ceil(cell/256).  Total
+    assignment work drops from n·K = n²/256 to ~n^1.5/16: at sf10
+    that is 28 coarse cells × ~7k vectors instead of 782 × 200k.
+    Cells at 10⁹ vectors are ~0.5M rows × 64 dims ≈ 260 MB — executor
+    sized; corpora past that recurse one more level (same construction,
+    out of scope here).
+
+    Determinism, both levels, replayed exactly by the DuckDB oracle:
+    init = lowest-vec_id vectors (per cell at level 2), fixed
+    ``KMEANS_ITERS``, float64 elementwise distances, argmin ties toward
+    the lowest centroid index, empty clusters keep their previous
+    centroid.  Same drop rule and threshold as :func:`dedup_semantic`
+    — a vector drops when a SAME-SUBCLUSTER lower-id vector sits at
+    cosine ≥ threshold.  The two operators' drop sets differ only
+    through block geometry (hierarchical blocks vs flat blocks): the
+    recall/cost trade every hierarchical ANN structure makes.
+
+    Output: (vec_id, cell, scid, dup_of, cosine) — one row per dropped
+    vector with its level-1 cell, level-2 subcluster, survivor, and
+    cosine.
+    """
+    from ..cache import persist_tracked
+
+    th = _sem_threshold()
+    emb = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+    )
+    k2_total = semantic_k(emb.count())
+    k_coarse = _ceil_sqrt(k2_total)
+    C1 = train_kmeans(emb, k=k_coarse)
+    cells = emb.mapInPandas(_assign_fn(C1), _ASSIGN_SCHEMA).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    blocks = emb.join(cells, "vec_id")
+
+    def cell_dedup(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = _batch_matrix(pdf["embedding"])
+        k2 = max(1, -(-len(ids) // SEM_TARGET_BLOCK))
+        # local Lloyd, same trajectory rules as train_kmeans: lowest-id
+        # init, fixed iterations, sum/count update, empty keeps previous
+        C = X[:k2].copy()
+        for _ in range(KMEANS_ITERS):
+            scid = _sq_dists(X, C).argmin(axis=1)
+            for j in range(k2):
+                mask = scid == j
+                if mask.any():
+                    C[j] = X[mask].sum(axis=0) / mask.sum()
+        scid = _sq_dists(X, C).argmin(axis=1)
+        # within-subcluster GEMM drop list (same rule as dedup_semantic)
+        U = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        out = []
+        cell_val = int(pdf["cell"].iloc[0])
+        for j in range(k2):
+            mask = scid == j
+            if mask.sum() < 2:
+                continue
+            sub_ids = ids[mask]
+            cos4 = np.floor((U[mask] @ U[mask].T) * 1e4 + 0.5) / 1e4
+            dup = np.tril(cos4 >= th, k=-1)
+            has_dup = dup.any(axis=1)
+            j_idx = np.nonzero(has_dup)[0]
+            if not len(j_idx):
+                continue
+            i_idx = dup[j_idx].argmax(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": sub_ids[j_idx],
+                        "cell": cell_val,
+                        "scid": j,
+                        "dup_of": sub_ids[i_idx],
+                        "cosine": cos4[j_idx, i_idx],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "scid": pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        blocks.groupBy("cell")
+        .applyInPandas(
+            cell_dedup,
+            "vec_id bigint, cell bigint, scid bigint, dup_of bigint,"
+            " cosine double",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_training_ctes(
     raw_cte: str = "e", k_sql: str | None = None
 ) -> tuple[str, str]:
@@ -348,12 +473,97 @@ def _dedup_semantic_oracle() -> str:
         ORDER BY d.vec_id"""
 
 
+def _dedup_semantic_scalable_oracle() -> str:
+    """Replays BOTH levels exactly: the level-1 Lloyd trajectory via the
+    shared CTE generator at K₂ = ceil(sqrt(semantic_k(n))), then the
+    per-cell level-2 trajectory with iterations unrolled — per-cell k₂
+    from a window count, per-cell lowest-id init, empty subclusters
+    keeping their previous centroid."""
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    k2_sql = (
+        f"SELECT CEIL(SQRT(GREATEST({K_CLUSTERS}, "
+        f"CEIL(count(*) / {SEM_TARGET_BLOCK}.0))::DOUBLE))::BIGINT "
+        f"FROM embeddings"
+    )
+    ctes, final = kmeans_training_ctes(k_sql=k2_sql)
+    blocks = [
+        f"""
+        cells AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c.cid FROM {final} c
+                    ORDER BY list_distance(c.v, e.v), c.cid LIMIT 1) AS cell
+            FROM e),
+        cellk AS (SELECT cell,
+                         GREATEST(1, CEIL(count(*) / {SEM_TARGET_BLOCK}.0))
+                             ::BIGINT AS k2
+                  FROM cells GROUP BY cell),
+        s0 AS (SELECT cell, scid, v FROM (
+                   SELECT cell,
+                          (row_number() OVER (PARTITION BY cell
+                               ORDER BY vec_id) - 1) AS scid,
+                          v
+                   FROM cells) x
+               JOIN cellk USING (cell) WHERE scid < k2)"""
+    ]
+    prev = "s0"
+    for i in range(KMEANS_ITERS):
+        blocks.append(
+            f"""
+        sa{i} AS (SELECT e.vec_id, e.cell, e.v,
+                    (SELECT s.scid FROM {prev} s WHERE s.cell = e.cell
+                     ORDER BY list_distance(s.v, e.v), s.scid LIMIT 1)
+                        AS scid
+                  FROM cells e),
+        sm{i} AS (SELECT cell, scid, i, avg(v[i]) AS mu
+                  FROM sa{i}, range(1, {EMBED_DIM + 1}) t(i)
+                  GROUP BY cell, scid, i),
+        su{i} AS (SELECT cell, scid, list(mu ORDER BY i) AS v
+                  FROM sm{i} GROUP BY cell, scid),
+        s{i + 1} AS (SELECT p.cell, p.scid, coalesce(u.v, p.v) AS v
+                     FROM {prev} p
+                     LEFT JOIN su{i} u USING (cell, scid))"""
+        )
+        prev = f"s{i + 1}"
+    level2 = ",".join(blocks)
+    return f"""
+        WITH {ctes},
+        {level2},
+        sassign AS (
+            SELECT e.vec_id, e.cell,
+                   (SELECT s.scid FROM {prev} s WHERE s.cell = e.cell
+                    ORDER BY list_distance(s.v, e.v), s.scid LIMIT 1)
+                       AS scid
+            FROM cells e),
+        eu AS (SELECT vec_id, {_UNIT_V_SQL} AS vu FROM embeddings),
+        pairs AS (
+            SELECT b.vec_id AS vec_id, a.vec_id AS dup_id,
+                   b.cell, b.scid,
+                   (floor(list_dot_product(ua.vu, ub.vu) * 10000::DOUBLE
+                          + 0.5::DOUBLE) / 10000::DOUBLE) AS cos4
+            FROM sassign a JOIN sassign b
+                 ON a.cell = b.cell AND a.scid = b.scid
+                    AND a.vec_id < b.vec_id
+            JOIN eu ua ON ua.vec_id = a.vec_id
+            JOIN eu ub ON ub.vec_id = b.vec_id),
+        dropped AS (
+            SELECT vec_id, cell, scid, min(dup_id) AS dup_of
+            FROM pairs WHERE cos4 >= {COSINE_DUP_THRESHOLD}
+            GROUP BY vec_id, cell, scid)
+        SELECT d.vec_id, d.cell, d.scid, d.dup_of, p.cos4 AS cosine
+        FROM dropped d JOIN pairs p
+             ON p.vec_id = d.vec_id AND p.dup_id = d.dup_of
+        ORDER BY d.vec_id"""
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_scalable": dedup_semantic_scalable,
 }
 
 ORACLES = {
     "kmeans_embeddings": _kmeans_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
+    "dedup_semantic_scalable": _dedup_semantic_scalable_oracle(),
 }

@@ -60,18 +60,22 @@ _MODULES = [
 # and the THREE compaction folds completing the LSM matrix:
 # dedup_index_compact (NEW: tombstone-exact df re-capping; oracle =
 # from-scratch rebuild), band_index_compact and ann_index_compact
-# (NEW: plain-union folds, oracle = from-scratch re-sign / re-assign).
+# (NEW: plain-union folds, oracle = from-scratch re-sign / re-assign),
+# and dedup_semantic_scalable (NEW: two-level hierarchical SemDeDup —
+# the fix for the flat operator's measured n²/256 assignment; 12.6 s
+# warm at sf10 vs 66.3 s flat, near-identical drop set).
 # Note: gram_index_bucketed's base BUILD now also writes the over-cap
 # tombstone table, but the base CONTENTS are byte-identical (same cap,
 # same anti-join) — its consumers dedup_incremental_indexed and
 # dedup_index_maintain get fresh rows anyway: the former rotates in
 # with block (c), the latter is r08-green on an unchanged screen plan.
-# (c) 42 of the 47 r06-latest greens — the oldest remaining evidence
+# (c) 41 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
-# ROUND-10 ROTATION DEBT (5 r06-green rows deferred for the block-b
-# slots, all trivially-stable pure-Catalyst set/subquery/window-agg
-# shapes with no moving parts): grouping_sets, set_union_all,
-# not_exists_subquery, events_time_window, events_sliding_window.
+# ROUND-10 ROTATION DEBT (6 r06-green rows deferred for the block-b
+# slots, all trivially-stable pure-Catalyst set/subquery/window-agg/
+# SQL-front-end shapes with no moving parts): grouping_sets,
+# set_union_all, not_exists_subquery, events_time_window,
+# events_sliding_window, sql_api_revenue.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -89,7 +93,8 @@ DRIVER_WINDOW = [
     "dedup_index_compact",
     "band_index_compact",
     "ann_index_compact",
-    # (c) r06-latest greens (42 of 47; 5 deferred, see above)
+    "dedup_semantic_scalable",
+    # (c) r06-latest greens (41 of 47; 6 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -123,7 +128,6 @@ DRIVER_WINDOW = [
     "scalar_subquery_above_avg",
     "snapshot_diff",
     "source_overlap_matrix",
-    "sql_api_revenue",
     "stratified_sample",
     "table_profile",
     "text_stats",

@@ -94,3 +94,64 @@ def test_semantic_k_scales_with_corpus():
         assert k >= n // SEM_TARGET_BLOCK
     # 10x the corpus -> ~10x the clusters (linear, not constant)
     assert 9 <= semantic_k(10**7) / semantic_k(10**6) <= 11
+
+
+def test_dedup_semantic_scalable_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.clustering import (
+        ORACLES,
+        dedup_semantic_scalable,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup_semantic_scalable,
+        ORACLES["dedup_semantic_scalable"],
+        "dedup_semantic_scalable",
+    )
+
+
+def test_dedup_semantic_scalable_catches_planted_clones(spark, tmp_path):
+    """Hierarchical blocking must still catch planted near-clones: 40
+    spread unit vectors + 10 exact-ish clones (tiny perturbation) — each
+    clone must drop with its source (or an earlier clone of it) as the
+    survivor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_spark.operators.clustering import (
+        dedup_semantic_scalable,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = np.arange(10)  # clone the first ten
+    clones = base[src] + 0.01 * rng.standard_normal((10, 64))
+    clones /= np.linalg.norm(clones, axis=1, keepdims=True)
+    emb = np.vstack([base, clones]).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "doc_id": pa.array(range(50), pa.int64()),
+                "label": pa.array([0] * 50, pa.int32()),
+                "embedding": pa.array(
+                    [emb[i] for i in range(50)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = {
+        r["vec_id"]: r["dup_of"]
+        for r in dedup_semantic_scalable(spark, str(tmp_path)).collect()
+    }
+    # every clone (ids 40..49) drops against its source (ids 0..9)
+    for i in range(10):
+        assert 40 + i in rows, f"clone {40 + i} not dropped"
+        assert rows[40 + i] == i, rows

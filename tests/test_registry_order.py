@@ -6,8 +6,9 @@ re-verified the full 147/147 sweep): the window holds (a) FIRST the 4
 r05-green rows round 8 deferred — the pre-planned debt, honoured
 exactly as written — (b) the plan-changed dedup_embedding_cosine
 (canonical per-pair min-cosine) and the NEW compaction matrix
-(dedup/band/ann_index_compact), and (c) 42 of the 47 r06-latest
-greens.  Five trivially-stable r06 set/subquery/window-agg rows are
+(dedup/band/ann_index_compact) plus the hierarchical
+dedup_semantic_scalable, and (c) 41 of the 47 r06-latest
+greens.  Six trivially-stable r06 set/subquery/window-agg rows are
 deferred to round 10 (named in registry.py — rotate them in FIRST
 next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
@@ -30,6 +31,8 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "dedup_index_compact",
     "band_index_compact",
     "ann_index_compact",
+    # NEW: hierarchical SemDeDup (fix for the flat n²/256 assignment)
+    "dedup_semantic_scalable",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -48,6 +51,7 @@ DEFERRED_TO_R10 = {
     "not_exists_subquery",
     "events_time_window",
     "events_sliding_window",
+    "sql_api_revenue",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

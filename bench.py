@@ -95,6 +95,11 @@ HEADLINE = [
     "split_leakage_check",
     "quality_weighted_sample",
     "dedup_keeplist_quality",
+    # round 9: the LSM compaction matrix + hierarchical SemDeDup
+    "dedup_index_compact",
+    "band_index_compact",
+    "ann_index_compact",
+    "dedup_semantic_scalable",
 ]
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
-    _df_cap,
+    NGRAM_DF_CAP,
     _incr_is_new,
     _shingled_docs,
     fan_out,
@@ -69,6 +69,7 @@ def build_corpus_index(
         "hashes": _work_dir(sf_dir, "hashes", stream_id),
         "grams": _work_dir(sf_dir, "grams", stream_id),
         "sizes": _work_dir(sf_dir, "sizes", stream_id),
+        "overcap": _work_dir(sf_dir, "overcap", stream_id),
     }
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     old = docs.where(~_incr_is_new())
@@ -79,10 +80,24 @@ def build_corpus_index(
         "doc_id", F.explode("gh").alias("g")
     ).persist()
     try:
-        # skew-safe df cap (partial agg + broadcast anti-join — see
-        # operators.dedup._df_cap); the persist keeps the build to one
-        # shingling pass across the two writes
-        capped = _df_cap(posting)
+        # skew-safe df cap (partial agg + broadcast anti-join — the
+        # operators.dedup._df_cap shape, derived from a WRITTEN over-cap
+        # tombstone set so :func:`compact_index` can re-cap folds
+        # rebuild-exactly, mirroring ``gram_index_bucketed``); the
+        # persist keeps the build to one shingling pass
+        (
+            posting.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > NGRAM_DF_CAP)
+            .select("g")
+            .write.mode("overwrite")
+            .parquet(paths["overcap"])
+        )
+        capped = posting.join(
+            F.broadcast(spark.read.parquet(paths["overcap"])),
+            "g",
+            "left_anti",
+        )
         capped.write.mode("overwrite").parquet(paths["grams"])
         capped.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_b")
@@ -105,14 +120,173 @@ def _read_index_side(
     re-verdict as exact_dup).  Excluding the self dir makes the replay
     screen IDENTICAL to the failed attempt's, which then overwrites
     the growth dirs with identical content — true exactly-once.
+
+    Growth dirs named in the side's ``_folded_batches`` marker (written
+    by :func:`compact_index` INSIDE the folded base, so the swap that
+    lands the fold also commits the exclusion) are skipped too: their
+    rows already live in the base files, and reading them again would
+    double the per-pair ``shared`` counts and corrupt Jaccard.  That
+    makes a leftover folded dir harmless debris, never a correctness
+    hazard — cleanup can happen any time after the swap.
     """
     import glob
 
+    folded = _folded_tags(path)
     parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
     for d in sorted(glob.glob(os.path.join(path, "b*"))):
-        if os.path.isdir(d) and os.path.basename(d) != exclude_tag:
+        base = os.path.basename(d)
+        if os.path.isdir(d) and base != exclude_tag and base not in folded:
             parts.append(d)
     return spark.read.parquet(*parts)
+
+
+_FOLDED_MARKER = "_folded_batches"
+
+
+def _folded_tags(side_path: str) -> set[str]:
+    """Growth tags already folded into this side's base files."""
+    marker = os.path.join(side_path, _FOLDED_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    return set()
+
+
+def _growth_dirs(side_path: str) -> list[str]:
+    import glob
+
+    return sorted(
+        d
+        for d in glob.glob(os.path.join(side_path, "b*"))
+        if os.path.isdir(d)
+    )
+
+
+def compact_index(
+    spark: SparkSession, index: dict[str, str], keep_tags: tuple[str, ...] = ()
+) -> int:
+    """Fold every per-batch growth dir into the base index files — the
+    streaming twin of :func:`~..operators.dedup.dedup_index_compact`,
+    and the genuine N-delta case (one growth dir lands per micro-batch,
+    so a long-running stream accumulates dozens of extra parquet scans
+    per screen until someone folds them back).
+
+    Semantics per side:
+
+    - ``hashes``: union DISTINCT (content digests);
+    - ``grams``: union with the df cap RE-APPLIED on the union's
+      document frequencies, using the base build's over-cap TOMBSTONES
+      (``index['overcap']``) exactly like the batch compactor — a gram
+      capped out of the base must stay dropped (df only grows), and the
+      newly-over-cap set joins the tombstones for the next cycle;
+    - ``sizes``: RE-DERIVED from the folded grams (per-doc counts),
+      because n_b must always describe the capped posting list the
+      screen joins against — folding sizes independently would desync
+      them from a re-capped grams side.
+
+    Crash safety (the upsert-sink discipline): each side's fold writes
+    to ``<side>.next`` with a ``_folded_batches`` marker INSIDE it
+    (parquet readers ignore ``_``-prefixed files), then lands via the
+    rename-aside swap; ``_recover_side`` adopts whichever consistent
+    state a kill left.  The marker makes folded growth dirs inert
+    (:func:`_read_index_side` skips them) — so the post-swap cleanup
+    of growth dirs can crash with no effect, and a crash BETWEEN side
+    swaps leaves a mix of folded and unfolded sides whose readable
+    content is unchanged (the fold is content-preserving at test SFs;
+    past the cap boundary, grams+sizes swap before hashes so the pair
+    the screen joins stays internally consistent).
+
+    Contract: run against a cleanly-committed stream (no batch between
+    its growth writes and its verdict append) — the work dirs are
+    already documented single-writer per (sf_dir, stream_id).  A known
+    in-flight batch's tag can be spared via ``keep_tags``.  Rerun-safe:
+    already-folded dirs are excluded from the re-read, so a second
+    compaction is a no-op fold of the same base.
+
+    Returns the number of growth dirs folded.
+    """
+    from .upsert_sink import _recover_table as _recover_side
+
+    for side in ("hashes", "grams", "sizes", "overcap"):
+        _recover_side(index[side])
+
+    import glob
+
+    def fold_input(side: str) -> tuple[DataFrame, list[str]]:
+        """(base ∪ unfolded growth excluding keep_tags, the dirs folded)."""
+        folded = _folded_tags(index[side])
+        parts = sorted(glob.glob(os.path.join(index[side], "*.parquet")))
+        dirs = [
+            d
+            for d in _growth_dirs(index[side])
+            if os.path.basename(d) not in folded
+            and os.path.basename(d) not in keep_tags
+        ]
+        return spark.read.parquet(*(parts + dirs)), dirs
+
+    grams_union, gram_dirs = fold_input("grams")
+    n_folded = len(gram_dirs)
+
+    # ---- grams: tombstone drop + union-df re-cap (the batch
+    # compactor's exact rule)
+    tomb = spark.read.parquet(index["overcap"])
+    no_tomb = grams_union.join(F.broadcast(tomb), "g", "left_anti")
+    over_now = (
+        no_tomb.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_DF_CAP)
+        .select("g")
+    )
+    new_tomb = tomb.select("g").unionByName(over_now).distinct().persist()
+    folded_grams = no_tomb.join(F.broadcast(new_tomb), "g", "left_anti")
+
+    def write_next(df, side: str, tags: list[str]) -> str:
+        nxt = index[side] + ".next"
+        df.write.mode("overwrite").parquet(nxt)
+        folded = _folded_tags(index[side]) | {os.path.basename(t) for t in tags}
+        with open(os.path.join(nxt, _FOLDED_MARKER), "w") as fh:
+            fh.write("\n".join(sorted(folded)))
+        return nxt
+
+    def swap(side: str) -> None:
+        cur, old, nxt = index[side], index[side] + ".old", index[side] + ".next"
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    try:
+        # write EVERY .next first (a crash here leaves only inert .next
+        # debris the recovery sweep removes), then swap in quick
+        # succession — grams and sizes adjacently, so the pair the
+        # Jaccard screen joins is mixed-state for the narrowest window
+        grams_next = write_next(folded_grams, "grams", gram_dirs)
+        sizes_dirs = fold_input("sizes")[1]
+        write_next(
+            spark.read.parquet(grams_next)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_b")),
+            "sizes",
+            sizes_dirs,
+        )
+        new_tomb.write.mode("overwrite").parquet(index["overcap"] + ".next")
+        hashes_union, hash_dirs = fold_input("hashes")
+        write_next(hashes_union.select("h").distinct(), "hashes", hash_dirs)
+        for side in ("grams", "sizes", "overcap", "hashes"):
+            swap(side)
+    finally:
+        new_tomb.unpersist()
+
+    # folded dirs are inert (marker) — removing them is pure cleanup
+    for side, dirs in (
+        ("grams", gram_dirs),
+        ("sizes", sizes_dirs),
+        ("hashes", hash_dirs),
+    ):
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return n_folded
 
 
 def _screen_batch(

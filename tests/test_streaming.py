@@ -697,3 +697,102 @@ def test_upsert_sink_rejects_foreign_lineage(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="different query lineage"):
         drain(ckpt2)
+
+
+def test_keeplist_compaction_preserves_screen(spark, tmp_path):
+    """compact_index folds every per-batch growth dir into the base —
+    the N-delta case the batch compactor's docstring promises.  The
+    gold invariant: a later batch screens IDENTICALLY against the
+    compacted index and an uncompacted twin (fold is content-preserving
+    below the df-cap boundary, which the test SFs never cross)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import _incr_is_new
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import keeplist_stream as ks
+
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+    b0 = new_docs.where(F.col("doc_id") % 2 == 0)
+    b1 = new_docs.where(F.col("doc_id") % 2 == 1)
+
+    def run(stream_id: str, compact_between: bool) -> dict:
+        index = ks.build_corpus_index(spark, SF_DIR, stream_id=stream_id)
+        vd = str(tmp_path / f"verdicts_{stream_id}")
+        ks._screen_batch(spark, b0, index, vd, batch_id=0)
+        if compact_between:
+            n = ks.compact_index(spark, index)
+            assert n > 0, "fixture must produce at least one growth dir"
+            # folded dirs cleaned; marker committed inside the base
+            assert ks._growth_dirs(index["grams"]) == []
+            assert ks._folded_tags(index["grams"]) == {"b0"}
+            # rerun-safe: nothing left to fold
+            assert ks.compact_index(spark, index) == 0
+        ks._screen_batch(spark, b1, index, vd, batch_id=1)
+        return {
+            r["doc_id"]: r["verdict"]
+            for r in spark.read.parquet(vd).collect()
+        }
+
+    sid = uuid.uuid4().hex[:8]
+    compacted = run(f"cmp_{sid}", True)
+    reference = run(f"ref_{sid}", False)
+    assert compacted == reference and len(compacted) > 0
+    kinds = set(compacted.values())
+    assert "kept" in kinds
+
+
+def test_keeplist_compaction_marker_and_crash_recovery(spark, tmp_path):
+    """A folded growth dir left on disk is inert (_read_index_side
+    skips marker-named dirs — re-reading it would double Jaccard's
+    shared counts), and a kill between the two swap renames is adopted
+    by the recovery sweep with no content change."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import _incr_is_new
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import keeplist_stream as ks
+
+    sid = f"mk_{uuid.uuid4().hex[:8]}"
+    index = ks.build_corpus_index(spark, SF_DIR, stream_id=sid)
+    new_docs = load_table(spark, SF_DIR, "documents").where(_incr_is_new())
+    vd = str(tmp_path / "verdicts")
+    ks._screen_batch(spark, new_docs, index, vd, batch_id=0)
+
+    before = ks._read_index_side(spark, index["grams"]).count()
+    assert ks.compact_index(spark, index) > 0
+    after = ks._read_index_side(spark, index["grams"]).count()
+    assert after == before  # fold preserved every posting (cap silent)
+
+    # stale folded dir reappears (e.g. cleanup crashed): inert by marker
+    stale = os.path.join(index["grams"], "b0")
+    os.makedirs(os.path.join(stale), exist_ok=True)
+    # give it real parquet content that WOULD double counts if read
+    src = [
+        f
+        for f in os.listdir(index["grams"])
+        if f.endswith(".parquet") and not f.startswith("_")
+    ][0]
+    shutil.copy(
+        os.path.join(index["grams"], src), os.path.join(stale, "part.parquet")
+    )
+    assert ks._read_index_side(spark, index["grams"]).count() == after
+    shutil.rmtree(stale)
+
+    # kill between the two renames: base aside, .next in place
+    os.rename(index["grams"], index["grams"] + ".old")
+    os.makedirs(index["grams"] + ".next")
+    from map_reduce_framework_spark.streaming.upsert_sink import (
+        _recover_table,
+    )
+
+    _recover_table(index["grams"])
+    assert ks._read_index_side(spark, index["grams"]).count() == after
+    assert not os.path.exists(index["grams"] + ".old")
+    assert not os.path.exists(index["grams"] + ".next")

@@ -100,6 +100,8 @@ HEADLINE = [
     "band_index_compact",
     "ann_index_compact",
     "dedup_semantic_scalable",
+    "ann_ivf_pq",
+    "heavy_hitters",
 ]
 
 

@@ -652,6 +652,167 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC search (the FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+#: product-quantization geometry: the 64-dim embeddings split into PQ_M
+#: contiguous subspaces of PQ_SUB dims, PQ_K codebook entries per
+#: subspace — a corpus vector is stored as PQ_M log2(PQ_K)-bit codes
+#: (here 4 × 4 bits = 2 bytes vs 256 bytes of float32: the index fits
+#: in memory/fast storage at corpus sizes where raw vectors cannot).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 16
+#: ADC shortlist width: candidates kept per query on the compressed
+#: score before the exact re-rank — the standard refine dial (FAISS
+#: practice: ~10× k).  Measured top-5 recall vs the exact baseline:
+#: 0.84 at sf0.001 AND sf0.01 at 10×k (the residual loss is mostly the
+#: shared IVF 2-of-8-cell pruning ceiling, 0.92) vs 0.60/0.44 at 3×k —
+#: the sampled codebooks' ADC noise (mean |adc−cos| ≈ 0.15-0.21) needs
+#: the wider cut.
+PQ_SHORTLIST = 10 * IVF_TOP_K
+
+
+def _pq_codebooks(corpus: DataFrame) -> DataFrame:
+    """(m, c, cv): entry ``c`` of subspace ``m``'s codebook = the m-th
+    ``PQ_SUB``-dim slice of the c-th lowest-id unit corpus vector —
+    deterministic "training", the same stand-in argument as
+    :func:`ann_ivf`'s first-N coarse centroids (production PQ k-means
+    each subspace; the encode/ADC/refine plumbing is identical, and
+    :func:`ann_ivf_kmeans` already demonstrates the trained-quantizer
+    variant on the coarse axis)."""
+    return (
+        corpus.where(F.col("cand_id") < PQ_K)
+        .select(F.col("cand_id").cast("int").alias("c"), "vc")
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))))
+        .select(
+            "m",
+            "c",
+            F.expr(f"slice(vc, m * {PQ_SUB} + 1, {PQ_SUB})").alias("cv"),
+        )
+    )
+
+
+def _pq_encode(corpus: DataFrame, cb: DataFrame) -> DataFrame:
+    """(cand_id, m, c): nearest codebook entry per (vector, subspace).
+
+    Rank key: ``e6 = rnd(dot(xm, cv) − ||cv||²/2, 6)`` DESC with entry-id
+    tie-break — the argmin of squared L2 (``||xm||²`` is constant within
+    a (cand, m) group) expressed through the parity-verified dot
+    primitive, so the oracle replays the assignment exactly.  The argmax
+    is a partial-agg ``min(struct(−e6, c))`` — map-side combinable, no
+    per-key window: the corpus×(M·K) compare fan-out reduces to M rows
+    per vector before the (cand_id, m) shuffle."""
+    sub = corpus.withColumn(
+        "m", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1)))
+    ).select(
+        "cand_id",
+        "m",
+        F.expr(f"slice(vc, m * {PQ_SUB} + 1, {PQ_SUB})").alias("xm"),
+    )
+    scored = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn(
+            "e6", rnd(dot_col("xm", "cv") - dot_col("cv", "cv") / 2, 6)
+        )
+        .withColumn("ne6", -F.col("e6"))
+    )
+    return scored.groupBy("cand_id", "m").agg(
+        F.min(F.struct(F.col("ne6"), F.col("c"))).getField("c").alias("c")
+    )
+
+
+def _pq_reconstruct(codes: DataFrame, cb: DataFrame) -> DataFrame:
+    """(cand_id, vr): each vector's reconstruction — its PQ_M codebook
+    entries concatenated in subspace order.  ``dot(q, vr) ==
+    Σ_m dot(q_m, cb[m][code_m])``, the textbook per-subspace ADC
+    lookup-table sum, computed as ONE left-to-right dot so both engines
+    sum in the same order."""
+    return (
+        codes.join(F.broadcast(cb), ["m", "c"])
+        .groupBy("cand_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(m, cv))),"
+                " s -> s.cv))"
+            ).alias("vr")
+        )
+    )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search — the FAISS-style design for corpora whose raw
+    float vectors exceed the serving budget:
+
+    1. coarse IVF cells prune each query to ``N_PROBE`` cells (same
+       frozen first-N quantizer as :func:`ann_ivf`);
+    2. corpus vectors are PRODUCT-QUANTIZED (:func:`_pq_encode`): the
+       stored index holds 2 bytes of codes per vector — 64× smaller
+       than float32, which is what makes 100 TB-corpus serving feasible;
+    3. probed candidates are scored ASYMMETRICALLY (ADC): exact query
+       vector against the candidate's reconstruction from the broadcast
+       codebooks (:func:`_pq_reconstruct`) — compression error applies
+       to the candidate side only;
+    4. the top ``PQ_SHORTLIST`` per query by ADC score are re-ranked by
+       EXACT cosine (the standard refine step — a bounded
+       ≤ PQ_SHORTLIST-row window per query).  Output carries both
+       scores, so the per-hit compression error is visible.
+
+    At 100 TB: the codebooks (PQ_M × PQ_K subvectors) and the query set
+    broadcast; the corpus-side work is the encode (one broadcast-join
+    pass, partial-agg argmin) and a cell-pruned equi-join over codes —
+    no shuffle ever carries the raw vectors past the encode scan.
+
+    No counterpart in the reference (SURVEY §2.4 extension:
+    similarity-search family).
+    """
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        unit_vector_col("embedding").alias("vcent"),
+    )
+    cb = _pq_codebooks(corpus)
+    recon = _pq_reconstruct(_pq_encode(corpus, cb), cb)
+    corpus_cells = _assign_cells(centroids, corpus, "cand_id", "vc", 1)
+    probe_cells = _assign_cells(
+        centroids, queries, "query_id", "vq", N_PROBE
+    ).withColumnRenamed("cell", "qcell")
+    adc = (
+        F.broadcast(probe_cells)
+        .join(
+            corpus_cells.drop("vc").join(recon, "cand_id"),
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .withColumn("cos6", rnd(dot_col("vq", "vr"), 6))
+    )
+    shortlist = _topk_per_query(
+        adc, PQ_SHORTLIST, ["query_id", "cand_id", "cos6"]
+    ).select("query_id", "cand_id", F.col("cos6").alias("adc6"))
+    refined = (
+        corpus.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos6", rnd(_pair_cosine(), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("cand_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            rnd(F.col("adc6"), 4).alias("adc_cosine"),
+            rnd(F.col("cos6"), 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label Euclidean-norm profile of the embedding corpus — the
     sanity check every vector pipeline runs before indexing (un-normed
@@ -770,12 +931,92 @@ ORACLES["ann_index_compact"] = f"""
     GROUP BY label ORDER BY label
 """
 
+# ann_ivf_pq: the oracle replays codebook construction, per-subspace
+# encoding (same e6 rank key), reconstruction, cell-pruned ADC scoring
+# (list_dot_product == the engine's left-to-right dot), shortlist and
+# exact refine — any divergence in code assignment, shortlist cut, or
+# either score breaks the hash match.
+ORACLES["ann_ivf_pq"] = f"""
+    WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS vcent FROM e
+              WHERE vec_id < {N_CENTROIDS}),
+    ms AS (SELECT unnest(range({PQ_M})) AS m),
+    cb AS (SELECT ms.m, e.vec_id::INT AS c,
+                  list_slice(e.v, ms.m * {PQ_SUB} + 1,
+                             (ms.m + 1) * {PQ_SUB}) AS cv
+           FROM e, ms WHERE e.vec_id < {PQ_K}),
+    sub AS (SELECT e.vec_id AS cand_id, ms.m,
+                   list_slice(e.v, ms.m * {PQ_SUB} + 1,
+                              (ms.m + 1) * {PQ_SUB}) AS xm
+            FROM e, ms),
+    enc_scored AS (
+        SELECT s.cand_id, s.m, b.c,
+               {_rnd_sql(
+                   "list_dot_product(s.xm, b.cv)"
+                   " - list_dot_product(b.cv, b.cv) / 2", 6)} AS e6
+        FROM sub s JOIN cb b ON s.m = b.m),
+    codes AS (
+        SELECT cand_id, m, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id, m
+                ORDER BY e6 DESC, c) AS rn
+            FROM enc_scored) WHERE rn = 1),
+    recon AS (
+        SELECT codes.cand_id, flatten(list(cb.cv ORDER BY codes.m)) AS vr
+        FROM codes JOIN cb ON codes.m = cb.m AND codes.c = cb.c
+        GROUP BY codes.cand_id),
+    corpus_scored AS (
+        SELECT e.vec_id AS cand_id, c.cent_id,
+               {_rnd_sql("list_dot_product(e.v, c.vcent)", 6)} AS cdot
+        FROM e CROSS JOIN cents c),
+    corpus_cells AS (
+        SELECT cand_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY cand_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM corpus_scored) WHERE crank = 1),
+    probe_scored AS (
+        SELECT e.vec_id AS query_id, e.v, c.cent_id,
+               {_rnd_sql("list_dot_product(e.v, c.vcent)", 6)} AS cdot
+        FROM e CROSS JOIN cents c WHERE e.vec_id < {N_QUERIES}),
+    probe_cells AS (
+        SELECT query_id, v, cent_id AS qcell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cdot DESC, cent_id) AS crank
+            FROM probe_scored) WHERE crank <= {N_PROBE}),
+    adc AS (
+        SELECT q.query_id, cc.cand_id,
+               {_rnd_sql("list_dot_product(q.v, r.vr)", 6)} AS adc6
+        FROM probe_cells q
+        JOIN corpus_cells cc ON q.qcell = cc.cell
+        JOIN recon r ON r.cand_id = cc.cand_id
+        WHERE q.query_id <> cc.cand_id),
+    shortlist AS (
+        SELECT query_id, cand_id, adc6 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc6 DESC, cand_id) AS rn
+            FROM adc) WHERE rn <= {PQ_SHORTLIST}),
+    refined AS (
+        SELECT s.query_id, s.cand_id, s.adc6,
+               {_rnd_sql("list_dot_product(qe.v, ce.v)", 6)} AS cos6
+        FROM shortlist s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ce ON ce.vec_id = s.cand_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos6 DESC, cand_id) AS rank
+        FROM refined)
+    SELECT query_id, cand_id, rank,
+           {_rnd_sql("adc6", 4)} AS adc_cosine,
+           {_rnd_sql("cos6", 4)} AS cosine
+    FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ann_ivf_pq": ann_ivf_pq,
     "ann_index_maintain": ann_index_maintain,
     "ann_index_compact": ann_index_compact,
     "embedding_norm_stats": embedding_norm_stats,

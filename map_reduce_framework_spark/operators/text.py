@@ -1755,6 +1755,121 @@ ORACLES["quality_filter_rules"] = f"""
     FROM r ORDER BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-pass exact frequent tokens (Misra-Gries prune)
+# ---------------------------------------------------------------------------
+
+#: report tokens with corpus frequency > n_tokens / HH_K
+HH_K = 200
+#: per-partition Misra-Gries counter budget.  The MG guarantee needs
+#: only C ≥ HH_K − 1 (an item with global count > N/K exceeds n_p/K on
+#: at least one partition by averaging, and a C-counter MG summary
+#: under-counts any item by at most n_p/(C+1)); 2× gives margin so the
+#: candidate pool stays small without running near the bound.
+HH_COUNTERS = 2 * HH_K
+
+
+def _mg_candidates(budget: int = HH_COUNTERS):
+    """Per-partition Misra-Gries summary over Arrow batches: merge each
+    batch's value_counts into the counter dict, then apply the mergeable
+    -summaries decrement (Agarwal et al. 2012): subtract the
+    (budget+1)-th largest count from everyone and drop the non-positive.
+    Emits the surviving tokens — a guaranteed SUPERSET of the true heavy
+    hitters, in ``budget`` counters of memory regardless of vocabulary
+    size.  ``budget`` is closed over (not read from the module) so it
+    ships to Python workers with the function."""
+
+    def summarize(pdf_iter):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in pdf_iter:
+            for tok, c in pdf["token"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > budget:
+                cut = sorted(counts.values(), reverse=True)[budget]
+                counts = {t: v - cut for t, v in counts.items() if v > cut}
+        yield pd.DataFrame({"token": list(counts)})
+
+    return summarize
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-frequent tokens (count > N/``HH_K``) without ever
+    shuffling the full vocabulary — the two-pass Misra-Gries design:
+
+    pass 1 ships each partition's ``HH_COUNTERS``-entry MG summary
+    (:func:`_mg_candidates` — bounded memory, no per-key state), whose
+    union is a guaranteed superset of every true heavy hitter; pass 2
+    recounts ONLY the broadcast candidate set exactly.  The output is
+    therefore exact and deterministic even though the candidate pool
+    depends on partitioning — false candidates fall to the threshold.
+
+    Why it matters at 100 TB: a plain groupBy-HAVING shuffles every
+    distinct token (web-scale vocabularies are billions of keys); here
+    the shuffle carries ≤ C×partitions candidate rows plus the
+    candidate-filtered partial counts, and the token stream is read
+    twice sequentially — the classic heavy-hitters trade.
+
+    No counterpart in the reference (SURVEY §2.4 extension: text
+    analysis family).
+
+    The testdata vocabulary (31 words) never overflows the counter
+    budget, so the MG prune path is exercised by synthetic large-
+    vocabulary tests (test_heavy_hitters_* — planted heavies over a
+    5000-word Zipf corpus with a starved counter budget).
+    """
+    return _heavy_hitters_over(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _heavy_hitters_over(
+    docs: DataFrame, k: int = HH_K, counters: int = HH_COUNTERS
+) -> DataFrame:
+    """:func:`heavy_hitters` body over an explicit docs frame with
+    explicit dials (separate so tests can drive a synthetic large-
+    vocabulary corpus through the real MG prune with a starved
+    budget)."""
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cands = toks.mapInPandas(
+        _mg_candidates(counters), "token string"
+    ).distinct()
+    total = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("double")
+        .alias("n")
+    )
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("n") / k)
+        .select(
+            "token",
+            "cnt",
+            rnd(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )
+
+
+ORACLES["heavy_hitters"] = f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        tot AS (
+            SELECT sum(len(string_split(text, ' ')))::DOUBLE AS n
+            FROM documents),
+        cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+        SELECT token, cnt, {rnd_sql('cnt / n', 6)} AS share
+        FROM cnts, tot WHERE cnt > n / {HH_K}
+        ORDER BY cnt DESC, token
+    """
+
 QUERIES = {
     "text_stats": text_stats,
     "quality_score": quality_score,
@@ -1778,4 +1893,5 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_segment_docs": bpe_segment_docs,
     "training_manifest": training_manifest,
+    "heavy_hitters": heavy_hitters,
 }

@@ -7,10 +7,11 @@ r05-green rows round 8 deferred — the pre-planned debt, honoured
 exactly as written — (b) the plan-changed dedup_embedding_cosine
 (canonical per-pair min-cosine) and the NEW compaction matrix
 (dedup/band/ann_index_compact) plus the hierarchical
-dedup_semantic_scalable, and (c) 41 of the 47 r06-latest
-greens.  Six trivially-stable r06 set/subquery/window-agg rows are
-deferred to round 10 (named in registry.py — rotate them in FIRST
-next round).  The two approx sketches are
+dedup_semantic_scalable, the IVF-PQ search (ann_ivf_pq) and the
+two-pass Misra-Gries heavy_hitters, and (c) 39 of the 47 r06-latest
+greens.  Eight trivially-stable r06 set/subquery/window-agg rows are
+deferred to round 10 (named in
+registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
 """
@@ -33,6 +34,10 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "ann_index_compact",
     # NEW: hierarchical SemDeDup (fix for the flat n²/256 assignment)
     "dedup_semantic_scalable",
+    # NEW: product-quantized ADC search with exact refine (FAISS IVFPQ)
+    "ann_ivf_pq",
+    # NEW: two-pass exact Misra-Gries frequent tokens
+    "heavy_hitters",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -52,6 +57,8 @@ DEFERRED_TO_R10 = {
     "events_time_window",
     "events_sliding_window",
     "sql_api_revenue",
+    "scalar_subquery_above_avg",
+    "window_distribution",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

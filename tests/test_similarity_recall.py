@@ -121,3 +121,63 @@ def test_ann_index_compact_is_rerun_idempotent(spark):
     finally:
         cache.release()
     assert first == second and len(first) > 0
+
+
+def test_ivf_pq_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.similarity import (
+        ORACLES,
+        ann_ivf_pq,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, ann_ivf_pq, ORACLES["ann_ivf_pq"], "ann_ivf_pq"
+    )
+
+
+def test_ivf_pq_recall_floor_and_exact_refine(spark):
+    """PQ recall floor (measured 0.84 at sf0.001 AND sf0.01 with the
+    10×k shortlist — the shared IVF cell-pruning ceiling is 0.92) and
+    the refine contract: the reported ``cosine`` is EXACT — for any hit
+    that the brute-force baseline also ranks, the values agree."""
+    exact_rows = sim.ann_cosine_topk(spark, SF_DIR).collect()
+    exact = _topk_sets(exact_rows, sim.IVF_TOP_K)
+    exact_cos = {
+        (r["query_id"], r["cand_id"]): r["cosine"] for r in exact_rows
+    }
+    pq_rows = sim.ann_ivf_pq(spark, SF_DIR).collect()
+    pq = _topk_sets(pq_rows, sim.IVF_TOP_K)
+    r = _recall(exact, pq)
+    assert r >= 0.7, f"IVF-PQ recall {r}"
+    matched = 0
+    for row in pq_rows:
+        key = (row["query_id"], row["cand_id"])
+        if key in exact_cos:
+            assert row["cosine"] == exact_cos[key], row
+            matched += 1
+    assert matched > 0
+    # both scores present; the ADC score is the compressed approximation
+    for row in pq_rows:
+        assert row["adc_cosine"] is not None and row["cosine"] is not None
+
+
+def test_pq_encode_is_total_and_in_range(spark):
+    """Every (corpus vector, subspace) gets EXACTLY one code in
+    [0, PQ_K) — a lost or duplicated assignment corrupts the index."""
+    from map_reduce_framework_spark.operators.similarity import (
+        _corpus_and_queries,
+        _pq_codebooks,
+        _pq_encode,
+    )
+
+    corpus, _ = _corpus_and_queries(spark, SF_DIR)
+    n = corpus.count()
+    codes = _pq_encode(corpus, _pq_codebooks(corpus)).collect()
+    assert len(codes) == n * sim.PQ_M
+    seen = set()
+    for row in codes:
+        assert 0 <= row["c"] < sim.PQ_K, row
+        key = (row["cand_id"], row["m"])
+        assert key not in seen
+        seen.add(key)

@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_semantic_scalable",
     "ann_ivf_pq",
     "heavy_hitters",
+    "embedding_quantize_int8",
 ]
 
 

@@ -813,6 +813,98 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization audit — the 4× storage
+    tier between raw float32 and :func:`ann_ivf_pq`'s 64× codes (the
+    standard serving ladder: raw → int8 → PQ).
+
+    Each vector quantizes against its own scale ``amax/127`` (code_i =
+    clamp(floor(x_i/scale + 0.5), −127, 127) — explicit half-up
+    floor(+0.5), the engine-portable rounding used repo-wide, NOT the
+    engines' differing round() ties rules), dequantizes as
+    ``code·scale``, and reports per-label reconstruction quality:
+    mean/max relative L2 error and mean cosine(original, dequantized).
+    A zero vector quantizes to all-zero codes with zero error by the
+    CASE guard (none exist in the corpus; the guard keeps the operator
+    total).
+
+    100 TB shape: map-only per-vector arithmetic inside whole-stage
+    codegen (JVM ``transform``/``aggregate`` — no Python, no shuffle)
+    feeding one partial-agg groupBy(label); this is the audit a
+    pipeline runs before switching its serving tier.  No counterpart
+    in the reference (SURVEY §2.4 extension).
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "amax",
+        F.expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> greatest(acc, abs(x)))"
+        ),
+    )
+    deq = v.withColumn(
+        "dq",
+        F.expr(
+            "CASE WHEN amax = 0.0D THEN transform(v, x -> 0.0D)"
+            " ELSE transform(v, x ->"
+            "   greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),"
+            "     floor(x / (amax / 127.0D) + 0.5D)))"
+            "   * (amax / 127.0D)) END"
+        ),
+    )
+    scored = deq.select(
+        "label",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, dq, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e))"
+        ).alias("l2_err"),
+        norm_col_local("v").alias("nrm"),
+        dot_col("v", "dq").alias("dot_vd"),
+        norm_col_local("dq").alias("nrm_d"),
+    ).select(
+        "label",
+        rnd(
+            F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(
+                F.col("l2_err") / F.col("nrm")
+            ),
+            6,
+        ).alias("rel_err"),
+        rnd(
+            F.when(
+                (F.col("nrm") == 0.0) | (F.col("nrm_d") == 0.0), F.lit(1.0)
+            ).otherwise(
+                F.col("dot_vd") / (F.col("nrm") * F.col("nrm_d"))
+            ),
+            6,
+        ).alias("cos_recon"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            rnd(F.avg("rel_err"), 4).alias("avg_rel_err"),
+            rnd(F.max("rel_err"), 4).alias("max_rel_err"),
+            rnd(F.avg("cos_recon"), 4).alias("avg_cos_recon"),
+        )
+        .orderBy("label")
+    )
+
+
+def norm_col_local(a: str):
+    """Euclidean norm of an array<double> column (no float cast —
+    :func:`~.dedup.norm_col` casts from float, this one takes the
+    already-double arrays the quantizer builds)."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x * x)"
+        )
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label Euclidean-norm profile of the embedding corpus — the
     sanity check every vector pipeline runs before indexing (un-normed
@@ -931,6 +1023,48 @@ ORACLES["ann_index_compact"] = f"""
     GROUP BY label ORDER BY label
 """
 
+# embedding_quantize_int8: same half-up floor(+0.5) quantizer, same
+# clamp, same zip-difference L2 — every per-element expression is
+# arithmetic both engines evaluate identically, and the sums ride the
+# verified left-to-right list aggregates.
+ORACLES["embedding_quantize_int8"] = f"""
+    WITH a AS (
+        SELECT label, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[],
+                                       y -> abs(y))) AS amax
+        FROM embeddings),
+    q AS (
+        SELECT label, v,
+               CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x ->
+                        greatest(-127.0, least(127.0,
+                            floor(x / (amax / 127.0) + 0.5)))
+                        * (amax / 127.0)) END AS dq
+        FROM a),
+    m AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(list_zip(v, dq),
+                    p -> (p[1] - p[2]) * (p[1] - p[2])))) AS l2_err,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               list_dot_product(v, dq) AS dot_vd,
+               sqrt(list_sum(list_transform(dq, x -> x * x))) AS nrm_d
+        FROM q),
+    r AS (
+        SELECT label,
+               {_rnd_sql(
+                   "CASE WHEN nrm = 0.0 THEN 0.0"
+                   " ELSE l2_err / nrm END", 6)} AS rel_err,
+               {_rnd_sql(
+                   "CASE WHEN nrm = 0.0 OR nrm_d = 0.0 THEN 1.0"
+                   " ELSE dot_vd / (nrm * nrm_d) END", 6)} AS cos_recon
+        FROM m)
+    SELECT label, count(*) AS n_vectors,
+           {_rnd_sql("avg(rel_err)", 4)} AS avg_rel_err,
+           {_rnd_sql("max(rel_err)", 4)} AS max_rel_err,
+           {_rnd_sql("avg(cos_recon)", 4)} AS avg_cos_recon
+    FROM r GROUP BY label ORDER BY label
+"""
+
 # ann_ivf_pq: the oracle replays codebook construction, per-subspace
 # encoding (same e6 rank key), reconstruction, cell-pruned ADC scoring
 # (list_dot_product == the engine's left-to-right dot), shortlist and
@@ -1020,4 +1154,5 @@ QUERIES = {
     "ann_index_maintain": ann_index_maintain,
     "ann_index_compact": ann_index_compact,
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }

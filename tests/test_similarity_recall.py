@@ -181,3 +181,32 @@ def test_pq_encode_is_total_and_in_range(spark):
         key = (row["cand_id"], row["m"])
         assert key not in seen
         seen.add(key)
+
+
+def test_int8_quantize_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.similarity import (
+        ORACLES,
+        embedding_quantize_int8,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        embedding_quantize_int8,
+        ORACLES["embedding_quantize_int8"],
+        "embedding_quantize_int8",
+    )
+
+
+def test_int8_quantize_error_within_analytic_bound(spark):
+    """Symmetric int8 with a per-vector amax/127 scale bounds each
+    element's error by scale/2, so rel-L2 ≤ √d·(amax/254)/‖v‖ ≤
+    √64/254 ≈ 0.0315 for ANY vector (amax ≤ ‖v‖).  Measured ~0.006
+    avg / ~0.0096 max on the corpus; the bound is corpus-independent."""
+    rows = sim.embedding_quantize_int8(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["max_rel_err"] <= 0.0315, r
+        assert r["avg_cos_recon"] >= 0.9999, r

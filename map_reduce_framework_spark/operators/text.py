@@ -1789,7 +1789,9 @@ def _mg_candidates(budget: int = HH_COUNTERS):
             if len(counts) > budget:
                 cut = sorted(counts.values(), reverse=True)[budget]
                 counts = {t: v - cut for t, v in counts.items() if v > cut}
-        yield pd.DataFrame({"token": list(counts)})
+        yield pd.DataFrame(
+            {"token": list(counts), "cnt": list(counts.values())}
+        )
 
     return summarize
 
@@ -1832,9 +1834,22 @@ def _heavy_hitters_over(
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    cands = toks.mapInPandas(
-        _mg_candidates(counters), "token string"
-    ).distinct()
+    cands = (
+        toks.mapInPandas(_mg_candidates(counters), "token string, cnt long")
+        .select("token")
+        .distinct()
+    )
+    return _exact_recount(docs, cands, k)
+
+
+def _exact_recount(docs: DataFrame, cands: DataFrame, k: int) -> DataFrame:
+    """Pass 2, shared with the streaming twin: exact count of the
+    (broadcast, counters-sized) candidate tokens over ``docs``, cut at
+    count > N/k.  Exact and deterministic whatever superset ``cands``
+    is — false candidates fall to the threshold."""
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
     total = docs.agg(
         F.sum(F.size(F.split(F.col("text"), " ")))
         .cast("double")

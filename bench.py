@@ -103,6 +103,7 @@ HEADLINE = [
     "ann_ivf_pq",
     "heavy_hitters",
     "embedding_quantize_int8",
+    "ann_ivf_pq_indexed",
 ]
 
 

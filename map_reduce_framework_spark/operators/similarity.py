@@ -768,26 +768,31 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-search family).
     """
     corpus, queries = _corpus_and_queries(spark, sf_dir)
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        unit_vector_col("embedding").alias("vcent"),
-    )
+    centroids = _first_n_centroids(spark, sf_dir)
     cb = _pq_codebooks(corpus)
     recon = _pq_reconstruct(_pq_encode(corpus, cb), cb)
     corpus_cells = _assign_cells(centroids, corpus, "cand_id", "vc", 1)
-    probe_cells = _assign_cells(
-        centroids, queries, "query_id", "vq", N_PROBE
-    ).withColumnRenamed("cell", "qcell")
-    adc = (
-        F.broadcast(probe_cells)
-        .join(
-            corpus_cells.drop("vc").join(recon, "cand_id"),
-            (F.col("qcell") == F.col("cell"))
-            & (F.col("query_id") != F.col("cand_id")),
-        )
-        .withColumn("cos6", rnd(dot_col("vq", "vr"), 6))
+    recon_cells = corpus_cells.drop("vc").join(recon, "cand_id")
+    return _pq_adc_tail(spark, sf_dir, recon_cells)
+
+
+def _first_n_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen first-N coarse quantizer shared by the IVF family."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        unit_vector_col("embedding").alias("vcent"),
     )
+
+
+def _pq_adc_tail(
+    spark: SparkSession, sf_dir: str, recon_cells: DataFrame
+) -> DataFrame:
+    """Shared IVF-PQ search tail over ``(cand_id, cell, vr)``: probe
+    cells → ADC score → shortlist → exact refine (see
+    :func:`ann_ivf_pq`)."""
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    adc = _pq_adc_scores(spark, sf_dir, recon_cells)
     shortlist = _topk_per_query(
         adc, PQ_SHORTLIST, ["query_id", "cand_id", "cos6"]
     ).select("query_id", "cand_id", F.col("cos6").alias("adc6"))
@@ -810,6 +815,105 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("cos6"), 4).alias("cosine"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def _pq_adc_scores(
+    spark: SparkSession, sf_dir: str, recon_cells: DataFrame
+) -> DataFrame:
+    """The ADC stage: broadcast probe cells equi-join the (cell-keyed)
+    reconstruction side, score = rounded dot(query, reconstruction).
+    The index side streams — plan-asserted shuffle-free when
+    ``recon_cells`` comes from the bucketed code index."""
+    _, queries = _corpus_and_queries(spark, sf_dir)
+    centroids = _first_n_centroids(spark, sf_dir)
+    probe_cells = _assign_cells(
+        centroids, queries, "query_id", "vq", N_PROBE
+    ).withColumnRenamed("cell", "qcell")
+    return (
+        F.broadcast(probe_cells)
+        .join(
+            recon_cells,
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .withColumn("cos6", rnd(dot_col("vq", "vr"), 6))
+    )
+
+
+PQ_INDEX_TABLE = "mrfs_pq_index"
+
+
+def pq_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the PQ-compressed index: ``(cand_id, codes
+    array<int>, cell)`` bucketed on the cell id — the artifact a FAISS
+    IVFPQ index actually persists (codes, not vectors: ~2 bytes/vector
+    here vs 256 of float32).  Encode (the corpus × M·K compare pass) is
+    paid once per index build; per-corpus content-fingerprinted name;
+    built once per session."""
+    from ..sources.bucketing import fingerprinted_table_name, write_bucketed
+
+    table = fingerprinted_table_name(PQ_INDEX_TABLE, sf_dir, "embeddings")
+    if not spark.catalog.tableExists(table):
+        corpus, _ = _corpus_and_queries(spark, sf_dir)
+        cb = _pq_codebooks(corpus)
+        codes = _pq_encode(corpus, cb)
+        cells = _assign_cells(
+            _first_n_centroids(spark, sf_dir), corpus, "cand_id", "vc", 1
+        ).select("cand_id", "cell")
+        packed = (
+            codes.groupBy("cand_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(m, c))),"
+                    " s -> s.c)"
+                ).alias("codes")
+            )
+            .join(cells, "cand_id")
+        )
+        write_bucketed(packed, table, "cell", IVF_INDEX_BUCKETS)
+    return spark.table(table)
+
+
+def ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_pq` serving from the materialized code index —
+    the production shape: the index stores only ``(cand_id, codes,
+    cell)``; reconstructions are re-derived AT SCAN TIME from the
+    driver-collected codebook literal (PQ_M·PQ_K tiny subvectors — the
+    in-memory codebook every PQ service holds), so the index side is a
+    bucketed scan + projection with ZERO exchange (plan-asserted) and
+    the full vectors never sit in the index at all.  Output-identical
+    to :func:`ann_ivf_pq` (same codes, same codebooks, same tail) —
+    shares its oracle."""
+    return _pq_adc_tail(spark, sf_dir, _indexed_recon_cells(spark, sf_dir))
+
+
+def _indexed_recon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand_id, cell, vr) from the stored code index: bucketed scan +
+    the scan-time codebook-literal reconstruction — a pure projection,
+    no join, no shuffle on the index path."""
+    idx = pq_index_bucketed(spark, sf_dir)
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
+    cb_rows = _pq_codebooks(corpus).collect()
+    entries = {(r["m"], r["c"]): r["cv"] for r in cb_rows}
+    cbarr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in entries[(m, c)]])
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        ]
+    )
+    return idx.select(
+        "cand_id",
+        "cell",
+        F.flatten(
+            F.transform(
+                F.col("codes"),
+                lambda c, m: F.element_at(
+                    cbarr, (m * PQ_K + c + F.lit(1)).cast("int")
+                ),
+            )
+        ).alias("vr"),
     )
 
 
@@ -1144,6 +1248,11 @@ ORACLES["ann_ivf_pq"] = f"""
     FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
+# output-identical by construction: same codes, same codebooks, same
+# tail — only WHERE the reconstruction comes from differs (stored code
+# index + scan-time codebook lookup vs the derived encode join)
+ORACLES["ann_ivf_pq_indexed"] = ORACLES["ann_ivf_pq"]
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1151,6 +1260,7 @@ QUERIES = {
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "ann_ivf_pq": ann_ivf_pq,
+    "ann_ivf_pq_indexed": ann_ivf_pq_indexed,
     "ann_index_maintain": ann_index_maintain,
     "ann_index_compact": ann_index_compact,
     "embedding_norm_stats": embedding_norm_stats,

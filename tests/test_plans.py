@@ -671,3 +671,33 @@ def test_compact_df_recount_rides_bucket_layout(spark):
     plan = plan_of(merged, mode="simple")
     assert "Exchange" not in plan, plan
     assert merged.count() > 0
+
+
+def test_pq_index_side_is_scan_plus_projection_no_exchange(spark):
+    """ann_ivf_pq_indexed's ADC stage must read the stored code index
+    as a bucketed scan + the scan-time codebook reconstruction with NO
+    shuffle exchange anywhere — the only exchange in the stage is the
+    probe side's BroadcastExchange (the vectors never sit in the index,
+    and nothing repartitions the code scan)."""
+    from map_reduce_framework_spark.operators.similarity import (
+        _indexed_recon_cells,
+        _pq_adc_scores,
+    )
+
+    recon = _indexed_recon_cells(spark, SF_DIR)
+    rplan = plan_of(recon, mode="simple")
+    assert "mrfs_pq_index" in rplan
+    assert "Exchange" not in rplan, rplan  # pure scan + projection
+
+    adc = _pq_adc_scores(spark, SF_DIR, recon)
+    plan = plan_of(adc, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle in the stage is the probe-side ranking window
+    # over the CONSTANT-SIZE query set (keyed on query_id, inside the
+    # broadcast build); nothing repartitions the corpus-scale code scan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "query_id" in hash_exchanges[0], plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert adc.count() > 0

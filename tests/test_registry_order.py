@@ -8,9 +8,10 @@ exactly as written — (b) the plan-changed dedup_embedding_cosine
 (canonical per-pair min-cosine) and the NEW compaction matrix
 (dedup/band/ann_index_compact) plus the hierarchical
 dedup_semantic_scalable, the IVF-PQ search (ann_ivf_pq) and the
-two-pass Misra-Gries heavy_hitters and the int8 quantization audit
-(embedding_quantize_int8), and (c) 38 of the 47 r06-latest greens.
-Nine trivially-stable r06 set/subquery/window-agg/profile rows are
+two-pass Misra-Gries heavy_hitters, the int8 quantization audit
+(embedding_quantize_int8) and the indexed PQ search
+(ann_ivf_pq_indexed), and (c) 37 of the 47 r06-latest greens.
+Ten trivially-stable r06 set/subquery/window-agg/profile rows are
 deferred to round 10 (named in
 registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
@@ -41,6 +42,8 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "heavy_hitters",
     # NEW: symmetric int8 quantization audit (the 4x serving tier)
     "embedding_quantize_int8",
+    # NEW: PQ search from the materialized bucketed code index
+    "ann_ivf_pq_indexed",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -63,6 +66,7 @@ DEFERRED_TO_R10 = {
     "scalar_subquery_above_avg",
     "window_distribution",
     "table_profile",
+    "snapshot_diff",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -104,6 +104,7 @@ HEADLINE = [
     "heavy_hitters",
     "embedding_quantize_int8",
     "ann_ivf_pq_indexed",
+    "fuzzy_edit_pairs",
 ]
 
 

@@ -68,21 +68,24 @@ _MODULES = [
 # the FAISS IVFPQ shape completing the ANN family), heavy_hitters
 # (NEW: two-pass exact Misra-Gries frequent tokens), and
 # embedding_quantize_int8 (NEW: symmetric int8 quantization audit —
-# the 4x serving tier below PQ), and ann_ivf_pq_indexed (NEW: the
-# same PQ search serving from the materialized bucketed code index).
+# the 4x serving tier below PQ), ann_ivf_pq_indexed (NEW: the
+# same PQ search serving from the materialized bucketed code index),
+# and fuzzy_edit_pairs (NEW: exact edit-distance pair join via the
+# lossless Ed-Join prefix filter).
 # Note: gram_index_bucketed's base BUILD now also writes the over-cap
 # tombstone table, but the base CONTENTS are byte-identical (same cap,
 # same anti-join) — its consumers dedup_incremental_indexed and
 # dedup_index_maintain get fresh rows anyway: the former rotates in
 # with block (c), the latter is r08-green on an unchanged screen plan.
-# (c) 37 of the 47 r06-latest greens — the oldest remaining evidence
+# (c) 36 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
-# ROUND-10 ROTATION DEBT (10 r06-green rows deferred for the block-b
+# ROUND-10 ROTATION DEBT (11 r06-green rows deferred for the block-b
 # slots, all trivially-stable pure-Catalyst set/subquery/window-agg/
 # SQL-front-end shapes with no moving parts): grouping_sets,
 # set_union_all, not_exists_subquery, events_time_window,
 # events_sliding_window, sql_api_revenue, scalar_subquery_above_avg,
-# window_distribution, table_profile, snapshot_diff.
+# window_distribution, table_profile, snapshot_diff,
+# tpch_q2_min_cost_supplier.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -105,7 +108,8 @@ DRIVER_WINDOW = [
     "heavy_hitters",
     "embedding_quantize_int8",
     "ann_ivf_pq_indexed",
-    # (c) r06-latest greens (37 of 47; 10 deferred, see above)
+    "fuzzy_edit_pairs",
+    # (c) r06-latest greens (36 of 47; 11 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -141,7 +145,6 @@ DRIVER_WINDOW = [
     "text_stats",
     "tfidf_topterms",
     "token_count_bpe",
-    "tpch_q2_min_cost_supplier",
     "window_range_interval",
 ]
 

@@ -846,3 +846,45 @@ def test_band_index_compact_is_rerun_idempotent(spark):
     finally:
         cache.release()
     assert first == second and len(first) > 0
+
+
+def test_fuzzy_edit_pairs_planted_typos(spark, tmp_path):
+    """Planted-edit contract: titles at Levenshtein distance 1 and 2
+    are found with the exact distance, distance 3 is excluded, and an
+    unrelated title pairs with nothing — through the REAL Ed-Join
+    prefix blocking, not a brute-force shortcut."""
+    from map_reduce_framework_spark.operators.dedup import (
+        FUZZY_TITLE_LEN,
+        fuzzy_edit_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog etc"[:FUZZY_TITLE_LEN]
+    rows = [
+        (0, base),
+        (1, base[:10] + "x" + base[11:]),          # 1 substitution
+        (2, base[:5] + "xy" + base[7:]),           # 2 substitutions
+        (3, base[:5] + "xyz" + base[8:]),          # 3 substitutions
+        (4, "completely different title text entirely here"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t + " filler" * 5, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # fuzzy_edit_pairs loads via load_table(sf_dir, "documents") — write
+    # the parquet under the expected name
+    import os
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_edit_pairs(spark, sf).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert (0, 3) not in got  # distance 3 exceeds FUZZY_MAX_ED
+    assert all(4 not in pair for pair in got)
+    assert all(dist <= 2 for dist in got.values())

@@ -9,10 +9,11 @@ exactly as written — (b) the plan-changed dedup_embedding_cosine
 (dedup/band/ann_index_compact) plus the hierarchical
 dedup_semantic_scalable, the IVF-PQ search (ann_ivf_pq) and the
 two-pass Misra-Gries heavy_hitters, the int8 quantization audit
-(embedding_quantize_int8) and the indexed PQ search
-(ann_ivf_pq_indexed), and (c) 37 of the 47 r06-latest greens.
-Ten trivially-stable r06 set/subquery/window-agg/profile rows are
-deferred to round 10 (named in
+(embedding_quantize_int8), the indexed PQ search
+(ann_ivf_pq_indexed) and the Ed-Join fuzzy pair join
+(fuzzy_edit_pairs), and (c) 36 of the 47 r06-latest greens.
+Eleven trivially-stable r06 rows (set/subquery/window-agg/profile/
+SQL-front-end shapes) are deferred to round 10 (named in
 registry.py — rotate them in FIRST next round).  The two approx sketches are
 excluded permanently — they can never hash-match DuckDB's sketches and
 would burn slots on guaranteed `no_oracle` rows.
@@ -44,6 +45,8 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "embedding_quantize_int8",
     # NEW: PQ search from the materialized bucketed code index
     "ann_ivf_pq_indexed",
+    # NEW: exact edit-distance pair join (Ed-Join prefix filter)
+    "fuzzy_edit_pairs",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -67,6 +70,7 @@ DEFERRED_TO_R10 = {
     "window_distribution",
     "table_profile",
     "snapshot_diff",
+    "tpch_q2_min_cost_supplier",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

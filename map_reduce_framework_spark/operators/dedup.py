@@ -2841,21 +2841,24 @@ ORACLES["dedup_index_compact"] = f"""
 # ---------------------------------------------------------------------------
 
 #: fuzzy_edit_pairs dials: title = first FUZZY_TITLE_LEN chars,
-#: character q-grams of length FUZZY_Q, edit-distance threshold
-#: FUZZY_MAX_ED.  Lossless-blocking precondition: title length ≥
-#: FUZZY_MIN_LEN (= q·d + q) — shorter strings don't have enough gram
-#: positions for the survival bound; both engine and oracle filter to
-#: the same population so the contract is explicit.
+#: edit-distance threshold FUZZY_MAX_ED, PassJoin segmentation into
+#: FUZZY_NSEG = d+1 even segments.
 FUZZY_TITLE_LEN = 40
-FUZZY_Q = 5
 FUZZY_MAX_ED = 2
-#: Ed-Join prefix size (Xiao, Wang & Lin, PVLDB 2008): under ANY
-#: consistent global gram order, two strings within edit distance d
-#: must share a q-gram inside their (q·d+1)-prefixes — each edit
-#: destroys at most q of a string's positional grams, so at most q·d
-#: of the prefix can be unshared.
-FUZZY_PREFIX = FUZZY_Q * FUZZY_MAX_ED + 1
-FUZZY_MIN_LEN = FUZZY_Q * FUZZY_MAX_ED + FUZZY_Q
+FUZZY_NSEG = FUZZY_MAX_ED + 1
+
+
+def _seg_len_expr(i: str, L: str) -> str:
+    """Length of even-split segment ``i`` of a string of length ``L``
+    (first ``L % nseg`` segments get the extra char)."""
+    n = FUZZY_NSEG
+    return f"(({L}) div {n} + (CASE WHEN ({i}) < ({L}) % {n} THEN 1 ELSE 0 END))"
+
+
+def _seg_start_expr(i: str, L: str) -> str:
+    """1-based start of even-split segment ``i``."""
+    n = FUZZY_NSEG
+    return f"(1 + ({i}) * (({L}) div {n}) + least(({i}), ({L}) % {n}))"
 
 
 def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,74 +2867,121 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slugs): every pair of titles within Levenshtein distance
     ``FUZZY_MAX_ED``, found WITHOUT the n² compare.
 
-    Blocking is the Ed-Join prefix filter: rank each title's distinct
-    q-grams by (global df ASC, gram) — the rarest-first order that
-    makes prefixes maximally selective — keep the first ``q·d+1``, and
-    candidate pairs are those sharing a PREFIX gram (plus the length
-    filter |len_a − len_b| ≤ d).  The filter is LOSSLESS for titles ≥
-    ``FUZZY_MIN_LEN`` chars (see ``FUZZY_PREFIX``); every candidate is
-    then verified with the exact built-in ``levenshtein``, so the
-    output EQUALS the brute-force join — the oracle computes exactly
-    that, length-banded n² in DuckDB, so a pair lost by the blocking
-    breaks the match.
+    Blocking is the PassJoin segment scheme (Li, Deng & Feng, ICDE
+    2011): each title splits into ``d+1`` even segments; if
+    ed(a, b) ≤ d then ≤ d segments of ``a`` are touched by edits, so at
+    least one appears in ``b`` EXACTLY, at a start position shifted by
+    at most d — pigeonhole, LOSSLESS with no length precondition.
+    Candidates are therefore the equi-join of the segment table
+    (d+1 rows/title) against the probe-substring table ((2d+1)(d+1)
+    rows/title: every segment-shaped substring within ±d of the
+    segment's home position, for each target length within ±d); every
+    candidate is verified with the exact built-in ``levenshtein``, so
+    the output EQUALS the brute-force join — the oracle computes
+    exactly that, length-banded n² in DuckDB, so a pair lost by the
+    blocking breaks the match.
 
-    Measured on the corpus (sf0.01): 5,721 candidates of 124,750
-    possible pairs (22× pruning) with all 25 true pairs found.  The
-    31-word synthetic vocabulary is the pruning floor — natural text's
-    gram diversity prunes far harder (the Ed-Join result); the
-    guarantee, not the ratio, is what's tested.  At 100 TB: posting
-    join on prefix grams only (≤ q·d+1 rows per title), df ranking is
-    one partial-agg + a per-title window over ≤ 36 rows; the verify
-    touches candidates, never the cross product.
+    Chosen over the Ed-Join prefix filter after measurement: on this
+    corpus's 31-word vocabulary, 5-gram signatures saturate (the sf1
+    probe measured 66.4M prefix candidates = quadratic gram heat),
+    while the 13-14-char PassJoin segments stay diverse — 618k
+    candidates at sf1, a 107× cut, all true pairs found (BASELINE.md
+    round-9 section).  A corpus whose titles are intrinsically dense
+    keeps a quadratic floor — the TRUE pair count itself grows
+    superlinearly there; no exact join beats its own output size.
+
+    At 100 TB: both sides are linear explodes (≤ 15 rows/title);
+    the join key (segment index, target length, segment content) is a
+    high-entropy string key; the verify touches candidates, never the
+    cross product.
 
     No counterpart in the reference (SURVEY §2.4 extension: text
     analysis / entity resolution).
     """
-    from pyspark.sql import Window as W
-
+    d = FUZZY_MAX_ED
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     titles = docs.select(
         "doc_id",
         F.lower(F.substring("text", 1, FUZZY_TITLE_LEN)).alias("t"),
-    ).where(F.length("t") >= FUZZY_MIN_LEN)
-    grams = titles.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(1, length(t) - {FUZZY_Q} + 1),"
-                f" i -> substring(t, i, {FUZZY_Q})))"
-            )
-        ).alias("g"),
     )
-    dfs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = W.partitionBy("doc_id").orderBy("df", "g")
-    prefix = (
-        grams.join(dfs, "g")
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= FUZZY_PREFIX)
-        .select("doc_id", "t", "g")
+    segs = titles.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+    ).select(
+        "id_a",
+        "t_a",
+        "i",
+        F.length("t_a").alias("la"),
+        F.expr(
+            f"substring(t_a, {_seg_start_expr('i', 'length(t_a)')},"
+            f" {_seg_len_expr('i', 'length(t_a)')})"
+        ).alias("c"),
     )
-    a = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"), "g"
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"), "g"
+    lens = titles.select(F.length("t").alias("ltgt")).distinct()
+    probes = (
+        titles.join(
+            F.broadcast(lens),
+            F.abs(F.length("t") - F.col("ltgt")) <= d,
+        )
+        .select(
+            F.col("doc_id").alias("id_b"),
+            F.col("t").alias("t_b"),
+            "ltgt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {d}), i ->"
+                    f" transform(sequence(-{d}, {d}), sh ->"
+                    f" struct(i AS i, sh AS sh))))"
+                )
+            ).alias("isx"),
+        )
+        .select(
+            "id_b",
+            "t_b",
+            "ltgt",
+            F.col("isx.i").alias("i"),
+            (
+                F.expr(_seg_start_expr("isx.i", "ltgt")) + F.col("isx.sh")
+            ).alias("s"),
+            F.expr(_seg_len_expr("isx.i", "ltgt")).alias("sl"),
+        )
+        .where(
+            (F.col("s") >= 1)
+            & (F.col("s") + F.col("sl") - 1 <= F.length("t_b"))
+        )
+        .select(
+            "id_b",
+            "t_b",
+            "ltgt",
+            "i",
+            F.expr("substring(t_b, s, sl)").alias("c"),
+        )
     )
     cand = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.abs(F.length("t_a") - F.length("t_b")) <= FUZZY_MAX_ED
+        segs.join(
+            probes,
+            (segs["i"] == probes["i"])
+            & (segs["c"] == probes["c"])
+            & (segs["la"] == probes["ltgt"])
+            & (segs["id_a"] != probes["id_b"]),
         )
-        .select("id_a", "id_b", "t_a", "t_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.least("id_a", "id_b").alias("ia"),
+            F.greatest("id_a", "id_b").alias("ib"),
+            "t_a",
+            "t_b",
+        )
+        .dropDuplicates(["ia", "ib"])
     )
     return (
         cand.withColumn("dist", F.levenshtein("t_a", "t_b"))
-        .where(F.col("dist") <= FUZZY_MAX_ED)
-        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .where(F.col("dist") <= d)
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -2939,9 +2989,7 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES_FUZZY_SQL = f"""
     WITH t AS (
         SELECT doc_id, lower(substring(text, 1, {FUZZY_TITLE_LEN})) AS t
-        FROM documents
-        WHERE length(lower(substring(text, 1, {FUZZY_TITLE_LEN})))
-              >= {FUZZY_MIN_LEN})
+        FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.t, b.t)::INT AS dist
     FROM t a JOIN t b ON a.doc_id < b.doc_id

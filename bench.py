@@ -105,6 +105,14 @@ HEADLINE = [
     "embedding_quantize_int8",
     "ann_ivf_pq_indexed",
     "fuzzy_edit_pairs",
+    # round 9, second batch — validation/diagnostics + time-series +
+    # leakage-safe splits + the value-bucketed global rank
+    "expectations_audit",
+    "key_skew_profile",
+    "interval_coalesce",
+    "ewma_smooth",
+    "leakage_safe_splits",
+    "global_rank_quality",
 ]
 
 

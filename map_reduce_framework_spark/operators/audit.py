@@ -1,0 +1,401 @@
+"""Pipeline data-quality auditing — the validation pass a 100 TB ingest
+runs BEFORE any training-data job trusts the tables.
+
+The reference has no notion of input validation (its sources are a
+hard-coded in-memory list, MapReduceFramework.cpp:~SampleClient, and a
+directory listing, Search.cpp:88-130 — malformed input is simply
+undefined behavior); these operators are mandated-extension material:
+the dbt-test / Great-Expectations / Deequ shape re-expressed as plain
+declarative Spark so Catalyst keeps every check inside a scan-bound
+partial aggregate.
+
+- :func:`expectations_audit` — one report row per (table, constraint):
+  NOT-NULL / domain / range row checks, primary-key uniqueness, and
+  referential (foreign-key orphan) checks across the warehouse tables.
+  The synthetic corpus makes it non-vacuous: ``lineitem``'s composite
+  key ``(l_orderkey, l_linenumber)`` really does carry duplicate groups
+  (~11.8k at sf0.01), so the PK check FIRES while every other
+  expectation passes — the report distinguishes clean from broken
+  constraints on real counts, not on an always-zero column.
+- :func:`key_skew_profile` — per join-key frequency skew: row count,
+  key cardinality, the hottest key and its count, and the max/mean
+  load ratio.  This is the diagnostic that decides broadcast vs
+  shuffle vs salting for every join in this engine (the `salt factor
+  ≥ skew_ratio` rule of thumb); at 100 TB you run it once per ingest
+  and cache the answer next to the table.
+
+Scale posture (100 TB):
+
+- Row checks: ALL of a table's predicates evaluate in ONE scan as
+  conditional ``sum(CASE ...)`` partial aggregates (`stack` unpivots the
+  single aggregate row afterwards — rows-of-report, not passes-of-data).
+  No shuffle beyond one combiner row per partition.
+- Uniqueness: ``count(*) - count(DISTINCT key)`` — one hash-partitioned
+  distinct on the key, partial-agg combining map-side; no windows (a
+  ``row_number() OVER (PARTITION BY key)`` would serialize hot keys —
+  the exact rows a dup check exists to find — into single tasks).
+- Foreign keys: LEFT JOIN against the parent's distinct keys +
+  ``sum(parent IS NULL)`` — one pass over the child; Spark broadcasts
+  the parent side when small (nation/customer) and AQE picks a shuffle
+  join for big-big (lineitem→orders), which is the honest cost of
+  validating a 100 TB fact against a 10 TB parent.
+- Skew profile: ``groupBy(key).count()`` partial-aggregates map-side
+  (hot keys cost one row per input partition, NOT one task), and the
+  summary is a single packed-string argmax aggregate over the combiner
+  rows — the same engine-portable max(lpad(cnt)||lpad(INV-key)) trick
+  as the winnowing/quality survivor selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd, rnd_sql
+from ..sources import load_table
+
+# --------------------------------------------------------------------------
+# expectations_audit
+# --------------------------------------------------------------------------
+
+#: accepted domains (TPC-H spec values; the synthetic generator honours
+#: them — mirrored verbatim in the oracle)
+RETURNFLAG_DOMAIN = ("A", "N", "R")
+ORDERSTATUS_DOMAIN = ("F", "O", "P")
+LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+
+
+def _row_checks(df: DataFrame, table: str, checks: dict[str, Column]) -> DataFrame:
+    """All of ``checks`` (name → violation predicate) in ONE scan:
+    conditional-sum aggregate, then `stack` to one report row each."""
+    aggs = [
+        F.sum(pred.cast("long")).alias(f"v{i}")
+        for i, (_, pred) in enumerate(checks.items())
+    ] + [F.count(F.lit(1)).alias("checked")]
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', v{i}" for i, name in enumerate(checks)
+    )
+    return one.select(
+        F.lit(table).alias("table_name"),
+        F.expr(
+            f"stack({len(checks)}, {pairs}) AS (check_name, violations)"
+        ),
+        F.col("checked"),
+    ).select(
+        "table_name",
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("checked").cast("long").alias("checked"),
+    )
+
+
+def _unique_check(
+    df: DataFrame, table: str, check: str, *keys: str
+) -> DataFrame:
+    """PK uniqueness as ``count(*) - count(DISTINCT keys)`` — duplicate
+    SURPLUS (rows beyond the first of each group), not duplicate-group
+    count: the number of rows a dedup would delete."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+        .cast("long")
+        .alias("violations"),
+        F.count(F.lit(1)).cast("long").alias("checked"),
+    ).select(
+        F.lit(table).alias("table_name"),
+        F.lit(check).alias("check_name"),
+        "violations",
+        "checked",
+    )
+
+
+def _fk_check(
+    child: DataFrame,
+    table: str,
+    check: str,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Orphan count in ONE pass over the child: LEFT JOIN the parent's
+    distinct keys, count rows whose parent is absent.  Catalyst
+    broadcasts small parents; AQE handles the big-big case."""
+    pk = parent.select(F.col(parent_key).alias(child_key)).distinct().withColumn(
+        "_present", F.lit(1)
+    )
+    return (
+        child.select(child_key)
+        .join(pk, child_key, "left")
+        .agg(
+            F.sum(F.col("_present").isNull().cast("long"))
+            .cast("long")
+            .alias("violations"),
+            F.count(F.lit(1)).cast("long").alias("checked"),
+        )
+        .select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            "violations",
+            "checked",
+        )
+    )
+
+
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over the warehouse: one row per
+    (table, check) with the violation and checked counts.  See module
+    docstring for the check families and their single-pass shapes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def not_in(col: str, domain: tuple[str, ...]) -> Column:
+        return ~F.col(col).isin(*domain) | F.col(col).isNull()
+
+    parts = [
+        _row_checks(
+            li,
+            "lineitem",
+            {
+                "discount_range": ~F.col("l_discount").between(0.0, 0.1)
+                | F.col("l_discount").isNull(),
+                "quantity_range": ~F.col("l_quantity").between(1.0, 50.0)
+                | F.col("l_quantity").isNull(),
+                "returnflag_domain": not_in("l_returnflag", RETURNFLAG_DOMAIN),
+                "shipdate_not_null": F.col("l_shipdate").isNull(),
+            },
+        ),
+        _unique_check(
+            li, "lineitem", "pk_unique", "l_orderkey", "l_linenumber"
+        ),
+        _fk_check(
+            li, "lineitem", "fk_orderkey", "l_orderkey", orders, "o_orderkey"
+        ),
+        _row_checks(
+            orders,
+            "orders",
+            {
+                "custkey_not_null": F.col("o_custkey").isNull(),
+                "status_domain": not_in("o_orderstatus", ORDERSTATUS_DOMAIN),
+                "totalprice_positive": (F.col("o_totalprice") <= 0.0)
+                | F.col("o_totalprice").isNull(),
+            },
+        ),
+        _unique_check(orders, "orders", "pk_unique", "o_orderkey"),
+        _fk_check(
+            orders, "orders", "fk_custkey", "o_custkey", customer, "c_custkey"
+        ),
+        _row_checks(
+            customer,
+            "customer",
+            {"acctbal_not_null": F.col("c_acctbal").isNull()},
+        ),
+        _unique_check(customer, "customer", "pk_unique", "c_custkey"),
+        _fk_check(
+            customer,
+            "customer",
+            "fk_nationkey",
+            "c_nationkey",
+            nation,
+            "n_nationkey",
+        ),
+        _row_checks(
+            docs,
+            "documents",
+            {
+                "lang_domain": not_in("lang", LANG_DOMAIN),
+                "nchars_consistent": (
+                    F.col("n_chars") != F.length(F.col("text"))
+                )
+                | F.col("text").isNull(),
+                "text_nonempty": F.col("text").isNull()
+                | (F.length(F.col("text")) == 0),
+            },
+        ),
+        _unique_check(docs, "documents", "pk_unique", "doc_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "check_name")
+
+
+# --------------------------------------------------------------------------
+# key_skew_profile
+# --------------------------------------------------------------------------
+
+#: join keys profiled — the keys this engine's own TPC-H / events joins
+#: shuffle on
+SKEW_KEYS = (
+    ("events", "user_id"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+#: packed-argmax pad widths: counts < 10^12 rows per key, keys < 10^13
+#: (TPC-H bigint keys stay far below this through sf100k; both asserted
+#: cheap by the pad itself — an overflow would widen the string and be
+#: caught by the oracle hash mismatch).
+_CNT_PAD = 12
+_KEY_INV = 10**13
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: for each profiled key, total rows,
+    distinct keys, the hottest key (count argmax; LOWEST key id breaks
+    ties deterministically) and ``skew_ratio`` = hottest count / mean
+    count — the number a salting factor or AQE skew threshold is sized
+    from.  One ``groupBy(key).count()`` partial agg per key plus a
+    single packed-string argmax over the combiner rows; nothing
+    corpus-scale crosses the wire un-combined."""
+    outs = []
+    for table, key in SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).cast("long").alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        packed = F.concat(
+            F.lpad(F.col("cnt").cast("string"), _CNT_PAD, "0"),
+            F.lpad((F.lit(_KEY_INV) - F.col("k")).cast("string"), 13, "0"),
+        )
+        agg = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max(packed).alias("m"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_column"),
+                "n_rows",
+                "n_keys",
+                F.substring("m", 1, _CNT_PAD).cast("long").alias("max_cnt"),
+                (
+                    F.lit(_KEY_INV)
+                    - F.substring("m", _CNT_PAD + 1, 13).cast("long")
+                ).alias("hot_key"),
+                rnd(
+                    F.substring("m", 1, _CNT_PAD).cast("long")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_ratio"),
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "key_column")
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+
+def _row_checks_sql(table: str, checks: dict[str, str]) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{table}' AS table_name, '{name}' AS check_name,"
+        f" CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS violations, count(*) AS checked FROM {table}"
+        for name, pred in checks.items()
+    )
+    return rows
+
+
+def _sql_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+ORACLES = {
+    "expectations_audit": f"""
+        {_row_checks_sql("lineitem", {
+            "discount_range": "l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1",
+            "quantity_range": "l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0",
+            "returnflag_domain": f"l_returnflag IS NULL OR l_returnflag NOT IN ({_sql_list(RETURNFLAG_DOMAIN)})",
+            "shipdate_not_null": "l_shipdate IS NULL",
+        })}
+        UNION ALL
+        SELECT 'lineitem', 'pk_unique',
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'fk_orderkey',
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT), count(*)
+        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        {_row_checks_sql("orders", {
+            "custkey_not_null": "o_custkey IS NULL",
+            "status_domain": f"o_orderstatus IS NULL OR o_orderstatus NOT IN ({_sql_list(ORDERSTATUS_DOMAIN)})",
+            "totalprice_positive": "o_totalprice IS NULL OR o_totalprice <= 0.0",
+        })}
+        UNION ALL
+        SELECT 'orders', 'pk_unique',
+               count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        UNION ALL
+        SELECT 'orders', 'fk_custkey',
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT), count(*)
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey
+        UNION ALL
+        {_row_checks_sql("customer", {
+            "acctbal_not_null": "c_acctbal IS NULL",
+        })}
+        UNION ALL
+        SELECT 'customer', 'pk_unique',
+               count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        UNION ALL
+        SELECT 'customer', 'fk_nationkey',
+               CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT), count(*)
+        FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        {_row_checks_sql("documents", {
+            "lang_domain": f"lang IS NULL OR lang NOT IN ({_sql_list(LANG_DOMAIN)})",
+            "nchars_consistent": "text IS NULL OR n_chars <> length(text)",
+            "text_nonempty": "text IS NULL OR length(text) = 0",
+        })}
+        UNION ALL
+        SELECT 'documents', 'pk_unique',
+               count(*) - count(DISTINCT doc_id), count(*) FROM documents
+        ORDER BY table_name, check_name
+    """,
+    "key_skew_profile": "\nUNION ALL\n".join(
+        f"""
+        (WITH counts AS (
+            SELECT CAST({key} AS BIGINT) AS k, count(*) AS cnt
+            FROM {table} GROUP BY 1),
+        agg AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   max(lpad(CAST(cnt AS VARCHAR), {_CNT_PAD}, '0')
+                       || lpad(CAST({_KEY_INV} - k AS VARCHAR), 13, '0'))
+                       AS m
+            FROM counts)
+        SELECT '{table}' AS table_name, '{key}' AS key_column,
+               n_rows, n_keys,
+               CAST(substr(m, 1, {_CNT_PAD}) AS BIGINT) AS max_cnt,
+               {_KEY_INV} - CAST(substr(m, {_CNT_PAD} + 1, 13) AS BIGINT)
+                   AS hot_key,
+               {rnd_sql(
+                   f"CAST(substr(m, 1, {_CNT_PAD}) AS BIGINT)"
+                   " * CAST(n_keys AS DOUBLE) / n_rows", 4)} AS skew_ratio
+        FROM agg)
+        """
+        for table, key in SKEW_KEYS
+    )
+    + "\nORDER BY table_name, key_column",
+}
+
+QUERIES = {
+    "expectations_audit": expectations_audit,
+    "key_skew_profile": key_skew_profile,
+}

@@ -559,3 +559,87 @@ QUERIES = {
     "pagerank_dup_graph": pagerank_dup_graph,
     "graph_triangle_stats": graph_triangle_stats,
 }
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split assignment (round-9 addition)
+# --------------------------------------------------------------------------
+
+#: split fractions in hash-permille-of-100 space: [0,90) train,
+#: [90,95) valid, [95,100) test.
+SPLIT_TRAIN_LT = 90
+SPLIT_VALID_LT = 95
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment that CANNOT leak near-duplicates
+    across splits: the unit of assignment is the duplicate CLUSTER, not
+    the document.  Every doc carries its cluster id (exact ∪ MinHash-LSH
+    edges → connected components, the same labels as
+    :func:`dedup_pipeline_keeplist`); the split is a deterministic
+    md5-derived hash of the cluster id, so all members of a cluster —
+    including ones ingested in a later batch that LSH ties to an old
+    cluster — land in the same split on any cluster, any run.
+
+    This is the constructor dual of ``split_leakage_check`` (which
+    audits a given split against the pair list): assignments produced
+    here pass that audit by construction.
+
+    Scale: the labels side is the already-scale-audited CC pipeline;
+    this adds one row-local hash + a broadcast-threshold-free LEFT JOIN
+    of corpus against labels (cluster labels ≪ corpus).  90/5/5 is the
+    conventional pre-training split; fractions are permille-exact under
+    the same hash60 both engines replay.
+    """
+    kl = keeplist_unsorted(spark, sf_dir)
+    bucket = dedup.hash60(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VALID_LT, "valid")
+        .otherwise("test")
+    )
+    return kl.select(
+        "doc_id", "cluster_id", split.alias("split")
+    ).orderBy("doc_id")
+
+
+_SPLIT_BUCKET_SQL = (
+    dedup._hash60_sql("concat('split:', CAST(cluster_id AS VARCHAR))")
+    + " % 100"
+)
+
+ORACLES["leakage_safe_splits"] = f"""
+    WITH RECURSIVE
+    near AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
+    exact AS (
+        SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+               doc_id AS doc_b
+        FROM documents),
+    pairs AS (SELECT doc_a, doc_b FROM near
+              UNION ALL
+              SELECT doc_a, doc_b FROM exact WHERE doc_a <> doc_b),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id AS label FROM verts
+        UNION
+        SELECT e.dst AS doc_id, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id),
+    labels AS (SELECT doc_id, min(label) AS cl FROM reach
+               GROUP BY doc_id),
+    assigned AS (
+        SELECT d.doc_id,
+               coalesce(l.cl, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN ({_SPLIT_BUCKET_SQL}) < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN ({_SPLIT_BUCKET_SQL}) < {SPLIT_VALID_LT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM assigned ORDER BY doc_id
+"""
+
+QUERIES["leakage_safe_splits"] = leakage_safe_splits

@@ -2048,3 +2048,178 @@ QUERIES = {
     "rolling_zscore": rolling_zscore,
     "session_window_agg": session_window_agg,
 }
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing and EWMA smoothing (round-9 time-series additions)
+# --------------------------------------------------------------------------
+
+#: interval_coalesce: each event opens an activity interval of
+#: 60..899 seconds derived EXACTLY from its 2-dp value (integer cents
+#: mod 840) — integer arithmetic end-to-end so both engines place every
+#: boundary identically.
+INTERVAL_BASE_S = 60
+INTERVAL_SPAN_S = 840
+
+
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval union (gaps-and-islands over VARIABLE-length
+    intervals): each event opens ``[t, t + dur]``; overlapping or
+    touching intervals merge; emit one row per merged island with its
+    span and event count — the time-coverage primitive behind billing,
+    uptime, and span-dedup queries.
+
+    Unlike :func:`~.relational.sessionize` (fixed inactivity gap, break
+    decided by ``lag``), variable-length intervals need the RUNNING MAX
+    of interval ends: an island breaks only when a start clears every
+    earlier end (``start > max(end) OVER (rows < current)``), and the
+    island id is the running sum of breaks.  Within an island coverage
+    is contiguous by construction, so span = max(end) − min(start).
+
+    Scale: one sort-shuffle on ``user_id`` (same posture as sessionize /
+    as-of: per-user history serializes into a task, user cardinality is
+    the parallelism axis and per-user event counts are bounded by
+    retention windows).  All arithmetic is integer seconds/cents —
+    engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_seconds(F.col("ts")).alias("s"),
+        (
+            F.unix_seconds(F.col("ts"))
+            + F.lit(INTERVAL_BASE_S)
+            + cents % INTERVAL_SPAN_S
+        ).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pme = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0)
+    flagged = iv.withColumn("brk", brk)
+    island = F.sum("brk").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("e") - F.min("s")).alias("covered_s"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+#: ewma_smooth decay: s₁ = x₁; sᵢ = α·xᵢ + (1−α)·sᵢ₋₁.  0.3 parses to
+#: the same IEEE double in both engines; every fold step is the same
+#: (mul, mul, add) sequence, so the final double is bit-identical and
+#: the 4-dp rounding is boundary-safe.
+EWMA_ALPHA = 0.3
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the classic ORDER-DEPENDENT recursion (s = α·x + (1−α)·s) that no
+    built-in aggregate expresses: computed as a left fold over the
+    user's time-ordered value list, seeded with the first element
+    (Spark ``aggregate(slice(xs, 2, …), xs[1], …)`` ≡ DuckDB
+    ``list_reduce``, the verified left-to-right pair).
+
+    Scale: one groupBy(user_id) shuffle; the collected list is bounded
+    by per-user event count (retention-bounded in practice — 86 max on
+    this corpus).  For truly unbounded histories EWMA decomposes
+    segmentally — a segment folds to ``(s_seg, w_seg = (1−α)^len)`` and
+    two segments merge as ``s = s_right + w_right·(s_left −
+    head-correction)`` — but the bounded-history fold is the honest
+    shape for event streams with retention, so that refinement is
+    documented, not built.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_seconds(F.col("ts")).alias("t"),
+            F.col("event_id").alias("i"),
+            (cents / F.lit(100.0)).alias("x"),
+        ).alias("r"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("r")).alias("arr")
+    )
+    xs = F.expr("transform(arr, r -> r.x)")
+    a = EWMA_ALPHA
+    # NOTE: element_at is 1-based; bare `xs[1]` in Spark SQL is the
+    # 0-BASED subscript (it would seed the fold with x₂ — an error that
+    # decays as (1−α)^(n−1) and hides below 4 dp on long series; the
+    # closed-form pytest pins the correct seed on a 3-element series).
+    ewma = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        f" (acc, x) -> {a}D * x + {1 - a}D * acc)"
+    )
+    return (
+        per_user.withColumn("xs", xs)
+        .select(
+            "user_id",
+            F.size("xs").cast("long").alias("n_events"),
+            F.expr("element_at(xs, -1)").alias("last_value"),
+            rnd(ewma, 4).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLES["interval_coalesce"] = f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_BASE_S}
+                   + CAST(round(value * 100) AS BIGINT) % {INTERVAL_SPAN_S}
+                   AS e
+        FROM events),
+    m AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pme
+        FROM iv),
+    fl AS (
+        SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+        FROM m),
+    isl AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+        FROM fl)
+    SELECT user_id, island,
+           min(s) AS island_start, max(e) AS island_end,
+           count(*) AS n_events,
+           max(e) - min(s) AS covered_s
+    FROM isl GROUP BY user_id, island
+    ORDER BY user_id, island
+"""
+
+ORACLES["ewma_smooth"] = f"""
+    WITH x AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+               CAST(round(value * 100) AS BIGINT) / 100.0::DOUBLE AS x
+        FROM events),
+    l AS (
+        SELECT user_id,
+               list(x ORDER BY t, event_id) AS xs
+        FROM x GROUP BY user_id)
+    SELECT user_id,
+           len(xs) AS n_events,
+           xs[-1] AS last_value,
+           {rnd_sql(
+               f"list_reduce(xs, (acc, x) -> {EWMA_ALPHA}::DOUBLE * x"
+               f" + {1 - EWMA_ALPHA}::DOUBLE * acc)", 4)} AS ewma
+    FROM l ORDER BY user_id
+"""
+
+QUERIES["interval_coalesce"] = interval_coalesce
+QUERIES["ewma_smooth"] = ewma_smooth

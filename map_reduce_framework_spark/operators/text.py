@@ -1910,3 +1910,94 @@ QUERIES = {
     "training_manifest": training_manifest,
     "heavy_hitters": heavy_hitters,
 }
+
+
+# --------------------------------------------------------------------------
+# Scalable exact global ranking (round-9 addition)
+# --------------------------------------------------------------------------
+
+#: value-bucket fan-out for the global rank: each bucket's rows are
+#: ranked in ONE task, so B bounds the largest window partition at
+#: roughly n/B under a non-degenerate score distribution.  32 matches
+#: the test harness's parallelism; a 1000-executor corpus would raise
+#: it (the driver-side offset table stays B+1 rows regardless).
+RANK_BUCKETS = 32
+
+
+def global_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global rank (dense total order, no ties possible:
+    ``(quality, doc_id)``) of every document by composite quality —
+    WITHOUT the single-task ``row_number() OVER (ORDER BY …)`` window
+    that a naive global ranking plans (an un-partitioned window
+    serializes the full corpus through one task; at 100 TB that is the
+    canonical scale-killer this operator exists to avoid).
+
+    Two-phase value-bucketed ranking, the distributed zipWithIndex:
+
+    1. bucket every row by score value (``floor(quality·B)``, clamped),
+       count rows per bucket — a B-row partial aggregate;
+    2. collect the B counts (bounded by TOPOLOGY, not data — same
+       driver-reduce class as k-means' K·P centroid rows), prefix-sum
+       them into bucket offsets, broadcast-join the offsets back, and
+       ``row_number()`` WITHIN each bucket ordered by (quality,
+       doc_id); global rank = bucket offset + local row number.
+
+    Exact because buckets partition the VALUE domain monotonically:
+    every row in a lower bucket precedes every row in a higher one, and
+    the in-bucket window settles the rest.  Skew honesty: a degenerate
+    distribution (all docs one score) collapses to one bucket = one
+    task; real quality scores spread, and B scales with the cluster.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    from ..cache import persist_tracked
+
+    q = persist_tracked(
+        _stopword_counts(docs).select(
+            "doc_id", quality_expr().alias("quality")
+        )
+    )
+    bucket = F.least(
+        F.floor(F.col("quality") * RANK_BUCKETS).cast("int"),
+        F.lit(RANK_BUCKETS - 1),
+    )
+    qb = q.withColumn("bucket", bucket)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in qb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for b in range(RANK_BUCKETS):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(offsets, "bucket int, offset long")
+    w = Window.partitionBy("bucket").orderBy("quality", "doc_id")
+    return (
+        qb.join(F.broadcast(off_df), "bucket")
+        .select(
+            "doc_id",
+            "quality",
+            (F.row_number().over(w) + F.col("offset")).alias("rank"),
+            rnd(
+                (F.row_number().over(w) + F.col("offset"))
+                / F.lit(float(total)),
+                4,
+            ).alias("pctile"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLES["global_rank_quality"] = f"""
+    WITH q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+    r AS (
+        SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS rank,
+               count(*) OVER () AS total
+        FROM q)
+    SELECT doc_id, quality, rank,
+           {rnd_sql("rank / CAST(total AS DOUBLE)", 4)} AS pctile
+    FROM r ORDER BY rank
+"""
+
+QUERIES["global_rank_quality"] = global_rank_quality

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
+    audit,
     cleaning,
     clustering,
     dedup,
@@ -29,6 +30,7 @@ from ..operators import (
 )
 
 _MODULES = [
+    audit,
     cleaning,
     relational,
     relational_ext,
@@ -77,15 +79,25 @@ _MODULES = [
 # same anti-join) — its consumers dedup_incremental_indexed and
 # dedup_index_maintain get fresh rows anyway: the former rotates in
 # with block (c), the latter is r08-green on an unchanged screen plan.
-# (c) 36 of the 47 r06-latest greens — the oldest remaining evidence
+# Round-9 SECOND batch (same round, later session): SIX more NEW
+# queries — expectations_audit + key_skew_profile (the validation /
+# skew-diagnostics module), interval_coalesce + ewma_smooth
+# (variable-interval union and the order-dependent EWMA fold),
+# leakage_safe_splits (cluster-consistent train/valid/test assignment)
+# and global_rank_quality (value-bucketed exact global ranking, the
+# distributed zipWithIndex).  They take 6 more block-b slots; 6 more
+# trivially-stable r06 rows join the round-10 debt below.
+# (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
-# ROUND-10 ROTATION DEBT (11 r06-green rows deferred for the block-b
-# slots, all trivially-stable pure-Catalyst set/subquery/window-agg/
-# SQL-front-end shapes with no moving parts): grouping_sets,
+# ROUND-10 ROTATION DEBT (17 r06-green rows deferred for the block-b
+# slots, all trivially-stable shapes with no moving parts — pure
+# Catalyst set/subquery/window-agg/SQL-front-end plus the Arrow-batch
+# UDF exemplars and kernel-backed text scorers): grouping_sets,
 # set_union_all, not_exists_subquery, events_time_window,
 # events_sliding_window, sql_api_revenue, scalar_subquery_above_avg,
 # window_distribution, table_profile, snapshot_diff,
-# tpch_q2_min_cost_supplier.
+# tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
+# python_udtf_tokens, text_stats, quality_score, ngram_topk.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -109,7 +121,14 @@ DRIVER_WINDOW = [
     "embedding_quantize_int8",
     "ann_ivf_pq_indexed",
     "fuzzy_edit_pairs",
-    # (c) r06-latest greens (36 of 47; 11 deferred, see above)
+    # (b) second batch — new in the round-9 continuation session
+    "expectations_audit",
+    "key_skew_profile",
+    "interval_coalesce",
+    "ewma_smooth",
+    "leakage_safe_splits",
+    "global_rank_quality",
+    # (c) r06-latest greens (30 of 47; 17 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -130,19 +149,13 @@ DRIVER_WINDOW = [
     "mixture_sample",
     "mr_wordcount_facade",
     "multimodal_features",
-    "ngram_topk",
     "pack_sequences",
-    "pandas_udf_grouped_agg",
-    "pandas_udf_scalar",
     "perplexity_proxy",
-    "python_udtf_tokens",
     "quality_filter_rules",
-    "quality_score",
     "repetition_stats",
     "rolling_zscore",
     "source_overlap_matrix",
     "stratified_sample",
-    "text_stats",
     "tfidf_topterms",
     "token_count_bpe",
     "window_range_interval",

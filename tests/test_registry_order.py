@@ -47,6 +47,15 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "ann_ivf_pq_indexed",
     # NEW: exact edit-distance pair join (Ed-Join prefix filter)
     "fuzzy_edit_pairs",
+    # NEW (second round-9 batch): constraint validation + skew
+    # diagnostics, variable-interval union, EWMA fold, cluster-
+    # consistent splits, value-bucketed global rank
+    "expectations_audit",
+    "key_skew_profile",
+    "interval_coalesce",
+    "ewma_smooth",
+    "leakage_safe_splits",
+    "global_rank_quality",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -71,6 +80,14 @@ DEFERRED_TO_R10 = {
     "table_profile",
     "snapshot_diff",
     "tpch_q2_min_cost_supplier",
+    # second round-9 batch displaced 6 more (Arrow-batch UDF exemplars
+    # and kernel-backed text scorers — stable shapes, r06-green)
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "python_udtf_tokens",
+    "text_stats",
+    "quality_score",
+    "ngram_topk",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -113,6 +113,7 @@ HEADLINE = [
     "ewma_smooth",
     "leakage_safe_splits",
     "global_rank_quality",
+    "distribution_drift",
 ]
 
 

@@ -399,3 +399,126 @@ QUERIES = {
     "expectations_audit": expectations_audit,
     "key_skew_profile": key_skew_profile,
 }
+
+
+# --------------------------------------------------------------------------
+# distribution_drift — batch-vs-baseline histogram drift
+# --------------------------------------------------------------------------
+
+#: drift histogram: event values bucket at 25-currency-unit (2500-cent)
+#: width, clamped to DRIFT_BUCKETS cells — fixed VALUE-domain edges
+#: (portable integer arithmetic), not quantile edges (which would need
+#: a global sort and differ per run).
+DRIFT_BUCKET_CENTS = 2500
+DRIFT_BUCKETS = 20
+
+#: deterministic batch membership: ~1/8 of events by md5-derived hash —
+#: the same derived-batch idiom as the incremental-dedup family's
+#: ``doc_id``-hash batches, so both engines pick identical members.
+DRIFT_BATCH_MOD = 8
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift monitor: does the NEWEST batch's value distribution
+    match the corpus baseline?  The check every continuously-fed
+    training pipeline runs before accepting a crawl/ingest increment —
+    a shifted distribution upstream (a broken scraper, a new source
+    mix) shows up here before it poisons downstream statistics.
+
+    One scan: bucket every event by fixed value-domain edges,
+    conditional-sum batch vs baseline counts per bucket, convert to
+    shares, and emit each bucket's drift contribution under two
+    standard divergences computed with PURE ARITHMETIC (engine-exact,
+    deliberately avoiding ln-based PSI/KL whose libm last-ulp can
+    differ between JVM and C):
+
+    - total-variation contribution ``|p − q| / 2``
+    - chi-square contribution ``(q − p)² / p`` (0 where the baseline
+      bucket is empty)
+
+    Scale: groupBy(bucket) partial agg (DRIFT_BUCKETS combiner rows per
+    partition), one broadcast of the 1-row totals — nothing
+    corpus-scale shuffles; the batch predicate is a row-local hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from .dedup import hash60
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.least(
+        F.floor(cents / DRIFT_BUCKET_CENTS).cast("int"),
+        F.lit(DRIFT_BUCKETS - 1),
+    )
+    is_batch = (
+        hash60(F.concat(F.lit("ebatch:"), F.col("event_id").cast("string")))
+        % DRIFT_BATCH_MOD
+        == 0
+    )
+    counts = (
+        ev.select(bucket.alias("bucket"), is_batch.alias("b"))
+        .groupBy("bucket")
+        .agg(
+            F.sum((~F.col("b")).cast("long")).alias("n_base"),
+            F.sum(F.col("b").cast("long")).alias("n_batch"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_batch").alias("t_batch")
+    )
+    p = F.col("n_base") / F.col("t_base").cast("double")
+    q = F.col("n_batch") / F.col("t_batch").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_base",
+            "n_batch",
+            rnd(p, 6).alias("p_base"),
+            rnd(q, 6).alias("q_batch"),
+            rnd(F.abs(p - q) / 2.0, 6).alias("tvd_contrib"),
+            rnd(
+                F.when(F.col("n_base") > 0, (q - p) * (q - p) / p).otherwise(
+                    0.0
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+from .dedup import _hash60_sql  # noqa: E402
+
+_DRIFT_BATCH_SQL = (
+    _hash60_sql("concat('ebatch:', CAST(event_id AS VARCHAR))")
+    + f" % {DRIFT_BATCH_MOD} = 0"
+)
+
+ORACLES["distribution_drift"] = f"""
+    WITH c AS (
+        SELECT least(CAST(floor(CAST(round(value * 100) AS BIGINT)
+                                / {DRIFT_BUCKET_CENTS}) AS INT),
+                     {DRIFT_BUCKETS - 1}) AS bucket,
+               ({_DRIFT_BATCH_SQL}) AS b
+        FROM events),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+               CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+        FROM c GROUP BY bucket),
+    t AS (SELECT sum(n_base) AS t_base, sum(n_batch) AS t_batch FROM counts),
+    s AS (
+        SELECT bucket, n_base, n_batch,
+               n_base / CAST(t_base AS DOUBLE) AS p,
+               n_batch / CAST(t_batch AS DOUBLE) AS q
+        FROM counts, t)
+    SELECT bucket, n_base, n_batch,
+           {rnd_sql("p", 6)} AS p_base,
+           {rnd_sql("q", 6)} AS q_batch,
+           {rnd_sql("abs(p - q) / 2.0", 6)} AS tvd_contrib,
+           {rnd_sql(
+               "CASE WHEN n_base > 0 THEN (q - p) * (q - p) / p"
+               " ELSE 0.0 END", 6)} AS chi2_contrib
+    FROM s ORDER BY bucket
+"""
+
+QUERIES["distribution_drift"] = distribution_drift

@@ -85,8 +85,10 @@ _MODULES = [
 # (variable-interval union and the order-dependent EWMA fold),
 # leakage_safe_splits (cluster-consistent train/valid/test assignment)
 # and global_rank_quality (value-bucketed exact global ranking, the
-# distributed zipWithIndex).  They take 6 more block-b slots; 6 more
-# trivially-stable r06 rows join the round-10 debt below.
+# distributed zipWithIndex), plus distribution_drift (batch-vs-corpus
+# histogram drift, arithmetic-only divergences).  They take 7 more
+# block-b slots; 7 more trivially-stable r06 rows join the round-10
+# debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
 # ROUND-10 ROTATION DEBT (17 r06-green rows deferred for the block-b
@@ -97,7 +99,8 @@ _MODULES = [
 # events_sliding_window, sql_api_revenue, scalar_subquery_above_avg,
 # window_distribution, table_profile, snapshot_diff,
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
-# python_udtf_tokens, text_stats, quality_score, ngram_topk.
+# python_udtf_tokens, text_stats, quality_score, ngram_topk,
+# perplexity_proxy.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -128,7 +131,8 @@ DRIVER_WINDOW = [
     "ewma_smooth",
     "leakage_safe_splits",
     "global_rank_quality",
-    # (c) r06-latest greens (30 of 47; 17 deferred, see above)
+    "distribution_drift",
+    # (c) r06-latest greens (29 of 47; 18 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -150,7 +154,6 @@ DRIVER_WINDOW = [
     "mr_wordcount_facade",
     "multimodal_features",
     "pack_sequences",
-    "perplexity_proxy",
     "quality_filter_rules",
     "repetition_stats",
     "rolling_zscore",

@@ -36,6 +36,7 @@ from .conftest import SF_DIR, assert_matches_oracle
         "ewma_smooth",
         "leakage_safe_splits",
         "global_rank_quality",
+        "distribution_drift",
     ],
 )
 def test_matches_oracle(spark, duck, name):

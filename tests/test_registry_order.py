@@ -56,6 +56,7 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "ewma_smooth",
     "leakage_safe_splits",
     "global_rank_quality",
+    "distribution_drift",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -88,6 +89,7 @@ DEFERRED_TO_R10 = {
     "text_stats",
     "quality_score",
     "ngram_topk",
+    "perplexity_proxy",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

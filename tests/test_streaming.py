@@ -796,3 +796,21 @@ def test_keeplist_compaction_marker_and_crash_recovery(spark, tmp_path):
     assert ks._read_index_side(spark, index["grams"]).count() == after
     assert not os.path.exists(index["grams"] + ".old")
     assert not os.path.exists(index["grams"] + ".next")
+
+
+def test_streaming_expectations_monitor_equals_batch(spark):
+    """The live violation counters (shared conditional-sum builder over
+    the streamed events feed) must equal the batch audit on the same
+    data — and be non-vacuous: every event type present with real
+    counts."""
+    from map_reduce_framework_spark.streaming.expectations_stream import (
+        batch_violation_profile,
+        run_expectations_stream_demo,
+    )
+
+    streamed = run_expectations_stream_demo(spark, SF_DIR)
+    batch = batch_violation_profile(spark, SF_DIR)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) >= 3
+    assert sum(r["n_events"] for r in batch.collect()) > 0

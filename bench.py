@@ -114,6 +114,7 @@ HEADLINE = [
     "leakage_safe_splits",
     "global_rank_quality",
     "distribution_drift",
+    "record_linkage_scores",
 ]
 
 

@@ -3022,3 +3022,121 @@ QUERIES = {
 }
 
 ORACLES["fuzzy_edit_pairs"] = ORACLES_FUZZY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Record-linkage scoring over the fuzzy pair join (round-9 addition)
+# ---------------------------------------------------------------------------
+
+#: Fellegi–Sunter-style agreement weights (Fellegi & Sunter 1969, "A
+#: Theory for Record Linkage", JASA 64).  Half-unit literals keep every
+#: sum an exact IEEE double on both engines.  Title weight decays with
+#: edit distance (exact / 1 edit / 2 edits agreement levels).
+LINK_W_TITLE = (4.0, 2.5, 1.0)  # dist 0 / 1 / 2
+LINK_W_LANG = (2.0, -1.0)  # agree / disagree
+LINK_W_SOURCE = (1.0, -0.5)
+LINK_W_LEN = (0.5, -0.25)  #: |Δn_chars| ≤ 10% of max(n_chars)
+LINK_MATCH_T = 6.0
+LINK_POSSIBLE_T = 3.5
+
+
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution MATCH SCORING on top of the exact fuzzy pair
+    join: the Fellegi–Sunter decision shape — per-field agreement
+    weights summed into a match score, thresholded into
+    match / possible / non_match — over title-edit-distance candidate
+    pairs and the records' structured fields (lang, source, n_chars).
+
+    This is the step after blocking in every production linkage
+    pipeline (dedupe of crawl records, canonical entity tables): the
+    blocking (:func:`fuzzy_edit_pairs`, PassJoin — lossless for
+    ed ≤ d) proposes, the field weights decide.  Weights here are
+    fixed half-unit literals (a trained linkage fits them with EM;
+    fitting is out of scope — the DECISION plumbing is the operator).
+
+    Scale: pair list is the already-probed PassJoin output; the two
+    attribute joins are equi-joins on doc_id against a projected
+    4-column side.  Pure Column arithmetic, no new shuffle class.
+    """
+    pairs = fuzzy_edit_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    w_title = (
+        F.when(F.col("dist") == 0, LINK_W_TITLE[0])
+        .when(F.col("dist") == 1, LINK_W_TITLE[1])
+        .otherwise(LINK_W_TITLE[2])
+    )
+    w_lang = F.when(
+        F.col("lang_a") == F.col("lang_b"), LINK_W_LANG[0]
+    ).otherwise(LINK_W_LANG[1])
+    w_src = F.when(
+        F.col("src_a") == F.col("src_b"), LINK_W_SOURCE[0]
+    ).otherwise(LINK_W_SOURCE[1])
+    len_close = (
+        F.abs(F.col("nc_a") - F.col("nc_b")) * 10
+        <= F.greatest("nc_a", "nc_b")
+    )
+    w_len = F.when(len_close, LINK_W_LEN[0]).otherwise(LINK_W_LEN[1])
+    score = w_title + w_lang + w_src + w_len
+    verdict = (
+        F.when(score >= LINK_MATCH_T, "match")
+        .when(score >= LINK_POSSIBLE_T, "possible")
+        .otherwise("non_match")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "dist",
+        (F.col("lang_a") == F.col("lang_b")).alias("lang_agree"),
+        (F.col("src_a") == F.col("src_b")).alias("source_agree"),
+        len_close.alias("len_agree"),
+        score.alias("score"),
+        verdict.alias("verdict"),
+    ).orderBy("id_a", "id_b")
+
+
+ORACLES["record_linkage_scores"] = f"""
+    WITH pairs AS ({ORACLES_FUZZY_SQL}),
+    d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    j AS (
+        SELECT p.id_a, p.id_b, p.dist,
+               (a.lang = b.lang) AS lang_agree,
+               (a.source = b.source) AS source_agree,
+               (abs(a.n_chars - b.n_chars) * 10
+                <= greatest(a.n_chars, b.n_chars)) AS len_agree
+        FROM pairs p JOIN d a ON a.doc_id = p.id_a
+                     JOIN d b ON b.doc_id = p.id_b),
+    s AS (
+        SELECT *,
+               (CASE WHEN dist = 0 THEN {LINK_W_TITLE[0]}
+                     WHEN dist = 1 THEN {LINK_W_TITLE[1]}
+                     ELSE {LINK_W_TITLE[2]} END
+                + CASE WHEN lang_agree THEN {LINK_W_LANG[0]}
+                       ELSE {LINK_W_LANG[1]} END
+                + CASE WHEN source_agree THEN {LINK_W_SOURCE[0]}
+                       ELSE {LINK_W_SOURCE[1]} END
+                + CASE WHEN len_agree THEN {LINK_W_LEN[0]}
+                       ELSE {LINK_W_LEN[1]} END) AS score
+        FROM j)
+    SELECT id_a, id_b, dist, lang_agree, source_agree, len_agree, score,
+           CASE WHEN score >= {LINK_MATCH_T} THEN 'match'
+                WHEN score >= {LINK_POSSIBLE_T} THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM s ORDER BY id_a, id_b
+"""
+
+QUERIES["record_linkage_scores"] = record_linkage_scores

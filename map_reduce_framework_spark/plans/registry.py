@@ -86,9 +86,10 @@ _MODULES = [
 # leakage_safe_splits (cluster-consistent train/valid/test assignment)
 # and global_rank_quality (value-bucketed exact global ranking, the
 # distributed zipWithIndex), plus distribution_drift (batch-vs-corpus
-# histogram drift, arithmetic-only divergences).  They take 7 more
-# block-b slots; 7 more trivially-stable r06 rows join the round-10
-# debt below.
+# histogram drift, arithmetic-only divergences) and
+# record_linkage_scores (Fellegi-Sunter match scoring over the
+# PassJoin pairs).  They take 8 more block-b slots; 8 more
+# trivially-stable r06 rows join the round-10 debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
 # ROUND-10 ROTATION DEBT (17 r06-green rows deferred for the block-b
@@ -100,7 +101,7 @@ _MODULES = [
 # window_distribution, table_profile, snapshot_diff,
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
 # python_udtf_tokens, text_stats, quality_score, ngram_topk,
-# perplexity_proxy.
+# perplexity_proxy, repetition_stats.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -132,7 +133,8 @@ DRIVER_WINDOW = [
     "leakage_safe_splits",
     "global_rank_quality",
     "distribution_drift",
-    # (c) r06-latest greens (29 of 47; 18 deferred, see above)
+    "record_linkage_scores",
+    # (c) r06-latest greens (28 of 47; 19 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -155,7 +157,6 @@ DRIVER_WINDOW = [
     "multimodal_features",
     "pack_sequences",
     "quality_filter_rules",
-    "repetition_stats",
     "rolling_zscore",
     "source_overlap_matrix",
     "stratified_sample",

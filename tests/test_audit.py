@@ -37,6 +37,7 @@ from .conftest import SF_DIR, assert_matches_oracle
         "leakage_safe_splits",
         "global_rank_quality",
         "distribution_drift",
+        "record_linkage_scores",
     ],
 )
 def test_matches_oracle(spark, duck, name):
@@ -355,3 +356,82 @@ def test_global_rank_plan_has_no_global_window(spark):
             f"global (or non-bucket) window in plan: {args[:120]}"
         )
         assert first, "empty window spec"
+
+
+# --------------------------------------------------------------------------
+# record_linkage_scores
+# --------------------------------------------------------------------------
+
+
+def test_linkage_weights_cover_all_three_classes():
+    """The weight table must be able to produce every verdict class:
+    best case clears MATCH_T, a mid case lands in [POSSIBLE_T,
+    MATCH_T), worst case falls below POSSIBLE_T."""
+    from map_reduce_framework_spark.operators.dedup import (
+        LINK_MATCH_T,
+        LINK_POSSIBLE_T,
+        LINK_W_LANG,
+        LINK_W_LEN,
+        LINK_W_SOURCE,
+        LINK_W_TITLE,
+    )
+
+    best = LINK_W_TITLE[0] + LINK_W_LANG[0] + LINK_W_SOURCE[0] + LINK_W_LEN[0]
+    mid = LINK_W_TITLE[1] + LINK_W_LANG[0] + LINK_W_SOURCE[1] + LINK_W_LEN[0]
+    worst = (
+        LINK_W_TITLE[2] + LINK_W_LANG[1] + LINK_W_SOURCE[1] + LINK_W_LEN[1]
+    )
+    assert best >= LINK_MATCH_T
+    assert LINK_POSSIBLE_T <= mid < LINK_MATCH_T
+    assert worst < LINK_POSSIBLE_T
+
+
+def test_linkage_rides_fuzzy_pairs_exactly(spark):
+    """Every fuzzy pair appears exactly once with a verdict; scores are
+    consistent with the agreement flags."""
+    from map_reduce_framework_spark.operators import dedup
+
+    pairs = dedup.fuzzy_edit_pairs(spark, SF_DIR).count()
+    out = dedup.record_linkage_scores(spark, SF_DIR).collect()
+    assert len(out) == pairs
+    for r in out:
+        expect = (
+            dedup.LINK_W_TITLE[r["dist"]]
+            + (dedup.LINK_W_LANG[0] if r["lang_agree"] else dedup.LINK_W_LANG[1])
+            + (
+                dedup.LINK_W_SOURCE[0]
+                if r["source_agree"]
+                else dedup.LINK_W_SOURCE[1]
+            )
+            + (dedup.LINK_W_LEN[0] if r["len_agree"] else dedup.LINK_W_LEN[1])
+        )
+        assert r["score"] == expect
+
+
+# --------------------------------------------------------------------------
+# ewma segment-merge algebra (the documented unbounded-history path)
+# --------------------------------------------------------------------------
+
+
+def test_ewma_segment_merge_equals_full_fold():
+    """The docstring's segmental decomposition must be REAL algebra:
+    folding [x1..xn] equals folding the right segment seeded with the
+    left segment's result — s_right_fold(init=s_left) — for any split
+    point.  (This is what an applyInPandas chunked EWMA would do at
+    unbounded history; pinned here so the claim never drifts.)"""
+    from map_reduce_framework_spark.operators.relational_ext import EWMA_ALPHA
+
+    a = EWMA_ALPHA
+    xs = [3.0, 141.0, 59.0, 26.0, 53.0, 58.0, 97.0, 93.0]
+
+    def fold(seq, init):
+        s = init
+        for x in seq:
+            s = a * x + (1 - a) * s
+        return s
+
+    full = fold(xs[1:], xs[0])
+    for cut in range(1, len(xs)):
+        left = fold(xs[1:cut], xs[0])
+        merged = fold(xs[cut:], left)
+        assert merged == full  # exact: identical op sequence

@@ -57,6 +57,7 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "leakage_safe_splits",
     "global_rank_quality",
     "distribution_drift",
+    "record_linkage_scores",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -90,6 +91,7 @@ DEFERRED_TO_R10 = {
     "quality_score",
     "ngram_topk",
     "perplexity_proxy",
+    "repetition_stats",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

@@ -115,6 +115,7 @@ HEADLINE = [
     "global_rank_quality",
     "distribution_drift",
     "record_linkage_scores",
+    "kcore_membership",
 ]
 
 

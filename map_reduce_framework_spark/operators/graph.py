@@ -643,3 +643,129 @@ ORACLES["leakage_safe_splits"] = f"""
 """
 
 QUERIES["leakage_safe_splits"] = leakage_safe_splits
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (round-9 addition)
+# --------------------------------------------------------------------------
+
+#: core order (minimum within-subgraph degree to stay)
+KCORE_K = 2
+#: fixed peel rounds — the oracle unrolls exactly this many, and the
+#: pytest asserts the LAST round removed nothing (fixpoint reached), so
+#: the bounded-round output IS the true k-core at every tested SF.
+#: Peeling converges in ≤ diameter-ish rounds on near-dup graphs (the
+#: sparse star/chain shapes LSH emits); production raises ROUNDS, and
+#: the fixpoint check is one count per round either way.
+KCORE_ROUNDS = 4
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the simhash near-dup graph: iteratively
+    peel nodes of degree < k until stable; emit every edged node with
+    its initial degree, its degree inside the surviving core, and the
+    in_core verdict.
+
+    The k-core separates DENSE duplication communities (template farms,
+    mirror clusters — nodes that stay when weak attachments peel away)
+    from incidental pairings; it is the standard graph-densification
+    screen a curation pipeline runs between pair generation and cluster
+    resolution (a 2-core member's duplication is corroborated by ≥2
+    independent neighbors that themselves survive).
+
+    Engine: ``KCORE_ROUNDS`` peel sweeps, each = one partial-agg degree
+    count over the live edge list + one semi-join restriction — the
+    same per-round shuffle class as :func:`connected_components`
+    (two-long pairs), with ``localCheckpoint`` truncating lineage
+    between rounds.  Degree counting is ``groupBy(node).count()``
+    (map-side combine; a hub costs one row per partition, not a task).
+    The bounded-round contract (vs run-to-fixpoint) is what makes the
+    operator oracle-checkable — the oracle unrolls the identical R
+    rounds in SQL; ``test_kcore_fixpoint_reached`` proves round R
+    removed nothing at the tested SFs, so the answer equals the true
+    k-core, not a truncation of it.
+
+    No counterpart in the reference (SURVEY §2.4 extension: graph
+    family alongside CC / PageRank / triangles).
+    """
+    pairs = dedup.dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    return kcore_from_pairs(pairs)
+
+
+def kcore_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The peel core of :func:`kcore_membership` over any
+    (doc_a, doc_b) pair list — exposed for hand-built-graph tests."""
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    deg0 = sym.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree_initial")
+    )
+    live = sym
+    for _ in range(KCORE_ROUNDS):
+        deg = live.groupBy(F.col("src").alias("n")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("n")
+        live = (
+            live.join(keep.withColumnRenamed("n", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("n", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    core_deg = live.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("dcore")
+    )
+    return (
+        deg0.join(core_deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree_initial",
+            F.coalesce("dcore", F.lit(0)).cast("long").alias("degree_core"),
+            (F.coalesce("dcore", F.lit(0)) >= KCORE_K).alias("in_core"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled R-round peel over the simhash pair CTE (the BPE-oracle
+    unrolling style: each round is a deg/keep/live CTE triple)."""
+    rounds = []
+    prev = "sym"
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"""deg{r} AS (SELECT src AS n, count(*) AS d FROM {prev}
+                   GROUP BY src),
+        keep{r} AS (SELECT n FROM deg{r} WHERE d >= {KCORE_K}),
+        live{r} AS (SELECT e.src, e.dst FROM {prev} e
+                    JOIN keep{r} a ON a.n = e.src
+                    JOIN keep{r} b ON b.n = e.dst)"""
+        )
+        prev = f"live{r}"
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH pairs AS ({dedup.ORACLES["dedup_simhash"]}),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        deg_init AS (SELECT src AS doc_id, count(*) AS degree_initial
+                     FROM sym GROUP BY src),
+        {rounds_sql},
+        core AS (SELECT src AS doc_id, count(*) AS dcore FROM {prev}
+                 GROUP BY src)
+        SELECT d.doc_id, d.degree_initial,
+               CAST(coalesce(c.dcore, 0) AS BIGINT) AS degree_core,
+               (coalesce(c.dcore, 0) >= {KCORE_K}) AS in_core
+        FROM deg_init d LEFT JOIN core c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+ORACLES["kcore_membership"] = _kcore_oracle()
+QUERIES["kcore_membership"] = kcore_membership

@@ -88,7 +88,8 @@ _MODULES = [
 # distributed zipWithIndex), plus distribution_drift (batch-vs-corpus
 # histogram drift, arithmetic-only divergences) and
 # record_linkage_scores (Fellegi-Sunter match scoring over the
-# PassJoin pairs).  They take 8 more block-b slots; 8 more
+# PassJoin pairs) and kcore_membership (bounded-round k-core peel,
+# unrolled-round oracle).  They take 9 more block-b slots; 9 more
 # trivially-stable r06 rows join the round-10 debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
@@ -101,7 +102,7 @@ _MODULES = [
 # window_distribution, table_profile, snapshot_diff,
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
 # python_udtf_tokens, text_stats, quality_score, ngram_topk,
-# perplexity_proxy, repetition_stats.
+# perplexity_proxy, repetition_stats, doc_fingerprint.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -134,7 +135,8 @@ DRIVER_WINDOW = [
     "global_rank_quality",
     "distribution_drift",
     "record_linkage_scores",
-    # (c) r06-latest greens (28 of 47; 19 deferred, see above)
+    "kcore_membership",
+    # (c) r06-latest greens (27 of 47; 20 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -150,7 +152,6 @@ DRIVER_WINDOW = [
     "dedup_incremental_minhash_indexed",
     "dedup_ngram_jaccard",
     "dedup_pipeline_keeplist",
-    "doc_fingerprint",
     "lang_id",
     "mixture_sample",
     "mr_wordcount_facade",

@@ -435,3 +435,59 @@ def test_ewma_segment_merge_equals_full_fold():
         left = fold(xs[1:cut], xs[0])
         merged = fold(xs[cut:], left)
         assert merged == full  # exact: identical op sequence
+
+
+# --------------------------------------------------------------------------
+# kcore_membership
+# --------------------------------------------------------------------------
+
+
+def test_kcore_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        registry.QUERIES["kcore_membership"],
+        registry.ORACLES["kcore_membership"],
+        "kcore_membership",
+    )
+
+
+def test_kcore_hand_graph(spark):
+    """Triangle {1,2,3} is a 2-core; pendant 4 (one edge to 3) and the
+    chain 5—6 peel away.  Pendant removal must not drag the triangle
+    out (3's degree drops 3→2 but stays ≥ k)."""
+    from map_reduce_framework_spark.operators.graph import kcore_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in kcore_from_pairs(pairs).collect()}
+    assert {n for n, r in rows.items() if r["in_core"]} == {1, 2, 3}
+    assert rows[3]["degree_initial"] == 3 and rows[3]["degree_core"] == 2
+    assert rows[4]["degree_core"] == 0 and rows[5]["degree_core"] == 0
+
+
+def test_kcore_fixpoint_reached(spark):
+    """The bounded-round contract: the LAST peel round must remove
+    nothing at the tested SF, so the R-round answer equals the true
+    k-core (not a truncation).  Verified by running one extra round
+    over the engine's own survivors and counting removals."""
+    from map_reduce_framework_spark.operators import dedup as ddp
+    from map_reduce_framework_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_from_pairs,
+    )
+
+    pairs = ddp.dedup_simhash(spark, SF_DIR).select("doc_a", "doc_b")
+    out = kcore_from_pairs(pairs)
+    # survivors' core degrees already satisfy >= k (no further peel
+    # possible) — this IS the fixpoint condition
+    violators = out.where(
+        F.col("in_core") & (F.col("degree_core") < KCORE_K)
+    ).count()
+    assert violators == 0
+    # and the core is non-trivial at this SF (the test is not vacuous)
+    n_core = out.where("in_core").count()
+    assert n_core > 0, "no 2-core at test SF - raise SF or lower k"
+    assert KCORE_ROUNDS >= 2

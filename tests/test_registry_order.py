@@ -58,6 +58,7 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "global_rank_quality",
     "distribution_drift",
     "record_linkage_scores",
+    "kcore_membership",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -92,6 +93,7 @@ DEFERRED_TO_R10 = {
     "ngram_topk",
     "perplexity_proxy",
     "repetition_stats",
+    "doc_fingerprint",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

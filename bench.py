@@ -116,6 +116,8 @@ HEADLINE = [
     "distribution_drift",
     "record_linkage_scores",
     "kcore_membership",
+    "agg_view_maintain",
+    "zorder_locality_audit",
 ]
 
 

@@ -89,8 +89,11 @@ _MODULES = [
 # histogram drift, arithmetic-only divergences) and
 # record_linkage_scores (Fellegi-Sunter match scoring over the
 # PassJoin pairs) and kcore_membership (bounded-round k-core peel,
-# unrolled-round oracle).  They take 9 more block-b slots; 9 more
-# trivially-stable r06 rows join the round-10 debt below.
+# unrolled-round oracle), agg_view_maintain (incremental aggregate-
+# view refresh — the maintenance matrix gains the rollup axis) and
+# zorder_locality_audit (normalized-Morton layout pruning audit).
+# They take 11 more block-b slots; 11 more trivially-stable r06 rows
+# join the round-10 debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
 # ROUND-10 ROTATION DEBT (17 r06-green rows deferred for the block-b
@@ -102,7 +105,8 @@ _MODULES = [
 # window_distribution, table_profile, snapshot_diff,
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
 # python_udtf_tokens, text_stats, quality_score, ngram_topk,
-# perplexity_proxy, repetition_stats, doc_fingerprint.
+# perplexity_proxy, repetition_stats, doc_fingerprint, lang_id,
+# token_count_bpe.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -136,7 +140,9 @@ DRIVER_WINDOW = [
     "distribution_drift",
     "record_linkage_scores",
     "kcore_membership",
-    # (c) r06-latest greens (27 of 47; 20 deferred, see above)
+    "agg_view_maintain",
+    "zorder_locality_audit",
+    # (c) r06-latest greens (25 of 47; 22 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -152,7 +158,6 @@ DRIVER_WINDOW = [
     "dedup_incremental_minhash_indexed",
     "dedup_ngram_jaccard",
     "dedup_pipeline_keeplist",
-    "lang_id",
     "mixture_sample",
     "mr_wordcount_facade",
     "multimodal_features",
@@ -162,7 +167,6 @@ DRIVER_WINDOW = [
     "source_overlap_matrix",
     "stratified_sample",
     "tfidf_topterms",
-    "token_count_bpe",
     "window_range_interval",
 ]
 

@@ -38,6 +38,8 @@ from .conftest import SF_DIR, assert_matches_oracle
         "global_rank_quality",
         "distribution_drift",
         "record_linkage_scores",
+        "agg_view_maintain",
+        "zorder_locality_audit",
     ],
 )
 def test_matches_oracle(spark, duck, name):
@@ -491,3 +493,54 @@ def test_kcore_fixpoint_reached(spark):
     n_core = out.where("in_core").count()
     assert n_core > 0, "no 2-core at test SF - raise SF or lower k"
     assert KCORE_ROUNDS >= 2
+
+
+# --------------------------------------------------------------------------
+# agg_view_maintain / zorder_locality_audit
+# --------------------------------------------------------------------------
+
+
+def test_agg_view_refresh_consistent_and_idempotent(spark):
+    """The refreshed view must cover the whole corpus (sums equal a
+    direct recompute), expose the batch delta, and return the same
+    answer when re-run (the base table is reused, not re-appended)."""
+    out1 = relational_ext.agg_view_maintain(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n_docs"] for r in out1) == docs.count()
+    n_added = sum(r["n_docs_added"] for r in out1)
+    assert 0 < n_added < docs.count()
+    out2 = relational_ext.agg_view_maintain(spark, SF_DIR).collect()
+    assert out1 == out2
+
+
+def test_morton_interleave_known_bits(spark):
+    """morton(a=0b101, b=0b011) = a-bits at even positions, b-bits at
+    odd: 0b0_1_1_0_1_1 → a contributes 1,0,1 at bits 0,2,4; b
+    contributes 1,1,0 at bits 1,3,5 → 0b011011 = 27."""
+    from map_reduce_framework_spark.operators.relational_ext import _morton20
+
+    row = (
+        spark.range(1)
+        .select(
+            _morton20(F.lit(5).cast("long"), F.lit(3).cast("long")).alias(
+                "z"
+            )
+        )
+        .collect()[0]
+    )
+    assert row["z"] == 27
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """THE verdict the audit exists to produce: the linear layout
+    cannot prune its non-sort dimension at all (hit fraction 1.0),
+    while Z-ordering bounds BOTH dimensions — its worst-dimension hit
+    fraction must beat linear's by a wide margin."""
+    rows = {
+        r["layout"]: r
+        for r in relational_ext.zorder_locality_audit(spark, SF_DIR).collect()
+    }
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin["hit_frac_supp"] == 1.0
+    assert zo["hit_frac_worst_dim"] <= lin["hit_frac_worst_dim"] / 4
+    assert zo["hit_frac_part"] < 1.0 and zo["hit_frac_supp"] < 1.0

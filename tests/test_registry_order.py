@@ -59,6 +59,8 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "distribution_drift",
     "record_linkage_scores",
     "kcore_membership",
+    "agg_view_maintain",
+    "zorder_locality_audit",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -94,6 +96,8 @@ DEFERRED_TO_R10 = {
     "perplexity_proxy",
     "repetition_stats",
     "doc_fingerprint",
+    "lang_id",
+    "token_count_bpe",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

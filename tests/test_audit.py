@@ -544,3 +544,21 @@ def test_zorder_bounds_both_dimensions(spark):
     assert lin["hit_frac_supp"] == 1.0
     assert zo["hit_frac_worst_dim"] <= lin["hit_frac_worst_dim"] / 4
     assert zo["hit_frac_part"] < 1.0 and zo["hit_frac_supp"] < 1.0
+
+
+def test_agg_view_refresh_reads_materialized_base(spark):
+    """After the base exists, the refresh plan must READ the
+    materialized view table (a FileScan on the fingerprinted table),
+    not re-aggregate the old corpus from documents."""
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    relational_ext.agg_view_maintain(spark, SF_DIR).collect()  # build base
+    df = relational_ext.agg_view_maintain(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    table = fingerprinted_table_name("mrfs_aggmv", SF_DIR, "documents")
+    assert table in plan, "refresh does not scan the materialized base"

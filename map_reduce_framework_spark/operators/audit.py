@@ -63,6 +63,9 @@ from ..sources import load_table
 RETURNFLAG_DOMAIN = ("A", "N", "R")
 ORDERSTATUS_DOMAIN = ("F", "O", "P")
 LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+#: shared with the streaming monitor (expectations_stream) — the batch
+#: audit's events checks are the superset the live counters sample
+EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
 
 
 def _row_checks(df: DataFrame, table: str, checks: dict[str, Column]) -> DataFrame:
@@ -150,6 +153,7 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
 
     def not_in(col: str, domain: tuple[str, ...]) -> Column:
         return ~F.col(col).isin(*domain) | F.col(col).isNull()
@@ -215,6 +219,18 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ),
         _unique_check(docs, "documents", "pk_unique", "doc_id"),
+        _row_checks(
+            events,
+            "events",
+            {
+                "ts_not_null": F.col("ts").isNull(),
+                "type_domain": not_in("event_type", EVENT_TYPE_DOMAIN),
+                "user_not_null": F.col("user_id").isNull(),
+                "value_positive": (F.col("value") <= 0.0)
+                | F.col("value").isNull(),
+            },
+        ),
+        _unique_check(events, "events", "pk_unique", "event_id"),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -366,6 +382,16 @@ ORACLES = {
         UNION ALL
         SELECT 'documents', 'pk_unique',
                count(*) - count(DISTINCT doc_id), count(*) FROM documents
+        UNION ALL
+        {_row_checks_sql("events", {
+            "ts_not_null": "ts IS NULL",
+            "type_domain": f"event_type IS NULL OR event_type NOT IN ({_sql_list(EVENT_TYPE_DOMAIN)})",
+            "user_not_null": "user_id IS NULL",
+            "value_positive": "value IS NULL OR value <= 0.0",
+        })}
+        UNION ALL
+        SELECT 'events', 'pk_unique',
+               count(*) - count(DISTINCT event_id), count(*) FROM events
         ORDER BY table_name, check_name
     """,
     "key_skew_profile": "\nUNION ALL\n".join(
@@ -418,29 +444,12 @@ DRIFT_BUCKETS = 20
 DRIFT_BATCH_MOD = 8
 
 
-def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-drift monitor: does the NEWEST batch's value distribution
-    match the corpus baseline?  The check every continuously-fed
-    training pipeline runs before accepting a crawl/ingest increment —
-    a shifted distribution upstream (a broken scraper, a new source
-    mix) shows up here before it poisons downstream statistics.
-
-    One scan: bucket every event by fixed value-domain edges,
-    conditional-sum batch vs baseline counts per bucket, convert to
-    shares, and emit each bucket's drift contribution under two
-    standard divergences computed with PURE ARITHMETIC (engine-exact,
-    deliberately avoiding ln-based PSI/KL whose libm last-ulp can
-    differ between JVM and C):
-
-    - total-variation contribution ``|p − q| / 2``
-    - chi-square contribution ``(q − p)² / p`` (0 where the baseline
-      bucket is empty)
-
-    Scale: groupBy(bucket) partial agg (DRIFT_BUCKETS combiner rows per
-    partition), one broadcast of the 1-row totals — nothing
-    corpus-scale shuffles; the batch predicate is a row-local hash.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def drift_bucket_counts(events: DataFrame) -> DataFrame:
+    """Per-bucket (n_base, n_batch) conditional sums — the part of
+    :func:`distribution_drift` that works identically on a batch or
+    STREAMING events DataFrame (streaming/drift_stream.py is the live
+    twin: these counters run in complete mode, state = DRIFT_BUCKETS
+    rows)."""
     from .dedup import hash60
 
     cents = F.round(F.col("value") * 100).cast("long")
@@ -453,14 +462,18 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         % DRIFT_BATCH_MOD
         == 0
     )
-    counts = (
-        ev.select(bucket.alias("bucket"), is_batch.alias("b"))
+    return (
+        events.select(bucket.alias("bucket"), is_batch.alias("b"))
         .groupBy("bucket")
         .agg(
             F.sum((~F.col("b")).cast("long")).alias("n_base"),
             F.sum(F.col("b").cast("long")).alias("n_batch"),
         )
     )
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """Shares → divergence contributions over a bucket-count table."""
     totals = counts.agg(
         F.sum("n_base").alias("t_base"), F.sum("n_batch").alias("t_batch")
     )
@@ -483,6 +496,33 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
         .orderBy("bucket")
+    )
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift monitor: does the NEWEST batch's value distribution
+    match the corpus baseline?  The check every continuously-fed
+    training pipeline runs before accepting a crawl/ingest increment —
+    a shifted distribution upstream (a broken scraper, a new source
+    mix) shows up here before it poisons downstream statistics.
+
+    One scan: bucket every event by fixed value-domain edges,
+    conditional-sum batch vs baseline counts per bucket, convert to
+    shares, and emit each bucket's drift contribution under two
+    standard divergences computed with PURE ARITHMETIC (engine-exact,
+    deliberately avoiding ln-based PSI/KL whose libm last-ulp can
+    differ between JVM and C):
+
+    - total-variation contribution ``|p − q| / 2``
+    - chi-square contribution ``(q − p)² / p`` (0 where the baseline
+      bucket is empty)
+
+    Scale: groupBy(bucket) partial agg (DRIFT_BUCKETS combiner rows per
+    partition), one broadcast of the 1-row totals — nothing
+    corpus-scale shuffles; the batch predicate is a row-local hash.
+    """
+    return drift_from_counts(
+        drift_bucket_counts(load_table(spark, sf_dir, "events"))
     )
 
 

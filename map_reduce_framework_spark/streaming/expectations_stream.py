@@ -20,11 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.audit import EVENT_TYPE_DOMAIN
 from ..sources import load_table
 from .events_stream import _events_stream_dir, events_stream_source
-
-#: accepted event types (mirrors the synthetic generator's emitter set)
-EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
 
 
 def violation_profile(events: DataFrame) -> DataFrame:

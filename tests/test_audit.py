@@ -59,7 +59,7 @@ def test_expectations_report_shape_and_findings(spark):
         for r in audit.expectations_audit(spark, SF_DIR).collect()
     }
     # every (table, check) pair present exactly once, checked = table size
-    assert len(rows) == 18
+    assert len(rows) == 23
     # the synthetic corpus's one REAL defect fires: lineitem's composite
     # PK carries duplicate groups
     assert rows[("lineitem", "pk_unique")]["violations"] > 0

@@ -814,3 +814,18 @@ def test_streaming_expectations_monitor_equals_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) >= 3
     assert sum(r["n_events"] for r in batch.collect()) > 0
+
+
+def test_streaming_drift_monitor_equals_batch(spark):
+    """The drift table derived from live complete-mode bucket counters
+    must equal the batch distribution_drift on the same data."""
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.streaming.drift_stream import (
+        run_drift_stream_demo,
+    )
+
+    streamed = run_drift_stream_demo(spark, SF_DIR)
+    batch = registry.QUERIES["distribution_drift"](spark, SF_DIR)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) >= 5

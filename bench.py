@@ -118,6 +118,7 @@ HEADLINE = [
     "kcore_membership",
     "agg_view_maintain",
     "zorder_locality_audit",
+    "token_budget_plan",
 ]
 
 

@@ -2001,3 +2001,92 @@ ORACLES["global_rank_quality"] = f"""
 """
 
 QUERIES["global_rank_quality"] = global_rank_quality
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture planning (round-9 addition)
+# --------------------------------------------------------------------------
+
+#: training-run token budget as a fraction of corpus tokens (permille —
+#: integer arithmetic until the final rates) and the per-language
+#: mixture target: equal weight across the five languages, the
+#: "uniform over domains" baseline mixture (cf. the Pile / ROOTS
+#: mixture tables — fitting weights is a modeling choice; the PLAN
+#: arithmetic below is what the pipeline must compute for ANY weights).
+BUDGET_PERMILLE = 500
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning under a token budget: given the per-language
+    token inventory and an equal-weight target mixture over a budget of
+    ``BUDGET_PERMILLE``/1000 of the corpus, compute each language's
+    target tokens, the sampling rate that realizes it, the shortfall
+    where the inventory can't cover the target, and the number of
+    epochs (repeat passes) needed to fill the target by oversampling —
+    the actual planning table behind "how do we hit 20% zh when zh is
+    4% of the crawl?".
+
+    All planning arithmetic derives from ONE partial-agg rollup
+    (per-language token sums — group-cardinality-sized at any corpus)
+    plus a broadcast 1-row total; rates/deficits are fixed-form
+    doubles over exact integer sums.  No second corpus pass: the plan
+    is what downstream samplers (``mixture_sample``,
+    ``quality_weighted_sample``) would be configured with.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    inv = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("available_tokens"),
+    )
+    totals = inv.agg(
+        F.sum("available_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    target = (
+        F.col("corpus_tokens") * BUDGET_PERMILLE / 1000.0 / F.col("n_langs")
+    )
+    rate = target / F.col("available_tokens")
+    return (
+        inv.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "available_tokens",
+            rnd(target, 2).alias("target_tokens"),
+            rnd(F.least(rate, F.lit(1.0)), 6).alias("sample_rate"),
+            rnd(
+                F.greatest(target - F.col("available_tokens"), F.lit(0.0)), 2
+            ).alias("token_deficit"),
+            F.ceil(rate).cast("long").alias("epochs_needed"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["token_budget_plan"] = f"""
+    WITH inv AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS available_tokens
+        FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(available_tokens) AS BIGINT) AS corpus_tokens,
+                 count(*) AS n_langs
+          FROM inv)
+    SELECT lang, n_docs, available_tokens,
+           {rnd_sql(
+               f"corpus_tokens * {BUDGET_PERMILLE} / 1000.0 / n_langs", 2)}
+               AS target_tokens,
+           {rnd_sql(
+               f"least(corpus_tokens * {BUDGET_PERMILLE} / 1000.0 / n_langs"
+               " / available_tokens, 1.0)", 6)} AS sample_rate,
+           {rnd_sql(
+               f"greatest(corpus_tokens * {BUDGET_PERMILLE} / 1000.0"
+               " / n_langs - available_tokens, 0.0)", 2)} AS token_deficit,
+           CAST(ceil(corpus_tokens * {BUDGET_PERMILLE} / 1000.0 / n_langs
+                     / available_tokens) AS BIGINT) AS epochs_needed
+    FROM inv, t ORDER BY lang
+"""
+
+QUERIES["token_budget_plan"] = token_budget_plan

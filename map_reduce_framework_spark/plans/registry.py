@@ -91,8 +91,9 @@ _MODULES = [
 # PassJoin pairs) and kcore_membership (bounded-round k-core peel,
 # unrolled-round oracle), agg_view_maintain (incremental aggregate-
 # view refresh — the maintenance matrix gains the rollup axis) and
-# zorder_locality_audit (normalized-Morton layout pruning audit).
-# They take 11 more block-b slots; 11 more trivially-stable r06 rows
+# zorder_locality_audit (normalized-Morton layout pruning audit) and
+# token_budget_plan (mixture planning under a token budget).
+# They take 12 more block-b slots; 12 more trivially-stable r06 rows
 # join the round-10 debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
@@ -106,7 +107,7 @@ _MODULES = [
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
 # python_udtf_tokens, text_stats, quality_score, ngram_topk,
 # perplexity_proxy, repetition_stats, doc_fingerprint, lang_id,
-# token_count_bpe.
+# token_count_bpe, mixture_sample.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -142,7 +143,8 @@ DRIVER_WINDOW = [
     "kcore_membership",
     "agg_view_maintain",
     "zorder_locality_audit",
-    # (c) r06-latest greens (25 of 47; 22 deferred, see above)
+    "token_budget_plan",
+    # (c) r06-latest greens (24 of 47; 23 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
@@ -158,7 +160,6 @@ DRIVER_WINDOW = [
     "dedup_incremental_minhash_indexed",
     "dedup_ngram_jaccard",
     "dedup_pipeline_keeplist",
-    "mixture_sample",
     "mr_wordcount_facade",
     "multimodal_features",
     "pack_sequences",

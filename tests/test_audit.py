@@ -40,6 +40,7 @@ from .conftest import SF_DIR, assert_matches_oracle
         "record_linkage_scores",
         "agg_view_maintain",
         "zorder_locality_audit",
+        "token_budget_plan",
     ],
 )
 def test_matches_oracle(spark, duck, name):
@@ -562,3 +563,25 @@ def test_agg_view_refresh_reads_materialized_base(spark):
     plan = buf.getvalue()
     table = fingerprinted_table_name("mrfs_aggmv", SF_DIR, "documents")
     assert table in plan, "refresh does not scan the materialized base"
+
+
+def test_token_budget_plan_starved_language(spark, monkeypatch):
+    """A starved stratum must show a real deficit and >1 oversampling
+    epochs: 2 languages, one with 90 tokens, one with 10; 50% budget →
+    25 tokens/lang → the small one needs ceil(25/10) = 3 epochs and a
+    15-token deficit."""
+    from map_reduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 90), "en", "s", 1),
+         (2, " ".join(["w"] * 10), "zh", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("budget_docs")
+    monkeypatch.setattr(t, "load_table", lambda spark, sf, tbl: spark.table("budget_docs"))
+    rows = {r["lang"]: r for r in t.token_budget_plan(spark, SF_DIR).collect()}
+    assert rows["zh"]["token_deficit"] == 15.0
+    assert rows["zh"]["epochs_needed"] == 3
+    assert rows["zh"]["sample_rate"] == 1.0
+    assert rows["en"]["token_deficit"] == 0.0
+    assert rows["en"]["epochs_needed"] == 1

@@ -61,6 +61,7 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "kcore_membership",
     "agg_view_maintain",
     "zorder_locality_audit",
+    "token_budget_plan",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -98,6 +99,7 @@ DEFERRED_TO_R10 = {
     "doc_fingerprint",
     "lang_id",
     "token_count_bpe",
+    "mixture_sample",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

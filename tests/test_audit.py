@@ -1,11 +1,14 @@
-"""Round-9 second-batch operators: validation/skew audits, interval
-union, EWMA fold, leakage-safe splits, value-bucketed global rank.
+"""Round-9 continuation operators: validation / skew / drift audits,
+interval union, EWMA fold, leakage-safe splits, value-bucketed global
+rank, record-linkage scoring, k-core peel, aggregate-view maintenance,
+Z-order layout audit, token-budget planning.
 
 Each operator's oracle-equivalence at sf0.001 runs here (the sf0.01
 driver-compare runs in scripts/driver_sim.py); on top of that, every
 operator gets behavior tests on hand-built frames where the expected
 answer is computable by eye, plus plan assertions for the properties
-the oracle can't see (no global single-task window in the rank).
+the oracle can't see (no global single-task window in the rank; the
+view refresh reads its materialized base).
 """
 
 from __future__ import annotations

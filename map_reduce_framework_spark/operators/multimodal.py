@@ -7,14 +7,17 @@ feature-extract / resize / frame-sample as Arrow-batched Python UDFs over
 NOT in this container, so those codec steps are stubbed — a
 clearly-marked deterministic fake behind an import-try
 (``NotImplementedError`` if real decode is requested without the lib).
-FOUR codec paths are fully real with zero dependencies:
+FIVE codec paths are fully real with zero dependencies:
 :func:`decode_wav` parses RIFF/WAVE PCM headers, :func:`decode_bmp`
 parses uncompressed-BMP headers (both stdlib ``struct``),
 :func:`decode_png` decodes actual PNG pixels (stdlib ``zlib`` inflate +
-numpy scanline unfiltering), and :func:`decode_gif` walks animated-GIF
-containers (frame count + duration, no LZW decode — the frame-sampling
-precursor); ``*_features`` wrappers run each through the same
-``mapInPandas`` plumbing as the stub extractor.  Everything Spark-side
+numpy scanline unfiltering), :func:`decode_gif` walks animated-GIF
+containers (frame count + duration, plus a full LZW pixel decode behind
+``decode_pixels=True``), and :func:`decode_jpeg` walks the JPEG/JFIF
+marker stream (geometry, components, baseline-vs-progressive, table
+counts, stuffed-byte/restart-aware entropy scan to EOI — no Huffman/DCT,
+which genuinely needs a codec library); ``*_features`` wrappers run
+each through the same ``mapInPandas`` plumbing as the stub extractor.  Everything Spark-side
 is real and tested either way: binary column construction, metadata
 schema, Arrow batch shapes, UDF signatures, partition-parallel
 execution.
@@ -798,3 +801,132 @@ QUERIES = {
     "frame_sample_schedule": frame_sample_schedule,
     "payload_chunks": payload_chunks,
 }
+
+
+# --------------------------------------------------------------------------
+# JPEG marker walk (real codec path #5, round-9 addition)
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL codec path #5: JPEG/JFIF marker walk with stdlib ``struct``.
+
+    Walks the marker stream — SOI, APPn, DQT/DHT tables, the SOF frame
+    header (geometry + component count + progressive flag), SOS — then
+    scans the entropy-coded data respecting byte stuffing (``FF 00``)
+    and restart markers (``FF D0``–``D7``) to the EOI.  No entropy
+    decode (that genuinely needs a DCT library); this is the metadata
+    extraction an ingest pipeline runs on billions of crawled images —
+    dimensions, component count, baseline-vs-progressive — plus a
+    structural validity check that catches truncated files.  Truncation,
+    a missing frame header, or an invalid marker fail loudly — same
+    policy as the other four codecs.
+    """
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    sof_kinds = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    out: dict | None = None
+    n_dqt = n_dht = 0
+    has_jfif = False
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"invalid marker byte at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("JPEG segment extends past payload")
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            has_jfif = True
+        elif marker == 0xDB:
+            n_dqt += 1
+        elif marker == 0xC4:
+            n_dht += 1
+        elif marker in sof_kinds:
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
+            precision = body[0]
+            height, width = struct.unpack_from(">HH", body, 1)
+            n_components = body[5]
+            out = {
+                "width": width,
+                "height": height,
+                "n_components": n_components,
+                "precision": precision,
+                "progressive": marker == 0xC2,
+            }
+        pos += seg_len
+        if marker == 0xDA:  # SOS — scan entropy data to EOI
+            if out is None:
+                raise ValueError("SOS before SOF (no frame header)")
+            while True:
+                if pos + 1 >= len(payload):
+                    raise ValueError("truncated entropy stream (no EOI)")
+                if payload[pos] == 0xFF:
+                    nxt = payload[pos + 1]
+                    if nxt == 0xD9:
+                        pos += 2
+                        break
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        pos += 2  # stuffed byte / restart marker
+                        continue
+                    raise ValueError(
+                        f"unexpected marker 0x{nxt:02x} in entropy data"
+                    )
+                pos += 1
+            break
+    if out is None:
+        raise ValueError("no SOF frame header found")
+    if out["width"] <= 0 or out["height"] <= 0 or out["n_components"] == 0:
+        raise ValueError("degenerate JPEG geometry")
+    out["n_quant_tables"] = n_dqt
+    out["n_huff_tables"] = n_dht
+    out["has_jfif"] = has_jfif
+    return out
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, precision int, "
+    "progressive boolean, n_quant_tables int, n_huff_tables int, "
+    "has_jfif boolean"
+)
+
+
+def _extract_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [decode_jpeg(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "width",
+                "height",
+                "n_components",
+                "precision",
+                "progressive",
+                "n_quant_tables",
+                "n_huff_tables",
+                "has_jfif",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Real-codec JPEG metadata extraction through the same Arrow-batched
+    ``mapInPandas`` shape as the other four codecs."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_jpeg, schema=JPEG_FEATURE_SCHEMA
+    )

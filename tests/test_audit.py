@@ -588,3 +588,98 @@ def test_token_budget_plan_starved_language(spark, monkeypatch):
     assert rows["zh"]["sample_rate"] == 1.0
     assert rows["en"]["token_deficit"] == 0.0
     assert rows["en"]["epochs_needed"] == 1
+
+
+# --------------------------------------------------------------------------
+# property tests (hypothesis): interval union + Morton key
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # user
+        st.integers(0, 500),  # start
+        st.integers(1, 80),  # duration
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(iv=_intervals)
+def test_interval_union_properties(spark, iv):
+    """Against a pure-Python interval-union model: per user, the
+    engine's islands must be exactly the maximal merged intervals
+    (touching merges), every event in exactly one island, and islands
+    strictly separated by gaps."""
+    rows = [
+        (u, i, s, s + d) for i, (u, s, d) in enumerate(iv)
+    ]
+    got = _coalesce_islands(spark, rows)
+    # python model
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, _, s, e in rows:
+        by_user[u].append((s, e))
+    want = {}
+    for u, ivs in by_user.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        want[u] = [(m[0], m[1], m[2]) for m in merged]
+    got_by_user = defaultdict(list)
+    for r in got:
+        got_by_user[r["user_id"]].append(
+            (r["island_start"], r["island_end"], r["n_events"])
+        )
+    assert dict(got_by_user) == want
+    for islands in got_by_user.values():
+        for (s1, e1, _), (s2, _, _) in zip(islands, islands[1:]):
+            assert s2 > e1  # strict gap between islands
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    a=st.integers(0, (1 << 10) - 1),
+    b=st.integers(0, (1 << 10) - 1),
+    a2=st.integers(0, (1 << 10) - 1),
+    b2=st.integers(0, (1 << 10) - 1),
+)
+def test_morton_bijective_and_quadrant_monotone(a, b, a2, b2):
+    """The SQL Morton expression must agree with the Python reference
+    (bijectivity follows), and dominance must be order-preserving:
+    a ≤ a2 ∧ b ≤ b2 ⇒ z ≤ z2 — the property 2-D min/max pruning
+    relies on."""
+
+    def pyz(x, y):
+        out = 0
+        for i in range(10):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    import duckdb
+
+    from map_reduce_framework_spark.operators.relational_ext import (
+        _morton20_sql,
+    )
+
+    z, z2 = duckdb.sql(
+        f"SELECT {_morton20_sql(str(a), str(b))},"
+        f" {_morton20_sql(str(a2), str(b2))}"
+    ).fetchone()
+    assert z == pyz(a, b) and z2 == pyz(a2, b2)
+    if a <= a2 and b <= b2:
+        assert z <= z2

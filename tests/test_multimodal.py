@@ -519,3 +519,101 @@ def test_gif_features_through_mapinpandas(spark):
         assert feats[doc_id]["n_frames"] == nf
         assert feats[doc_id]["duration_ms"] == 70 * nf
         assert (feats[doc_id]["width"], feats[doc_id]["height"]) == (w, h)
+
+
+# --------------------------------------------------------------------------
+# JPEG marker walk (codec #5)
+# --------------------------------------------------------------------------
+
+
+def _make_jpeg(
+    width=17,
+    height=9,
+    n_components=3,
+    progressive=False,
+    jfif=True,
+    entropy=b"\x12\x34\xff\x00\x56\xff\xd3\x78",
+    include_sof=True,
+    include_eoi=True,
+):
+    """Minimal structurally-valid JPEG: SOI, optional JFIF APP0, one DQT,
+    SOF0/SOF2, one DHT, SOS + entropy bytes (with a stuffed FF00 and a
+    restart marker to exercise the scan loop), EOI.  Entropy content is
+    arbitrary — the marker walk never Huffman-decodes."""
+    import struct
+
+    parts = [b"\xff\xd8"]
+    if jfif:
+        body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        parts.append(b"\xff\xe0" + struct.pack(">H", 2 + len(body)) + body)
+    dqt = b"\x00" + bytes(64)
+    parts.append(b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt)
+    if include_sof:
+        comps = b"".join(
+            bytes([i + 1, 0x11, 0]) for i in range(n_components)
+        )
+        sof = b"\x08" + struct.pack(">HH", height, width) + bytes(
+            [n_components]
+        ) + comps
+        marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        parts.append(marker + struct.pack(">H", 2 + len(sof)) + sof)
+    dht = b"\x00" + bytes(16) + b""
+    parts.append(b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht)
+    sos = bytes([n_components]) + b"".join(
+        bytes([i + 1, 0]) for i in range(n_components)
+    ) + b"\x00\x3f\x00"
+    parts.append(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+    parts.append(entropy)
+    if include_eoi:
+        parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_jpeg_header_roundtrip():
+    from map_reduce_framework_spark.operators.multimodal import decode_jpeg
+
+    out = decode_jpeg(_make_jpeg(width=640, height=480, n_components=3))
+    assert out["width"] == 640 and out["height"] == 480
+    assert out["n_components"] == 3 and out["precision"] == 8
+    assert out["progressive"] is False
+    assert out["n_quant_tables"] == 1 and out["n_huff_tables"] == 1
+    assert out["has_jfif"] is True
+
+
+def test_jpeg_progressive_flag_and_gray():
+    from map_reduce_framework_spark.operators.multimodal import decode_jpeg
+
+    out = decode_jpeg(
+        _make_jpeg(n_components=1, progressive=True, jfif=False)
+    )
+    assert out["progressive"] is True
+    assert out["n_components"] == 1 and out["has_jfif"] is False
+
+
+def test_jpeg_fail_loud():
+    import pytest as _pytest
+
+    from map_reduce_framework_spark.operators.multimodal import decode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    with _pytest.raises(ValueError, match="no EOI"):
+        decode_jpeg(_make_jpeg(include_eoi=False))
+    with _pytest.raises(ValueError, match="SOS before SOF"):
+        decode_jpeg(_make_jpeg(include_sof=False))
+    # a bare marker (not stuffed, not restart) inside entropy data
+    with _pytest.raises(ValueError, match="unexpected marker"):
+        decode_jpeg(_make_jpeg(entropy=b"\x11\xff\xc0\x22"))
+
+
+def test_jpeg_features_through_mapinpandas(spark):
+    from map_reduce_framework_spark.operators.multimodal import jpeg_features
+
+    payloads = [
+        (1, _make_jpeg(width=32, height=16)),
+        (2, _make_jpeg(width=100, height=50, progressive=True)),
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in jpeg_features(media).collect()}
+    assert rows[1]["width"] == 32 and rows[1]["progressive"] is False
+    assert rows[2]["height"] == 50 and rows[2]["progressive"] is True

@@ -94,9 +94,11 @@ def decode_real(payload: bytes, kind: str) -> dict:
 
     ``audio`` payloads that are RIFF/WAVE go through the dependency-free
     PCM header parser (:func:`decode_wav`); ``image`` payloads that are
-    BMP go through :func:`decode_bmp` and PNG through :func:`decode_png`
-    (full pixel decode via stdlib zlib).  JPEG/video still require
-    PIL/ffmpeg, absent in this container — those stay fail-loud.
+    BMP go through :func:`decode_bmp`, PNG through :func:`decode_png`
+    (full pixel decode via stdlib zlib), and JPEG through
+    :func:`decode_jpeg` (marker walk — geometry/metadata; pixel-level
+    JPEG decode still needs a DCT library).  Video container formats
+    still require ffmpeg/pyav, absent in this container — fail-loud.
     """
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
@@ -104,6 +106,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         return decode_bmp(payload)
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if kind in ("image", "video") and payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
     if not HAVE_IMAGE_LIB:

@@ -617,3 +617,10 @@ def test_jpeg_features_through_mapinpandas(spark):
     rows = {r["doc_id"]: r for r in jpeg_features(media).collect()}
     assert rows[1]["width"] == 32 and rows[1]["progressive"] is False
     assert rows[2]["height"] == 50 and rows[2]["progressive"] is True
+
+
+def test_decode_real_dispatches_jpeg():
+    from map_reduce_framework_spark.operators.multimodal import decode_real
+
+    out = decode_real(_make_jpeg(width=24, height=12), "image")
+    assert out["width"] == 24 and out["height"] == 12

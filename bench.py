@@ -119,6 +119,7 @@ HEADLINE = [
     "agg_view_maintain",
     "zorder_locality_audit",
     "token_budget_plan",
+    "golden_record_assembly",
 ]
 
 

@@ -799,3 +799,136 @@ def _kcore_oracle() -> str:
 
 ORACLES["kcore_membership"] = _kcore_oracle()
 QUERIES["kcore_membership"] = kcore_membership
+
+
+# --------------------------------------------------------------------------
+# Golden-record assembly (round-9 addition)
+# --------------------------------------------------------------------------
+
+#: longest-text argmax pack widths: n_chars < 10^6 per doc (the corpus
+#: generator tops out at ~600), doc_id ≤ _KQ_ID_MAX (same guard class
+#: as the quality keeplist pack)
+_GR_NCHARS_PAD = 6
+
+
+def golden_record_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record assembly — the step AFTER clustering
+    and linkage in an MDM / entity-resolution pipeline: for every
+    duplicate cluster, assemble ONE canonical record by per-field
+    survivorship rules instead of keeping a whole member row:
+
+    - ``canonical_id``  — lowest member doc_id (stable join key);
+    - ``best_text_id``  — the LONGEST member text (ties → lowest id):
+      length ≠ id — the richest copy is often not the first-crawled one;
+    - ``n_members`` / ``sources`` / ``langs`` — provenance: member
+      count plus the DISTINCT sources and languages merged into the
+      record (sorted, comma-joined — deterministic);
+    - ``total_chars`` — summed payload the merge collapses.
+
+    Every rule is a partial-aggregatable expression over cluster
+    members: min, sum, packed-string argmax (the
+    :func:`dedup_keeplist_quality` trick — ``max(lpad(n_chars) ||
+    lpad(INV − id))`` realizes (max length, then min id) in ONE
+    combiner-friendly aggregate), and sort_array(collect_set(...)) for
+    the provenance lists (set size bounded by source/lang cardinality,
+    not cluster size).  No window over the cluster key — a
+    million-member boilerplate cluster contributes one row per
+    partition to the shuffle, the same skew posture as the keeplist.
+
+    Clusters are the standard exact ∪ LSH components
+    (:func:`keeplist_unsorted`); singletons are excluded (a golden
+    record of one member is the member).  Oracle: recursive-CTE
+    clusters + the same packed argmax and string_agg rules in SQL.
+    """
+    from ..sources import load_table
+
+    kl = keeplist_unsorted(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    m = kl.join(docs, "doc_id")
+    guarded_id = F.when(
+        (F.col("doc_id") > _KQ_ID_MAX)
+        | (F.col("n_chars") >= 10**_GR_NCHARS_PAD),
+        F.raise_error(F.lit("golden-record pack capacity exceeded")),
+    ).otherwise(F.col("doc_id"))
+    packed = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), _GR_NCHARS_PAD, "0"),
+        F.lpad((F.lit(_KQ_ID_MAX) - guarded_id).cast("string"), 8, "0"),
+    )
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(packed).alias("bk"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("source"))
+            ).alias("sources"),
+            F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias(
+                "langs"
+            ),
+        )
+        .where(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            (
+                F.lit(_KQ_ID_MAX)
+                - F.substring("bk", _GR_NCHARS_PAD + 1, 8).cast("long")
+            ).alias("best_text_id"),
+            "total_chars",
+            "sources",
+            "langs",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLES["golden_record_assembly"] = f"""
+    WITH RECURSIVE
+    near AS ({dedup.ORACLES["dedup_minhash_lsh"]}),
+    exact AS (
+        SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
+               doc_id AS doc_b
+        FROM documents),
+    pairs AS (SELECT doc_a, doc_b FROM near
+              UNION ALL
+              SELECT doc_a, doc_b FROM exact WHERE doc_a <> doc_b),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id AS label FROM verts
+        UNION
+        SELECT e.dst AS doc_id, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id),
+    labels AS (SELECT doc_id, min(label) AS cl FROM reach
+               GROUP BY doc_id),
+    members AS (
+        SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
+               d.source, d.lang, d.n_chars
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    agg AS (
+        SELECT cluster_id,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_members,
+               max(lpad(CAST(n_chars AS VARCHAR), {_GR_NCHARS_PAD}, '0')
+                   || lpad(CAST({_KQ_ID_MAX} - doc_id AS VARCHAR), 8, '0'))
+                   AS bk,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        FROM members GROUP BY cluster_id)
+    SELECT cluster_id, canonical_id, n_members,
+           {_KQ_ID_MAX} - CAST(substr(bk, {_GR_NCHARS_PAD + 1}, 8) AS BIGINT)
+               AS best_text_id,
+           total_chars, sources, langs
+    FROM agg WHERE n_members >= 2
+    ORDER BY cluster_id
+"""
+
+QUERIES["golden_record_assembly"] = golden_record_assembly

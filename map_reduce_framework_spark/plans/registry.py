@@ -92,8 +92,9 @@ _MODULES = [
 # unrolled-round oracle), agg_view_maintain (incremental aggregate-
 # view refresh — the maintenance matrix gains the rollup axis) and
 # zorder_locality_audit (normalized-Morton layout pruning audit) and
-# token_budget_plan (mixture planning under a token budget).
-# They take 12 more block-b slots; 12 more trivially-stable r06 rows
+# token_budget_plan (mixture planning under a token budget) and
+# golden_record_assembly (per-field survivorship over dup clusters).
+# They take 13 more block-b slots; 13 more trivially-stable r06 rows
 # join the round-10 debt below.
 # (c) 30 of the 47 r06-latest greens — the oldest remaining evidence
 # on current code (everything newer is r07/r08-green).
@@ -107,7 +108,7 @@ _MODULES = [
 # tpch_q2_min_cost_supplier, pandas_udf_grouped_agg, pandas_udf_scalar,
 # python_udtf_tokens, text_stats, quality_score, ngram_topk,
 # perplexity_proxy, repetition_stats, doc_fingerprint, lang_id,
-# token_count_bpe, mixture_sample.
+# token_count_bpe, mixture_sample, contamination_check.
 # They will be 4 rounds stale after round 10 — rotate them in FIRST
 # next round, same contract as the r05 debt this round honoured.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
@@ -144,14 +145,14 @@ DRIVER_WINDOW = [
     "agg_view_maintain",
     "zorder_locality_audit",
     "token_budget_plan",
-    # (c) r06-latest greens (24 of 47; 23 deferred, see above)
+    "golden_record_assembly",
+    # (c) r06-latest greens (23 of 47; 24 deferred, see above)
     "ann_cosine_topk",
     "ann_ivf",
     "ann_ivf_indexed",
     "ann_ivf_kmeans",
     "ann_lsh_bucketed",
     "asof_join",
-    "contamination_check",
     "dedup_containment",
     "dedup_incremental",
     "dedup_incremental_bloom",

@@ -44,6 +44,7 @@ from .conftest import SF_DIR, assert_matches_oracle
         "agg_view_maintain",
         "zorder_locality_audit",
         "token_budget_plan",
+        "golden_record_assembly",
     ],
 )
 def test_matches_oracle(spark, duck, name):
@@ -683,3 +684,36 @@ def test_morton_bijective_and_quadrant_monotone(a, b, a2, b2):
     assert z == pyz(a, b) and z2 == pyz(a2, b2)
     if a <= a2 and b <= b2:
         assert z <= z2
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Per-cluster rules verified against raw members recomputed
+    independently: canonical = min id, best_text = longest text with
+    lowest-id tie-break, provenance = sorted distinct sets, and
+    singletons excluded."""
+    from map_reduce_framework_spark.operators import graph as g
+
+    out = {r["cluster_id"]: r for r in g.golden_record_assembly(spark, SF_DIR).collect()}
+    kl = {r["doc_id"]: r["cluster_id"] for r in g.dedup_pipeline_keeplist(spark, SF_DIR).collect()}
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "lang", "n_chars")
+        .collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in kl.items():
+        members[c].append(d)
+    multi = {c: ms for c, ms in members.items() if len(ms) >= 2}
+    assert set(out) == set(multi) and len(multi) > 0
+    for c, ms in multi.items():
+        r = out[c]
+        assert r["canonical_id"] == min(ms)
+        assert r["n_members"] == len(ms)
+        best = max(ms, key=lambda d: (docs[d]["n_chars"], -d))
+        assert r["best_text_id"] == best
+        assert r["total_chars"] == sum(docs[d]["n_chars"] for d in ms)
+        assert r["sources"] == ",".join(sorted({docs[d]["source"] for d in ms}))
+        assert r["langs"] == ",".join(sorted({docs[d]["lang"] for d in ms}))

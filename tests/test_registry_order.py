@@ -62,6 +62,7 @@ PLAN_CHANGED_OR_NEW_IN_R9 = {
     "agg_view_maintain",
     "zorder_locality_audit",
     "token_budget_plan",
+    "golden_record_assembly",
 }
 
 #: r05-green rows deferred by round 8 — the debt this window pays FIRST
@@ -100,6 +101,7 @@ DEFERRED_TO_R10 = {
     "lang_id",
     "token_count_bpe",
     "mixture_sample",
+    "contamination_check",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}

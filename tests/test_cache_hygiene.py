@@ -40,6 +40,23 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+@pytest.fixture(autouse=True)
+def _zero_persistent_baseline(spark):
+    """Deterministic baseline: earlier test modules (graph peels, CC
+    pipelines) leave ``localCheckpoint`` RDD blocks whose cleanup is
+    ASYNC (driver GC → ContextCleaner), so the pre-test persistent-RDD
+    count is a race, not a constant.  The property under test is
+    "THIS query's caches don't outlive its result" — purge every
+    persistent RDD up front so the assertions measure exactly that."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values().toArray():
+        jrdd.unpersist()
+    spark.catalog.clearCache()
+    cache.release()
+    assert _n_persistent(spark) == 0
+    yield
+
+
 @pytest.mark.parametrize("name", CACHE_HEAVY)
 def test_structural_release_without_explicit_call(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)

@@ -48,8 +48,9 @@ def _zero_persistent_baseline(spark):
     count is a race, not a constant.  The property under test is
     "THIS query's caches don't outlive its result" — purge every
     persistent RDD up front so the assertions measure exactly that."""
+    # py4j exposes the java.util.Map as a dict-like JavaMap
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for jrdd in jmap.values().toArray():
+    for jrdd in list(jmap.values()):
         jrdd.unpersist()
     spark.catalog.clearCache()
     cache.release()

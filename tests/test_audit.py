@@ -63,8 +63,9 @@ def test_expectations_report_shape_and_findings(spark):
         (r["table_name"], r["check_name"]): r
         for r in audit.expectations_audit(spark, SF_DIR).collect()
     }
-    # every (table, check) pair present exactly once, checked = table size
-    assert len(rows) == 23
+    # every (table, check) pair present exactly once, checked = table
+    # size (23 pre-round-10 checks + 5 pk_unique_no_nulls rows)
+    assert len(rows) == 28
     # the synthetic corpus's one REAL defect fires: lineitem's composite
     # PK carries duplicate groups
     assert rows[("lineitem", "pk_unique")]["violations"] > 0
@@ -132,9 +133,33 @@ def test_fk_check_counts_orphans(spark):
 
 def test_unique_check_counts_surplus(spark):
     df = spark.createDataFrame([(1, 1), (1, 1), (1, 1), (2, 1)], "a long, b long")
-    row = audit._unique_check(df, "t", "pk", "a", "b").collect()[0]
+    rows = {
+        r["check_name"]: r
+        for r in audit._unique_check(df, "t", "pk", "a", "b").collect()
+    }
     # 3 copies of (1,1) → 2 surplus rows a dedup would delete
-    assert row["violations"] == 2 and row["checked"] == 4
+    assert rows["pk"]["violations"] == 2 and rows["pk"]["checked"] == 4
+    assert rows["pk_no_nulls"]["violations"] == 0
+
+
+def test_unique_check_null_keys_split_out(spark):
+    """Round-10 ADVICE regression: rows with ANY NULL key column go to
+    the explicit ``_no_nulls`` row, and the surplus is computed over
+    the NULL-free subset only — the engine/oracle-unambiguous split
+    (Spark count_distinct drops any-NULL rows; DuckDB's struct
+    DISTINCT would count them)."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (None, 1), (None, 1), (2, None)],
+        "a long, b long",
+    )
+    rows = {
+        r["check_name"]: r
+        for r in audit._unique_check(df, "t", "pk", "a", "b").collect()
+    }
+    # NULL-free subset = {(1,1) x2}: 1 surplus; 3 NULL-keyed rows
+    assert rows["pk"]["violations"] == 1 and rows["pk"]["checked"] == 5
+    assert rows["pk_no_nulls"]["violations"] == 3
+    assert rows["pk_no_nulls"]["checked"] == 5
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +189,25 @@ def test_skew_profile_hot_key_is_argmax_with_low_tiebreak(spark, monkeypatch):
     r = audit.key_skew_profile(spark, SF_DIR).collect()[0]
     # keys 7 and 3 tie at count 2 → LOWEST key wins deterministically
     assert r["hot_key"] == 3 and r["max_cnt"] == 2
+    assert r["n_rows"] == 5 and r["n_keys"] == 3
+
+
+def test_skew_profile_key_zero_argmax(spark, monkeypatch):
+    """Round-10 ADVICE regression: key 0 as the (tied) hottest key.
+    The old ``10^13 - k`` packing made key 0's inverted form 14 digits,
+    which lpad truncated to a value BELOW every real key's — silently
+    mis-decoding hot_key to 9e12 and inverting the low-key tie-break.
+    Both engines truncated identically, so only a hand-built argmax-0
+    case can catch it."""
+    df = spark.createDataFrame([(0,), (0,), (5,), (5,), (9,)], "k long")
+    df.createOrReplaceTempView("skewzero")
+    monkeypatch.setattr(audit, "SKEW_KEYS", (("skewzero", "k"),))
+    monkeypatch.setattr(
+        audit, "load_table", lambda spark, sf, t: spark.table(t)
+    )
+    r = audit.key_skew_profile(spark, SF_DIR).collect()[0]
+    # keys 0 and 5 tie at count 2 → key 0 must win the low tie-break
+    assert r["hot_key"] == 0 and r["max_cnt"] == 2
     assert r["n_rows"] == 5 and r["n_keys"] == 3
 
 

@@ -601,9 +601,45 @@ def test_jpeg_fail_loud():
         decode_jpeg(_make_jpeg(include_eoi=False))
     with _pytest.raises(ValueError, match="SOS before SOF"):
         decode_jpeg(_make_jpeg(include_sof=False))
-    # a bare marker (not stuffed, not restart) inside entropy data
-    with _pytest.raises(ValueError, match="unexpected marker"):
+    # a bare marker inside entropy data now legally ENDS the scan
+    # (progressive files do exactly this) — but the resumed walk still
+    # fails loudly when that marker's segment is garbage
+    with _pytest.raises(ValueError, match="extends past payload"):
         decode_jpeg(_make_jpeg(entropy=b"\x11\xff\xc0\x22"))
+
+
+def _make_progressive_two_scan():
+    """Real progressive shape: SOF2, then TWO SOS scans separated by a
+    second DHT, with legal 0xFF fill bytes padding before that DHT —
+    the file the round-9 single-scan walk rejected (round-10 ADVICE)."""
+    import struct
+
+    parts = [b"\xff\xd8"]
+    dqt = b"\x00" + bytes(64)
+    parts.append(b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt)
+    sof = b"\x08" + struct.pack(">HH", 40, 60) + bytes([1, 1, 0x11, 0])
+    parts.append(b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof)
+    dht = b"\x00" + bytes(16)
+    sos = b"\x01\x01\x00\x00\x05\x00"  # 1 component, Ss=0 Se=5 (scan 1)
+    parts.append(b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht)
+    parts.append(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+    parts.append(b"\x12\xff\x00\x34")  # scan-1 entropy (stuffed FF)
+    parts.append(b"\xff\xff\xff")  # legal fill-byte run before marker
+    parts.append(b"\xc4" + struct.pack(">H", 2 + len(dht)) + dht)
+    sos2 = b"\x01\x01\x10\x06\x3f\x00"  # scan 2: Ss=6 Se=63
+    parts.append(b"\xff\xda" + struct.pack(">H", 2 + len(sos2)) + sos2)
+    parts.append(b"\x56\xff\xd0\x78")  # scan-2 entropy (restart marker)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_jpeg_progressive_two_scans_with_fill_bytes():
+    from map_reduce_framework_spark.operators.multimodal import decode_jpeg
+
+    out = decode_jpeg(_make_progressive_two_scan())
+    assert out["progressive"] is True
+    assert out["width"] == 60 and out["height"] == 40
+    assert out["n_huff_tables"] == 2  # the inter-scan DHT was parsed
 
 
 def test_jpeg_features_through_mapinpandas(spark):

@@ -2176,11 +2176,9 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(user_id) shuffle; the collected list is bounded
     by per-user event count (retention-bounded in practice — 86 max on
     this corpus).  For truly unbounded histories EWMA decomposes
-    segmentally — a segment folds to ``(s_seg, w_seg = (1−α)^len)`` and
-    two segments merge as ``s = s_right + w_right·(s_left −
-    head-correction)`` — but the bounded-history fold is the honest
-    shape for event streams with retention, so that refinement is
-    documented, not built.
+    segmentally — built as :func:`ewma_smooth_segmented` (round 10):
+    bounded map-side segment folds to affine ``(A, B)`` summaries, then
+    an associatively-composable merge.
     """
     ev = load_table(spark, sf_dir, "events")
     cents = _cents(F.col("value"))
@@ -2267,6 +2265,150 @@ ORACLES["ewma_smooth"] = f"""
 
 QUERIES["interval_coalesce"] = interval_coalesce
 QUERIES["ewma_smooth"] = ewma_smooth
+
+
+# --------------------------------------------------------------------------
+# Segmented EWMA — the unbounded-history decomposition (round-10
+# refinement the round-9 verdict listed as the stretch item)
+# --------------------------------------------------------------------------
+
+#: segment length for the map-side partial folds.  16 is deliberately
+#: SMALL relative to this corpus's 86-event max history so the
+#: multi-segment merge path is exercised for real (most users span 2-6
+#: segments at sf0.01); production tuning would size it to the Arrow
+#: batch (thousands) — the algebra is length-independent.
+EWMA_SEG_LEN = 16
+
+
+def ewma_smooth_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA via the SEGMENTAL decomposition — the shape that
+    survives unbounded histories where :func:`ewma_smooth`'s
+    whole-history ``collect_list`` cannot.
+
+    Algebra: one EWMA step is affine in the carried state
+    (``s' = α·x + (1−α)·s``), so a SEGMENT of steps composes to
+    ``s_out = A + B·s_in`` with ``B = (1−α)^len`` and ``A`` the
+    zero-seeded fold of the segment's x's — and affine maps compose
+    ASSOCIATIVELY, which is exactly the mergeable-summary property
+    (same reason Misra-Gries/heavy-hitters summaries merge): segments
+    fold map-side with bounded memory (≤ :data:`EWMA_SEG_LEN` values
+    per task), and per-user state at merge time is one ``(A, B)`` pair
+    per segment.  At truly unbounded history the merge itself recurses
+    — pairwise-compose ``(A, B)`` rounds like a tree aggregation — but
+    one merge level covers any retention-bounded corpus.
+
+    Exactness: segment-local folds and the cross-segment merge are the
+    SAME floating-point op sequences in Spark and in the DuckDB oracle
+    (which replays the segmentation, not the flat fold): zero/one
+    seeds make the first lambda step exact, so both engines produce
+    bit-identical doubles.  The affine REGROUPING does reorder ops vs
+    the flat fold, so segmented-vs-flat agreement is ~1e-12 relative,
+    not bitwise — pinned by a pytest tolerance check, while each
+    operator's oracle is exact.
+
+    Scale: two shuffles (row_number window on user_id, then the
+    groupBy merges — the second and third reuse the first's hash
+    partitioning on user_id).  Nothing holds more than one segment's
+    values or one user's segment-summary list.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = _cents(F.col("value"))
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            _epoch_s().alias("t"),
+            F.col("event_id").alias("i"),
+            (cents / F.lit(100.0)).alias("x"),
+        ).alias("r"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("r.t"), F.col("r.i"))
+    seg_rows = rows.withColumn(
+        "seg",
+        F.floor((F.row_number().over(w) - 1) / EWMA_SEG_LEN).cast("long"),
+    )
+    per_seg = seg_rows.groupBy("user_id", "seg").agg(
+        F.array_sort(F.collect_list("r")).alias("arr")
+    )
+    a = EWMA_ALPHA
+    xs = "transform(arr, r -> r.x)"
+    lam = f"(acc, x) -> {a}D * x + {1 - a}D * acc"
+    seg_sum = per_seg.select(
+        "user_id",
+        "seg",
+        F.expr(f"aggregate({xs}, CAST(0.0 AS DOUBLE), {lam})").alias("A"),
+        F.expr(
+            f"aggregate({xs}, CAST(1.0 AS DOUBLE), (acc, x) -> acc * {1 - a}D)"
+        ).alias("B"),
+        # v: only the FIRST segment folds with the x₁ seed (the flat
+        # fold's seeding rule); later segments enter through (A, B)
+        F.expr(
+            f"CASE WHEN seg = 0 THEN aggregate(slice({xs}, 2, size(arr) - 1),"
+            f" element_at({xs}, 1), {lam}) ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("v"),
+        F.size("arr").cast("long").alias("n"),
+        F.expr(f"element_at({xs}, -1)").alias("lastx"),
+    )
+    per_user = seg_sum.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seg", "A", "B", "v", "lastx"))
+        ).alias("segs"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    final = F.expr(
+        "aggregate(slice(segs, 2, size(segs) - 1), element_at(segs, 1).v,"
+        " (acc, g) -> g.A + g.B * acc)"
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr("element_at(segs, -1).lastx").alias("last_value"),
+        rnd(final, 4).alias("ewma"),
+    ).orderBy("user_id")
+
+
+ORACLES["ewma_smooth_segmented"] = f"""
+    WITH x AS (
+        SELECT user_id,
+               {_EPOCH_S_SQL} AS t, event_id,
+               {_CENTS_SQL} / 100.0::DOUBLE AS x
+        FROM events),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) - 1 AS rn
+        FROM x),
+    s AS (
+        SELECT user_id, rn // {EWMA_SEG_LEN} AS seg,
+               list(x ORDER BY t, event_id) AS xs
+        FROM r GROUP BY user_id, rn // {EWMA_SEG_LEN}),
+    g AS (
+        SELECT user_id, seg,
+               list_reduce(list_prepend(0.0::DOUBLE, xs),
+                   (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
+                       + {1 - EWMA_ALPHA}::DOUBLE * acc) AS A,
+               list_reduce(list_prepend(1.0::DOUBLE, xs),
+                   (acc, x) -> acc * {1 - EWMA_ALPHA}::DOUBLE) AS B,
+               CASE WHEN seg = 0 THEN
+                   list_reduce(xs, (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
+                       + {1 - EWMA_ALPHA}::DOUBLE * acc)
+               ELSE 0.0::DOUBLE END AS v,
+               len(xs) AS n, xs[-1] AS lastx
+        FROM s),
+    u AS (
+        SELECT user_id,
+               list(struct_pack(seg := seg, A := A, B := B, v := v,
+                                lastx := lastx) ORDER BY seg) AS segs,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id)
+    SELECT user_id, n_events,
+           segs[-1].lastx AS last_value,
+           {rnd_sql(
+               "list_reduce(segs, (acc, g) -> struct_pack("
+               "seg := g.seg, A := 0.0::DOUBLE, B := 0.0::DOUBLE,"
+               " v := g.A + g.B * acc.v, lastx := g.lastx)).v", 4)} AS ewma
+    FROM u ORDER BY user_id
+"""
+
+QUERIES["ewma_smooth_segmented"] = ewma_smooth_segmented
 
 
 # --------------------------------------------------------------------------

@@ -37,6 +37,7 @@ from .conftest import SF_DIR, assert_matches_oracle
         "key_skew_profile",
         "interval_coalesce",
         "ewma_smooth",
+        "ewma_smooth_segmented",
         "leakage_safe_splits",
         "global_rank_quality",
         "distribution_drift",
@@ -486,6 +487,38 @@ def test_ewma_segment_merge_equals_full_fold():
         left = fold(xs[1:cut], xs[0])
         merged = fold(xs[cut:], left)
         assert merged == full  # exact: identical op sequence
+
+
+def test_ewma_segmented_agrees_with_flat_fold(spark):
+    """The round-10 segmented operator must compute the same EWMA as
+    the whole-history fold.  The affine (A, B) regrouping reorders
+    floating-point ops, so agreement is near-exact, not bitwise — both
+    operators' ORACLES are exact because each DuckDB twin replays its
+    own op sequence; this test pins the semantic link between them."""
+    from map_reduce_framework_spark.operators.relational_ext import (
+        EWMA_SEG_LEN,
+        ewma_smooth,
+        ewma_smooth_segmented,
+    )
+
+    flat = {r["user_id"]: r for r in ewma_smooth(spark, SF_DIR).collect()}
+    seg = {
+        r["user_id"]: r
+        for r in ewma_smooth_segmented(spark, SF_DIR).collect()
+    }
+    assert set(flat) == set(seg) and len(flat) > 0
+    multi_segment_users = 0
+    for uid, f in flat.items():
+        s = seg[uid]
+        assert s["n_events"] == f["n_events"]
+        assert s["last_value"] == f["last_value"]
+        # both sides are 4-dp rounded; allow one ulp of the rounding
+        # grid for regrouping error at the boundary
+        assert abs(s["ewma"] - f["ewma"]) <= 1e-4 + 1e-9
+        if f["n_events"] > EWMA_SEG_LEN:
+            multi_segment_users += 1
+    # the corpus must actually exercise the multi-segment merge path
+    assert multi_segment_users > 0
 
 
 # --------------------------------------------------------------------------

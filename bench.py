@@ -120,6 +120,8 @@ HEADLINE = [
     "zorder_locality_audit",
     "token_budget_plan",
     "golden_record_assembly",
+    # round 10 — the segmental EWMA (unbounded-history decomposition)
+    "ewma_smooth_segmented",
 ]
 
 

@@ -74,8 +74,18 @@ def gen_corpus(out: str, scale: int) -> None:
     w = 1.0 / (np.arange(1, N_VOCAB + 1) ** ZIPF_S)
     w /= w.sum()
     n_docs = N_DOCS_BASE * scale
+    # pre-draw the whole Zipf word stream in ONE choice() call (a
+    # per-doc choice with a 40k-dim p is pathologically slow, and a
+    # uniform rng.integers draw — the bug the first probe run caught
+    # via max_df=7 — is not Zipfian at all)
+    lens = rng.integers(10, 101, size=n_docs)
+    pool = rng.choice(N_VOCAB, size=int(lens.sum()), p=w)
+    off = 0
     texts: list[str] = []
     for i in range(n_docs):
+        n = int(lens[i])
+        fresh = " ".join(vocab[pool[off : off + n]])
+        off += n
         r = rng.random()
         if i > 10 and r < EXACT_DUP_FRAC:
             texts.append(texts[int(rng.integers(0, i))])
@@ -84,8 +94,7 @@ def gen_corpus(out: str, scale: int) -> None:
             base[-1] = vocab[int(rng.integers(0, N_VOCAB))]
             texts.append(" ".join(base))
         else:
-            n = int(rng.integers(10, 101))
-            texts.append(" ".join(vocab[rng.integers(0, N_VOCAB, size=n)]))
+            texts.append(fresh)
     langs = rng.choice(
         ["en", "de", "es", "fr", "zh"], size=n_docs, p=[0.41, 0.14, 0.15, 0.14, 0.16]
     )

@@ -236,10 +236,12 @@ def decode_png(payload: bytes) -> dict:
     geometry plus the mean sample value — the cheap "is this image
     black/blown-out" feature a curation pipeline computes at ingest.
 
-    Supported: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA).  Palette (3), 1/2/4/16-bit, Adam7
-    interlace, and corrupt streams fail loudly — same policy as the
-    other codecs.
+    Supported: 8-bit, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), both non-interlaced and Adam7-interlaced (round 10: each
+    of the seven passes is its own filtered sub-image — unfilter per
+    pass, then scatter into the frame by the pass's (offset, step)
+    lattice).  Palette (3), 1/2/4/16-bit, and corrupt streams fail
+    loudly — same policy as the other codecs.
     """
     out, width, height, bit_depth, channels = _png_pixels(payload)
     return {
@@ -292,8 +294,8 @@ def _png_pixels(payload: bytes):
     if ihdr is None or not idat or not seen_iend:
         raise ValueError("PNG missing IHDR, IDAT, or IEND")
     width, height, bit_depth, color_type, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if channels is None or bit_depth != 8:
         raise NotImplementedError(
@@ -302,12 +304,59 @@ def _png_pixels(payload: bytes):
         )
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel stream length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel stream length mismatch")
+        out = _png_unfilter(raw, stride, height, channels)
+        return out, width, height, bit_depth, channels
+    # Adam7: seven passes, each a self-contained filtered sub-image
+    # (filters reference neighbors WITHIN the pass), deinterlaced into
+    # the frame on the pass's (offset, step) lattice.  Empty passes
+    # (dimension smaller than the offset) contribute zero bytes.
+    out3 = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for xoff, yoff, xstep, ystep in _ADAM7_PASSES:
+        pw = (width - xoff + xstep - 1) // xstep if width > xoff else 0
+        ph = (height - yoff + ystep - 1) // ystep if height > yoff else 0
+        if pw == 0 or ph == 0:
+            continue
+        pstride = pw * channels
+        nbytes = (pstride + 1) * ph
+        if pos + nbytes > len(raw):
+            raise ValueError("PNG pixel stream length mismatch (Adam7)")
+        sub = _png_unfilter(raw[pos : pos + nbytes], pstride, ph, channels)
+        pos += nbytes
+        out3[yoff::ystep, xoff::xstep, :] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ValueError("PNG pixel stream length mismatch (Adam7)")
+    return out3.reshape(height, stride), width, height, bit_depth, channels
+
+
+#: Adam7 pass lattice: (x offset, y offset, x step, y step) — PNG spec
+#: §8.2, pass order 1-7
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, stride: int, height: int, bpp: int):
+    """Reverse the per-scanline PNG filters over one filtered image
+    (the whole frame, or one Adam7 pass): ``raw`` is ``height`` rows of
+    1 filter byte + ``stride`` sample bytes.  None/Up fully vectorized;
+    Sub via per-channel cumulative sums; Average/Paeth per-byte (their
+    predictor depends on the just-reconstructed left neighbor, an
+    inherently sequential recurrence)."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int16)
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel (8-bit samples)
     for y in range(height):
         f, cur = int(filters[y]), rows[y].copy()
         prior = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
@@ -339,7 +388,7 @@ def _png_pixels(payload: bytes):
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = line.astype(np.uint8)
-    return out, width, height, bit_depth, channels
+    return out
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:

@@ -213,22 +213,12 @@ def test_decode_wav_skips_unknown_and_odd_chunks():
 # ---------------------------------------------------------------------------
 
 
-def _make_png(pixels, filters=None, color_type=None, interlace=0):
-    """Minimal PNG encoder for tests: numpy (h, w, ch) uint8 -> bytes,
-    applying the given per-row filter types (default all 0/None)."""
-    import zlib
-
+def _filter_rows(flat, filters, bpp):
+    """Apply per-row PNG filter types to a (rows, stride) int16 matrix;
+    returns the filtered byte stream (1 filter byte + stride bytes per
+    row).  Shared by the plain and Adam7 encoders below."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    if color_type is None:
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    filters = filters or [0] * h
-    flat = px.reshape(h, w * ch).astype(np.int16)
-    bpp = ch
     stream = bytearray()
     for y, f in enumerate(filters):
         row = flat[y]
@@ -250,6 +240,46 @@ def _make_png(pixels, filters=None, color_type=None, interlace=0):
                 enc[x] = (row[x] - pred) & 0xFF
         stream.append(f)
         stream += bytes(int(v) & 0xFF for v in enc)
+    return stream
+
+
+def _make_png(pixels, filters=None, color_type=None, interlace=0,
+              lie_about_interlace=False):
+    """Minimal PNG encoder for tests: numpy (h, w, ch) uint8 -> bytes,
+    applying the given per-row filter types (default all 0/None).
+    ``interlace=1`` encodes a REAL Adam7 stream (per-pass filtering,
+    ``filters`` cycled within each pass); ``lie_about_interlace`` flags
+    the header interlaced while writing a sequential stream — the
+    malformed case the decoder must reject."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    if interlace == 1 and not lie_about_interlace:
+        stream = bytearray()
+        for xoff, yoff, xstep, ystep in multimodal._ADAM7_PASSES:
+            sub = px[yoff::ystep, xoff::xstep, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            fl = (filters or [0])
+            pass_filters = [fl[i % len(fl)] for i in range(ph)]
+            stream += _filter_rows(
+                sub.reshape(ph, pw * ch).astype(np.int16), pass_filters, bpp
+            )
+    else:
+        fl = filters or [0]
+        row_filters = [fl[i % len(fl)] for i in range(h)]
+        stream = _filter_rows(
+            px.reshape(h, w * ch).astype(np.int16), row_filters, bpp
+        )
 
     def chunk(ctype, body):
         return (
@@ -257,7 +287,10 @@ def _make_png(pixels, filters=None, color_type=None, interlace=0):
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0,
+        1 if lie_about_interlace else interlace,
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -292,6 +325,49 @@ def test_decode_png_color_types():
         assert feats["mean_sample"] == round(float(px.mean()), 4)
 
 
+def test_decode_png_adam7_roundtrips_pixel_exact():
+    """Round-10: Adam7-interlaced decode must recover the EXACT pixels
+    a sequential encode of the same image yields — across sizes that
+    exercise empty passes (dims < 8), ragged pass widths, and all five
+    filters cycling within each pass."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for h, w, ch in [(16, 16, 3), (9, 13, 4), (5, 3, 1), (1, 1, 2), (2, 10, 3), (8, 1, 1)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        seq = multimodal._png_pixels(_make_png(px, filters=[0, 1, 2, 3, 4]))
+        lac = multimodal._png_pixels(
+            _make_png(px, filters=[0, 1, 2, 3, 4], interlace=1)
+        )
+        assert (lac[0] == seq[0]).all(), (h, w, ch)
+        assert lac[1:] == seq[1:] == (w, h, 8, ch)
+        feats = multimodal.decode_png(
+            _make_png(px, filters=[4, 3, 2, 1], interlace=1)
+        )
+        assert feats["mean_sample"] == round(float(px.mean()), 4)
+
+
+def test_decode_png_adam7_truncated_pass_fails_loudly():
+    import numpy as np
+    import zlib
+
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    good = _make_png(px, interlace=1)
+    # rebuild with the last 40 inflated bytes cut: mid-pass truncation
+    idat_at = good.index(b"IDAT") - 4
+    (n,) = struct.unpack_from(">I", good, idat_at)
+    raw = zlib.decompress(good[idat_at + 8 : idat_at + 8 + n])
+    body = zlib.compress(raw[:-40])
+    tail = good[idat_at + 8 + n + 4 :]
+    rebuilt = (
+        good[:idat_at]
+        + struct.pack(">I", len(body)) + b"IDAT" + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body)) + tail
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        multimodal.decode_png(rebuilt)
+
+
 def test_decode_png_rejects_corrupt_and_unsupported():
     import numpy as np
     import zlib
@@ -312,8 +388,12 @@ def test_decode_png_rejects_corrupt_and_unsupported():
         multimodal.decode_png(good[:-2])
     with pytest.raises(ValueError, match="missing"):
         multimodal.decode_png(good[:-12])  # clean cut at the IEND boundary
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_png(_make_png(px, interlace=1))
+    with pytest.raises(ValueError, match="Adam7"):
+        # header claims Adam7 but the stream is sequential — the pass
+        # walk must detect the byte-count mismatch, not decode garbage
+        multimodal.decode_png(
+            _make_png(np.zeros((16, 16, 3), np.uint8), lie_about_interlace=True)
+        )
     with pytest.raises(NotImplementedError, match="only 8-bit"):
         multimodal.decode_png(_make_png(px, color_type=3))  # palette
     # declared geometry disagreeing with the inflated stream fails loudly

@@ -829,3 +829,56 @@ def test_streaming_drift_monitor_equals_batch(spark):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) >= 5
+
+
+def test_streaming_ewma_equals_batch(spark):
+    """The stateful streaming EWMA must equal the batch fold exactly —
+    same seeds, same recursion, same 4-dp rounding (the segment-merge
+    identity makes the single-drain case bit-exact)."""
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.streaming.ewma_stream import (
+        run_ewma_stream_demo,
+    )
+
+    streamed = run_ewma_stream_demo(spark, SF_DIR)
+    batch = registry.QUERIES["ewma_smooth"](spark, SF_DIR)
+    key = lambda r: (r["user_id"], r["n_events"], r["last_value"], r["ewma"])  # noqa: E731
+    s = sorted(map(key, streamed.collect()))
+    b = sorted(map(key, batch.collect()))
+    assert s == b and len(s) > 0
+
+
+def test_streaming_ewma_multi_batch_equals_batch(spark, tmp_path):
+    """Micro-batch boundaries are segment boundaries: with the feed
+    time-split into 4 files and maxFilesPerTrigger=1, the cross-batch
+    state fold must STILL equal the whole-history batch fold exactly —
+    the operational form of test_ewma_segment_merge_equals_full_fold,
+    and the reason a per-user multi-segment history is safe to drain
+    incrementally."""
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.streaming.ewma_stream import (
+        run_ewma_stream_demo,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    ds_dir = tmp_path / "events.parquet"
+    ds_dir.mkdir()
+    for i in range(4):
+        chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+
+    streamed = run_ewma_stream_demo(
+        spark,
+        str(tmp_path),
+        table="ewma_multibatch",
+        stream_dir=str(ds_dir),
+        max_files_per_trigger=1,
+    )
+    batch = registry.QUERIES["ewma_smooth"](spark, SF_DIR)
+    key = lambda r: (r["user_id"], r["n_events"], r["last_value"], r["ewma"])  # noqa: E731
+    s = sorted(map(key, streamed.collect()))
+    b = sorted(map(key, batch.collect()))
+    assert s == b and len(s) > 0

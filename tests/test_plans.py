@@ -701,3 +701,16 @@ def test_pq_index_side_is_scan_plus_projection_no_exchange(spark):
     assert len(hash_exchanges) == 1 and "query_id" in hash_exchanges[0], plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert adc.count() > 0
+
+
+def test_ewma_segmented_single_data_shuffle(spark):
+    """The segmented EWMA's three user_id-keyed stages (row_number
+    window, per-segment groupBy, per-user groupBy) must share ONE hash
+    exchange: HashPartitioning(user_id) satisfies the (user_id, seg)
+    clustered distribution, so the only other exchange is the output
+    orderBy's range partition."""
+    from map_reduce_framework_spark.operators import relational_ext as rx
+
+    plan = plan_of(rx.ewma_smooth_segmented(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2

@@ -794,3 +794,44 @@ def test_golden_record_survivorship_rules(spark):
         assert r["total_chars"] == sum(docs[d]["n_chars"] for d in ms)
         assert r["sources"] == ",".join(sorted({docs[d]["source"] for d in ms}))
         assert r["langs"] == ",".join(sorted({docs[d]["lang"] for d in ms}))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(0.01, 1000.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    seg_len=st.integers(1, 20),
+)
+def test_ewma_affine_decomposition_property(xs, seg_len):
+    """The segmented operator's algebra, property-tested in pure
+    Python: for ANY series and ANY segment length, composing the
+    per-segment affine (A, B) summaries — zero/one-seeded folds, first
+    segment seeded with x1 — agrees with the whole-history fold to
+    regrouping error (~1e-12 relative; the op reorders float adds, so
+    bitwise equality is NOT claimed — that stronger property holds for
+    the stream twin's seeded-fold form, pinned separately)."""
+    from map_reduce_framework_spark.operators.relational_ext import EWMA_ALPHA
+
+    a, b = EWMA_ALPHA, 1 - EWMA_ALPHA
+    flat = xs[0]
+    for x in xs[1:]:
+        flat = a * x + b * flat
+
+    v = None
+    for i in range(0, len(xs), seg_len):
+        seg = xs[i : i + seg_len]
+        if i == 0:
+            v0 = seg[0]
+            for x in seg[1:]:
+                v0 = a * x + b * v0
+            v = v0
+            continue
+        A, B = 0.0, 1.0
+        for x in seg:
+            A = a * x + b * A
+            B = B * b
+        v = A + B * v
+    assert v == pytest.approx(flat, rel=1e-9, abs=1e-9)

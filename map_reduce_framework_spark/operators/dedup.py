@@ -1328,6 +1328,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, so output = (a subset of) true Jaccard pairs; band/row counts
     trade recall for cost.  Identical banding runs in the oracle, so
     results are exactly comparable.
+
+    Candidate generation is SKINNY (round 10): the band self-join and
+    the pair dropDuplicates move only (doc_id, doc_id) — the ~KB
+    shingle arrays join back from the persisted signature table for
+    the verify step, exactly the oracle's CTE shape.  The round-10
+    sf100 probe measured why this matters: at 5M docs the band join
+    yields ~15M candidate rows, and carrying both shingle arrays
+    through the join + dedup shuffled ~2 KB per candidate (375 s);
+    with skinny candidates the wide arrays cross the wire once per
+    VERIFIED pair side, not once per candidate.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # persist + materialize the signature table: both band-join sides
@@ -1342,7 +1352,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band key = 'i-s1-s2-s3' string per band (shared _band_key_array)
     banded = sigs.select(
         "doc_id",
-        "sh",
+        F.size("sh").alias("n_sh"),
         F.explode(_band_key_array()).alias("band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -1355,15 +1365,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # LOSSLESS length-ratio prune before the arrays join back:
+        # inter ≤ min(|A|,|B|) and union ≥ max ⇒ J ≤ min/max, and the
+        # final test rnd4(J) ≥ 0.8 requires J ≥ 0.79995 — so any
+        # surviving pair has min*20000 ≥ 15999*max (integer-exact, no
+        # float boundary).  On length-varied corpora this drops the
+        # majority of band collisions without touching an array.
+        .where(
+            F.least("n_a", "n_b") * 20000
+            >= F.greatest("n_a", "n_b") * 15999
+        )
+        .select("doc_a", "doc_b")
+    )
+    sh = sigs.select("doc_id", "sh")
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", rnd(inter / union, 4))
+        pairs.withColumn("jaccard", rnd(inter / union, 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -69,12 +69,20 @@ _MODULES = [
 # the 13-char pad — round-10 ADVICE fix), and expectations_audit
 # (pk_unique now splits NULL-keyed rows into explicit
 # pk_unique_no_nulls rows — round-10 ADVICE fix; +5 report rows).
-# (c) TWENTY-ONE of the 46 r07-latest greens — the oldest remaining
+# (round-10 continuation) dedup_minhash_lsh — candidate generation
+# rewritten SKINNY after the sf100 probe measured 375 s: the band
+# self-join and pair-dedup now move only ids + sizes, the shingle
+# arrays join back for the verify, and a lossless integer length-ratio
+# prune precedes that join; output row-for-row identical (286,510 at
+# sf100, oracle green), 2.1x faster at 5M docs.
+# (c) TWENTY of the 46 r07-latest greens — the oldest remaining
 # evidence on current code (everything newer is r08/r09-green) —
-# alphabetically first: band_join_pricing .. pricing_summary.
-# ROUND-11 ROTATION DEBT (the remaining 25 r07-green rows, all
+# alphabetically first: band_join_pricing .. pagerank_dup_graph
+# (pricing_summary, next alphabetically, is deferred to make the slot
+# for the minhash plan rewrite).
+# ROUND-11 ROTATION DEBT (the remaining 26 r07-green rows, all
 # unchanged-code shapes with prior driver greens):
-# quality_weighted_sample, scd2_apply, search_dir_listing,
+# pricing_summary, quality_weighted_sample, scd2_apply, search_dir_listing,
 # sessionize, set_except_all, set_intersect, split_leakage_check,
 # string_agg_sorted, top_k_per_group, tpch_q10_returned_items,
 # tpch_q12_priority_lateness, tpch_q13_customer_distribution,
@@ -122,7 +130,8 @@ DRIVER_WINDOW = [
     "ewma_smooth_segmented",
     "key_skew_profile",
     "expectations_audit",
-    # (c) r07-latest greens (21 of 46; 25 deferred, see above)
+    "dedup_minhash_lsh",
+    # (c) r07-latest greens (20 of 46; 26 deferred, see above)
     "band_join_pricing",
     "blocklist_redact",
     "bpe_segment_docs",
@@ -143,7 +152,6 @@ DRIVER_WINDOW = [
     "mr_inverted_index_facade",
     "multi_distinct_agg",
     "pagerank_dup_graph",
-    "pricing_summary",
 ]
 
 

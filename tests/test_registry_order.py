@@ -9,10 +9,12 @@ the pre-planned debt, honoured exactly as written — (b) the round-10
 plan changes: interval_coalesce + ewma_smooth (engine-version-proof
 integer time/cents derivations, both sides), the NEW
 ewma_smooth_segmented (affine (A,B) unbounded-history decomposition),
-key_skew_profile (key-0 packing fix) and expectations_audit (explicit
-NULL-key split), and (c) the 21 alphabetically-first of the 46
-r07-latest greens.  The remaining 25 r07 rows are deferred to round 11
-(named in registry.py — rotate them in FIRST next round).  The two
+key_skew_profile (key-0 packing fix), expectations_audit (explicit
+NULL-key split), and dedup_minhash_lsh (skinny-candidate plan rewrite
+from the sf100 probe, output-identical), and (c) the 20
+alphabetically-first of the 46 r07-latest greens.  The remaining 26
+r07 rows are deferred to round 11 (named in registry.py — rotate them
+in FIRST next round).  The two
 approx sketches are excluded permanently — they can never hash-match
 DuckDB's sketches and would burn slots on guaranteed `no_oracle` rows.
 """
@@ -35,6 +37,10 @@ PLAN_CHANGED_OR_NEW_IN_R10 = {
     # ADVICE fixes: key-0 packed-argmax; NULL-key split in pk checks
     "key_skew_profile",
     "expectations_audit",
+    # round-10 continuation: skinny band-join candidates + lossless
+    # length-ratio prune (plan rewrite measured at the sf100 probe;
+    # output row-for-row identical)
+    "dedup_minhash_lsh",
 }
 
 #: r06-green rows deferred by round 9 — the debt this window pays FIRST
@@ -68,6 +74,7 @@ DEFERRED_FROM_R9 = [
 #: r07-green rows deferred to round 11 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R11 = {
+    "pricing_summary",
     "quality_weighted_sample",
     "scd2_apply",
     "search_dir_listing",

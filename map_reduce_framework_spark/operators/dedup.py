@@ -1368,18 +1368,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        # LOSSLESS length-ratio prune before the arrays join back:
+        # LOSSLESS length-ratio prune BEFORE the pair-dedup exchange:
         # inter ≤ min(|A|,|B|) and union ≥ max ⇒ J ≤ min/max, and the
         # final test rnd4(J) ≥ 0.8 requires J ≥ 0.79995 — so any
         # surviving pair has min*20000 ≥ 15999*max (integer-exact, no
-        # float boundary).  On length-varied corpora this drops the
-        # majority of band collisions without touching an array.
+        # float boundary).  Sizes are functions of the ids, so every
+        # duplicate of a pair carries identical n's — filtering first
+        # is dedup-equivalent and shrinks the dedup shuffle itself.
         .where(
             F.least("n_a", "n_b") * 20000
             >= F.greatest("n_a", "n_b") * 15999
         )
         .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     sh = sigs.select("doc_id", "sh")
     pairs = cand.join(
@@ -1442,31 +1443,53 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = persist_tracked(_shingled_docs(docs, with_sig=True))
     sigs.count()
+    # skinny candidates (round 10, same rule as dedup_minhash_lsh): the
+    # band join and pair-dedup move ids + sizes only; the lossless
+    # integer length-ratio prune (J ≥ 0.79995 ⇒ min·20000 ≥ max·15999)
+    # runs before any shingle array crosses the wire, and the arrays
+    # join back from the persisted signature table for the verify.
+    # Measured at the sf100 probe: the array-carrying form cost 248 s
+    # warm at 5M docs — MORE than the fixed full self-join.
     banded = sigs.select(
         "doc_id",
-        "sh",
+        F.size("sh").alias("n_sh"),
         F.explode(_band_key_array()).alias("band_key"),
     )
     is_new = _incr_is_new()
     newb = banded.where(is_new).select(
         F.col("doc_id").alias("new_id"),
-        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
         "band_key",
     )
     oldb = banded.where(~is_new).select(
         F.col("doc_id").alias("old_id"),
-        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
         "band_key",
     )
     cand = (
         newb.join(oldb, "band_key")
-        .select("new_id", "old_id", "sh_a", "sh_b")
+        .select("new_id", "old_id", "n_a", "n_b")
+        # prune BEFORE the dedup exchange — sizes are id-functions, so
+        # filter-then-dedup ≡ dedup-then-filter (see dedup_minhash_lsh)
+        .where(
+            F.least("n_a", "n_b") * 20000
+            >= F.greatest("n_a", "n_b") * 15999
+        )
+        .select("new_id", "old_id")
         .dropDuplicates(["new_id", "old_id"])
+    )
+    sh = sigs.select("doc_id", "sh")
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+        "new_id",
+    ).join(
+        sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b")),
+        "old_id",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", rnd(inter / union, 4))
+        pairs.withColumn("jaccard", rnd(inter / union, 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("new_id", "old_id", "jaccard")
         .orderBy("new_id", "old_id")

@@ -1496,8 +1496,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BAND_INDEX_TABLE = "band_index_bkt"
+#: renamed from band_index_bkt in round 10: the layout changed (skinny
+#: rows), and a fresh name sidesteps any stale wide-schema table left
+#: in a long-lived warehouse by earlier builds
+BAND_INDEX_TABLE = "band_index_skinny"
 BAND_INDEX_BUCKETS = 8
+#: doc-keyed shingle store beside the skinny band index (round 10):
+#: verify-time arrays live ONCE per document, bucketed on doc_id
+BAND_SIG_TABLE = "band_sig_store"
 
 
 def _band_index_name(sf_dir: str) -> str:
@@ -1506,31 +1512,66 @@ def _band_index_name(sf_dir: str) -> str:
     return fingerprinted_table_name(BAND_INDEX_TABLE, sf_dir, "documents")
 
 
+def _band_sig_name(sf_dir: str) -> str:
+    from ..sources.bucketing import fingerprinted_table_name
+
+    return fingerprinted_table_name(BAND_SIG_TABLE, sf_dir, "documents")
+
+
 def band_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the OLD-corpus MinHash band table — (doc_id, sh,
-    band_key) — as a table BUCKETED (and sorted) on the band key: the
-    signature-axis twin of :func:`gram_index_bucketed`.  Signing the
-    corpus happens once per index build, not once per screen, and the
-    bucket layout persists the hash partitioning so the screen's band
-    equi-join runs with ZERO exchange on the index side (plan-asserted
-    in ``tests/test_plans.py``).  Content-fingerprinted per-corpus name;
-    built once per session."""
+    """Materialize the OLD-corpus MinHash band index as TWO tables (the
+    signature-axis twin of :func:`gram_index_bucketed`, re-laid-out in
+    round 10 by the sf100 probe's skinny-candidate rule):
+
+    * the SKINNY band table — ``(doc_id, n_sh, band_key)``, bucketed
+      (and sorted) on the band key — what the screen's candidate
+      equi-join reads with ZERO index-side exchange (plan-asserted);
+    * the doc-keyed SHINGLE STORE — ``(doc_id, sh)``, bucketed on
+      doc_id (:func:`band_sig_store`) — what the verify joins arrays
+      back from, store-side exchange-free.
+
+    Before the split the band table carried each document's ~KB
+    shingle array on every one of its LSH_BANDS rows: 4× the corpus's
+    array bytes ON DISK, and — the measured defect — every candidate
+    row dragged two arrays through the join and pair-dedup shuffles.
+    Signing the corpus happens once per index build, not once per
+    screen.  Content-fingerprinted per-corpus names; built once per
+    session."""
     from ..sources.bucketing import write_bucketed
 
     table = _band_index_name(sf_dir)
-    if not spark.catalog.tableExists(table):
+    sig_table = _band_sig_name(sf_dir)
+    if not (
+        spark.catalog.tableExists(table)
+        and spark.catalog.tableExists(sig_table)
+    ):
         docs = fan_out(load_table(spark, sf_dir, "documents")).where(
             ~_incr_is_new()
         )
         sigs = _shingled_docs(docs, with_sig=True).persist()
         try:
             banded = sigs.select(
-                "doc_id", "sh", F.explode(_band_key_array()).alias("band_key")
+                "doc_id",
+                F.size("sh").alias("n_sh"),
+                F.explode(_band_key_array()).alias("band_key"),
             )
             write_bucketed(banded, table, "band_key", BAND_INDEX_BUCKETS)
+            write_bucketed(
+                sigs.select("doc_id", "sh"),
+                sig_table,
+                "doc_id",
+                BAND_INDEX_BUCKETS,
+            )
         finally:
             sigs.unpersist()
     return spark.table(table)
+
+
+def band_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-keyed shingle store built alongside
+    :func:`band_index_bucketed` (one row per indexed document)."""
+    band_index_bucketed(spark, sf_dir)
+    return spark.table(_band_sig_name(sf_dir))
 
 
 #: split_leakage_check: hash-derived train/val/test assignment —
@@ -1586,7 +1627,8 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BAND_INDEX_DELTA_TABLE = "band_index_delta"
+BAND_INDEX_DELTA_TABLE = "band_index_skinny_delta"
+BAND_SIG_DELTA_TABLE = "band_sig_delta"
 
 
 def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,9 +1636,11 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-7 maintenance matrix (:func:`dedup_index_maintain` for gram
     postings, :func:`~.similarity.ann_index_maintain` for IVF cells):
     screen the incoming batch through the banded MinHash index, APPEND
-    the kept documents' (doc_id, sh, band_key) rows into the index, and
-    prove the merge by re-screening the same batch — every kept doc's
-    own bands are now indexed, so it must self-hit (Jaccard(self) = 1).
+    the kept documents' skinny (doc_id, n_sh, band_key) rows into the
+    band index and their (doc_id, sh) rows into the shingle store
+    (round-10 split — see :func:`band_index_bucketed`), and prove the
+    merge by re-screening the same batch — every kept doc's own bands
+    are now indexed, so it must self-hit (Jaccard(self) = 1).
 
     Same mechanics as the other two (see :func:`dedup_index_maintain`
     for the full LSM-style rationale): the base index stays IMMUTABLE,
@@ -1622,53 +1666,78 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingled_docs(new_docs, with_sig=True)
     )
     new_sigs.count()
+    # skinny batch bands (round 10 — see dedup_incremental_minhash_indexed)
     newb = new_sigs.select(
         F.col("doc_id").alias("new_id"),
-        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
         F.explode(_band_key_array()).alias("band_key"),
+    )
+    new_sh = new_sigs.select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
 
-    def screen(index_df: DataFrame) -> DataFrame:
+    def screen(band_df: DataFrame, store_df: DataFrame) -> DataFrame:
         cand = (
             newb.join(
-                index_df.select(
+                band_df.select(
                     F.col("doc_id").alias("old_id"),
-                    F.col("sh").alias("sh_b"),
+                    F.col("n_sh").alias("n_b"),
                     "band_key",
                 ),
                 "band_key",
             )
-            .select("new_id", "old_id", "sh_a", "sh_b")
+            .select("new_id", "old_id", "n_a", "n_b")
+            .where(
+                F.least("n_a", "n_b") * 20000
+                >= F.greatest("n_a", "n_b") * 15999
+            )
+            .select("new_id", "old_id")
             .dropDuplicates(["new_id", "old_id"])
         )
+        pairs = cand.join(new_sh, "new_id").join(
+            store_df.select(
+                F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b")
+            ),
+            "old_id",
+        )
         return (
-            cand.withColumn("j", rnd(inter / union, 4))
+            pairs.withColumn("j", rnd(inter / union, 4))
             .where(F.col("j") >= JACCARD_THRESHOLD)
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )
 
-    near = screen(idx)
+    near = screen(idx, band_sig_store(spark, sf_dir))
     # batch-sized, but its lineage holds the corpus-side base screen —
     # persist so the delta write and the summary run that screen once
     kept = cache.persist_tracked(
         new_docs.select("doc_id", "source").join(near, "doc_id", "left_anti")
     )
-    kept_bands = newb.join(
-        kept.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
-    ).select(
-        F.col("new_id").alias("doc_id"), F.col("sh_a").alias("sh"), "band_key"
+    kept_ids = kept.select(F.col("doc_id").alias("new_id"))
+    kept_bands = newb.join(kept_ids, "new_id", "left_semi").select(
+        F.col("new_id").alias("doc_id"),
+        F.col("n_a").alias("n_sh"),
+        "band_key",
+    )
+    kept_store = new_sh.join(kept_ids, "new_id", "left_semi").select(
+        F.col("new_id").alias("doc_id"), F.col("sh_a").alias("sh")
     )
     delta = fingerprinted_table_name(
         BAND_INDEX_DELTA_TABLE, sf_dir, "documents"
     )
+    sig_delta = fingerprinted_table_name(
+        BAND_SIG_DELTA_TABLE, sf_dir, "documents"
+    )
     write_bucketed(kept_bands, delta, "band_key", BAND_INDEX_BUCKETS)
+    write_bucketed(kept_store, sig_delta, "doc_id", BAND_INDEX_BUCKETS)
     delta_scan = spark.table(delta)
     # kept ∩ screen(base) = ∅, so post-append redetection rides the
     # delta screen alone (batch-vs-batch bucketed join)
-    redetected = kept.join(screen(delta_scan), "doc_id", "left_semi")
+    redetected = kept.join(
+        screen(delta_scan, spark.table(sig_delta)), "doc_id", "left_semi"
+    )
     return _maintain_summary(
         new_docs.select("doc_id", "source"),
         kept,
@@ -1679,7 +1748,8 @@ def band_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BAND_INDEX_COMPACT_TABLE = "band_index_compacted"
+BAND_INDEX_COMPACT_TABLE = "band_index_skinny_compacted"
+BAND_SIG_COMPACT_TABLE = "band_sig_compacted"
 
 
 def band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,9 +1765,10 @@ def band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document).  What the fold buys at 100 TB: the screen goes back
     to reading ONE bucketed table instead of base ∪ N deltas (each
     extra delta is one more bucketed scan per screen join), and the
-    rewrite reads 8-byte band keys + signature arrays instead of
-    re-shingling and re-signing raw text.  The only shuffle is the
-    bucketed write itself — amortized over the batches between folds.
+    rewrite reads skinny band rows (and folds the doc-keyed shingle
+    store the same way) instead of re-shingling and re-signing raw
+    text.  The only shuffle is the bucketed write itself — amortized
+    over the batches between folds.
 
     Output, per source: documents indexed, band rows, total MinHash
     values, and a modular band-key checksum — the DuckDB oracle
@@ -1724,6 +1795,23 @@ def band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(
         base.unionByName(delta), compacted_name, "band_key", BAND_INDEX_BUCKETS
     )
+    # fold the doc-keyed shingle store the same way (round 10 split):
+    # base store ∪ delta store → the next store
+    sig_compacted = fingerprinted_table_name(
+        BAND_SIG_COMPACT_TABLE, sf_dir, "documents"
+    )
+    write_bucketed(
+        band_sig_store(spark, sf_dir).unionByName(
+            spark.table(
+                fingerprinted_table_name(
+                    BAND_SIG_DELTA_TABLE, sf_dir, "documents"
+                )
+            )
+        ),
+        sig_compacted,
+        "doc_id",
+        BAND_INDEX_BUCKETS,
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         spark.table(compacted_name)
@@ -1732,7 +1820,9 @@ def band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.size("sh")).alias("n_minhash"),
+            # n_sh rides every skinny band row, so the per-source
+            # MinHash total needs no store join
+            F.sum("n_sh").alias("n_minhash"),
             # band keys are strings ("i-s1-s2-s3"); checksum their
             # shared 60-bit hash mod a prime (engine-portable)
             F.sum(hash60(F.col("band_key")) % F.lit(1_000_000_007)).alias(
@@ -1752,29 +1842,56 @@ def dedup_incremental_minhash_indexed(
     batch is shingled and signed per run; the candidate equi-join reads
     the index through its bucket layout with no index-side exchange.
     Output-identical to the derived twin (pinned by
-    ``tests/test_dedup.py::test_indexed_minhash_equals_derived``)."""
+    ``tests/test_dedup.py::test_indexed_minhash_equals_derived``).
+
+    Round 10 (skinny-candidate rule): the candidate join reads the
+    skinny band index (ids + sizes), the length-ratio prune runs
+    before the pair-dedup, and verify arrays join back — the batch
+    side from its one persisted signature pass, the index side from
+    the doc-bucketed shingle store (store-side exchange-free)."""
+    from ..cache import persist_tracked
+
     idx = band_index_bucketed(spark, sf_dir)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    new_sigs = _shingled_docs(docs.where(_incr_is_new()), with_sig=True)
+    new_sigs = persist_tracked(
+        _shingled_docs(docs.where(_incr_is_new()), with_sig=True)
+    )
+    new_sigs.count()
     newb = new_sigs.select(
         F.col("doc_id").alias("new_id"),
-        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
         F.explode(_band_key_array()).alias("band_key"),
     )
     oldb = idx.select(
         F.col("doc_id").alias("old_id"),
-        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
         "band_key",
     )
     cand = (
         newb.join(oldb, "band_key")
-        .select("new_id", "old_id", "sh_a", "sh_b")
+        .select("new_id", "old_id", "n_a", "n_b")
+        .where(
+            F.least("n_a", "n_b") * 20000
+            >= F.greatest("n_a", "n_b") * 15999
+        )
+        .select("new_id", "old_id")
         .dropDuplicates(["new_id", "old_id"])
+    )
+    pairs = cand.join(
+        new_sigs.select(
+            F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")
+        ),
+        "new_id",
+    ).join(
+        band_sig_store(spark, sf_dir).select(
+            F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b")
+        ),
+        "old_id",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", rnd(inter / union, 4))
+        pairs.withColumn("jaccard", rnd(inter / union, 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("new_id", "old_id", "jaccard")
         .orderBy("new_id", "old_id")

@@ -69,19 +69,28 @@ _MODULES = [
 # the 13-char pad — round-10 ADVICE fix), and expectations_audit
 # (pk_unique now splits NULL-keyed rows into explicit
 # pk_unique_no_nulls rows — round-10 ADVICE fix; +5 report rows).
-# (round-10 continuation) dedup_minhash_lsh — candidate generation
-# rewritten SKINNY after the sf100 probe measured 375 s: the band
-# self-join and pair-dedup now move only ids + sizes, the shingle
-# arrays join back for the verify, and a lossless integer length-ratio
-# prune precedes that join; output row-for-row identical (286,510 at
-# sf100, oracle green), 2.1x faster at 5M docs.
-# (c) TWENTY of the 46 r07-latest greens — the oldest remaining
+# (round-10 continuation) the MinHash band family — candidate
+# generation rewritten SKINNY after the sf100 (5M-doc) probe measured
+# the old array-carrying joins at 375 s / 248 s: band joins and
+# pair-dedups now move only ids + sizes, a lossless integer
+# length-ratio prune runs before the pair-dedup exchange, and shingle
+# arrays join back from the persisted signature pass (derived twins)
+# or the NEW doc-keyed bucketed shingle store (the index family's
+# round-10 two-table split: skinny band postings + one array row per
+# doc instead of LSH_BANDS copies).  Outputs row-for-row identical,
+# every oracle green: dedup_minhash_lsh (375→176 s at sf100),
+# dedup_incremental_minhash (248→120 s), and the re-laid-out
+# dedup_incremental_minhash_indexed, band_index_maintain,
+# band_index_compact.
+# (c) SIXTEEN of the 46 r07-latest greens — the oldest remaining
 # evidence on current code (everything newer is r08/r09-green) —
-# alphabetically first: band_join_pricing .. pagerank_dup_graph
-# (pricing_summary, next alphabetically, is deferred to make the slot
-# for the minhash plan rewrite).
-# ROUND-11 ROTATION DEBT (the remaining 26 r07-green rows, all
+# alphabetically first: band_join_pricing .. join_skew_salted
+# (the next five alphabetically are deferred to make slots for the
+# band-family plan rewrites).
+# ROUND-11 ROTATION DEBT (the remaining 30 r07-green rows, all
 # unchanged-code shapes with prior driver greens):
+# json_extract, mr_inverted_index_facade, multi_distinct_agg,
+# pagerank_dup_graph,
 # pricing_summary, quality_weighted_sample, scd2_apply, search_dir_listing,
 # sessionize, set_except_all, set_intersect, split_leakage_check,
 # string_agg_sorted, top_k_per_group, tpch_q10_returned_items,
@@ -131,7 +140,11 @@ DRIVER_WINDOW = [
     "key_skew_profile",
     "expectations_audit",
     "dedup_minhash_lsh",
-    # (c) r07-latest greens (20 of 46; 26 deferred, see above)
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
+    "band_index_maintain",
+    "band_index_compact",
+    # (c) r07-latest greens (16 of 46; 30 deferred, see above)
     "band_join_pricing",
     "blocklist_redact",
     "bpe_segment_docs",
@@ -148,10 +161,6 @@ DRIVER_WINDOW = [
     "join_equi",
     "join_full_outer",
     "join_skew_salted",
-    "json_extract",
-    "mr_inverted_index_facade",
-    "multi_distinct_agg",
-    "pagerank_dup_graph",
 ]
 
 

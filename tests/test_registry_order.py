@@ -10,11 +10,12 @@ plan changes: interval_coalesce + ewma_smooth (engine-version-proof
 integer time/cents derivations, both sides), the NEW
 ewma_smooth_segmented (affine (A,B) unbounded-history decomposition),
 key_skew_profile (key-0 packing fix), expectations_audit (explicit
-NULL-key split), and dedup_minhash_lsh (skinny-candidate plan rewrite
-from the sf100 probe, output-identical), and (c) the 20
-alphabetically-first of the 46 r07-latest greens.  The remaining 26
-r07 rows are deferred to round 11 (named in registry.py — rotate them
-in FIRST next round).  The two
+NULL-key split), and the five MinHash band-family plan rewrites from
+the sf100 probe (skinny candidates + the index's two-table split,
+outputs row-for-row identical), and (c) the 16 alphabetically-first
+of the 46 r07-latest greens.  The remaining 30 r07 rows are deferred
+to round 11 (named in registry.py — rotate them in FIRST next
+round).  The two
 approx sketches are excluded permanently — they can never hash-match
 DuckDB's sketches and would burn slots on guaranteed `no_oracle` rows.
 """
@@ -38,9 +39,14 @@ PLAN_CHANGED_OR_NEW_IN_R10 = {
     "key_skew_profile",
     "expectations_audit",
     # round-10 continuation: skinny band-join candidates + lossless
-    # length-ratio prune (plan rewrite measured at the sf100 probe;
-    # output row-for-row identical)
+    # length-ratio prune (plan rewrites measured at the sf100 probe;
+    # outputs row-for-row identical), and the band index's two-table
+    # split (skinny postings + doc-keyed shingle store)
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
+    "band_index_maintain",
+    "band_index_compact",
 }
 
 #: r06-green rows deferred by round 9 — the debt this window pays FIRST
@@ -74,6 +80,10 @@ DEFERRED_FROM_R9 = [
 #: r07-green rows deferred to round 11 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R11 = {
+    "json_extract",
+    "mr_inverted_index_facade",
+    "multi_distinct_agg",
+    "pagerank_dup_graph",
     "pricing_summary",
     "quality_weighted_sample",
     "scd2_apply",

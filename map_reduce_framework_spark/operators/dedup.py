@@ -90,6 +90,10 @@ COSINE_DUP_THRESHOLD = 0.35
 #: 100×; bits ∝ log₂(corpus) makes within-block work O(n · target ·
 #: (1+bits)) — linear in the corpus up to the log factor).
 EMB_BLOCK_TARGET = 64
+#: per-chunk GEMM budget for hot-block scoring (doubles): 2^24 cells
+#: ≈ 134 MB transient per task — 32 parallel Python workers stay well
+#: inside host memory even against a degenerate single-block corpus
+_GEMM_CHUNK_CELLS = 1 << 24
 EMB_BITS_MIN = 3
 EMB_BITS_MAX = 16
 
@@ -2149,6 +2153,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_keys, "vec_id bigint, embedding array<float>, band int, key bigint"
     )
 
+    # bind into the closure cell so the worker-side function sees the
+    # driver-side value (incl. test monkeypatching) rather than
+    # re-importing the module default
+    gemm_cells = _GEMM_CHUNK_CELLS
+
     def block_pairs(pdf):
         import numpy as np
         import pandas as pd
@@ -2157,18 +2166,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        # same portable rounding formula as functions.rnd / rnd_sql
-        cos = np.floor(sims[ia, ib] * 1e4 + 0.5) / 1e4
-        keep = cos >= COSINE_DUP_THRESHOLD
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine": cos[keep],
-            }
-        )
+        # chunked GEMM (round-10 hardening, found by the sf100 probe):
+        # the full B×B sims matrix of a HOT block — e.g. a boilerplate
+        # cluster whose members share every sign bit — is B²·8 bytes
+        # and OOMs the task before a single pair is emitted (measured:
+        # lost task at a ~200k-member block, 2M clustered vectors).
+        # Scoring chunk-vs-suffix bounds transient memory at
+        # ~_GEMM_CHUNK_CELLS doubles per task while every pair's
+        # cosine is still the same 64-term BLAS dot (bit-identical to
+        # the full-GEMM result, so the oracle match is untouched);
+        # kept pairs are filtered BEFORE any index array materializes,
+        # so per-chunk footprint is output-bound, not B-bound.  FLOPs
+        # and output size are unchanged — a corpus whose true pair set
+        # is quadratic is still output-bound (that regime's production
+        # operator is the dedup_semantic_scalable drop list); this
+        # bounds MEMORY, not work.
+        B = len(ids)
+        chunk = max(4, gemm_cells // max(B, 1))
+        outs = []
+        for s in range(0, B, chunk):
+            e = min(s + chunk, B)
+            sims = m[s:e] @ m[s:].T  # columns are j >= s only
+            # same portable rounding formula as functions.rnd / rnd_sql
+            cos = np.floor(sims * 1e4 + 0.5) / 1e4
+            keep = (cos >= COSINE_DUP_THRESHOLD) & (
+                np.arange(B - s)[None, :] > np.arange(e - s)[:, None]
+            )
+            li, lj = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[s + li],
+                        "id_b": ids[s + lj],
+                        "cosine": cos[li, lj],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         exploded.groupBy("band", "key")

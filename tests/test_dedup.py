@@ -461,6 +461,33 @@ def test_embedding_dedup_recall_floor(spark):
     assert recall >= 0.70, f"recall {recall:.3f} below floor"
 
 
+def test_embedding_dedup_chunked_gemm_equals_whole_block(spark, monkeypatch):
+    """Round-10 hot-block hardening: with the per-chunk GEMM budget
+    starved so every block scores across MANY chunk boundaries, the
+    pair set and every rounded cosine must be identical to the
+    default (effectively whole-block) run — the chunking bounds
+    memory, never results.  (The sf100 probe's 200k-member block OOM'd
+    the unchunked scorer.)"""
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators import dedup
+
+    try:
+        base = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.dedup_embedding_cosine(spark, SF_DIR).collect()
+        }
+        cache.release()
+        # 64 cells / typical block width (~tens) → chunk of a few rows
+        monkeypatch.setattr(dedup, "_GEMM_CHUNK_CELLS", 64)
+        chunked = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.dedup_embedding_cosine(spark, SF_DIR).collect()
+        }
+    finally:
+        cache.release()
+    assert chunked == base and len(base) > 0
+
+
 def test_index_maintain_redetects_every_kept_doc(spark):
     """After the delta lands, every kept document's postings are
     indexed (base ∪ delta), so the re-screen must self-hit ALL of them

@@ -81,16 +81,20 @@ _MODULES = [
 # every oracle green: dedup_minhash_lsh (375→176 s at sf100),
 # dedup_incremental_minhash (248→120 s), and the re-laid-out
 # dedup_incremental_minhash_indexed, band_index_maintain,
-# band_index_compact.
+# band_index_compact.  Plus dedup_embedding_cosine: the sf100 probe
+# OOM'd its hot-block whole-matrix GEMM (a 200k-member cluster block),
+# now scored chunk-vs-suffix with bounded transient memory — outputs
+# bit-identical (starved-budget pytest) but the scoring plan changed,
+# so it re-rotates.
 # (c) SIXTEEN of the 46 r07-latest greens — the oldest remaining
 # evidence on current code (everything newer is r08/r09-green) —
-# alphabetically first: band_join_pricing .. join_skew_salted
-# (the next five alphabetically are deferred to make slots for the
-# band-family plan rewrites).
-# ROUND-11 ROTATION DEBT (the remaining 30 r07-green rows, all
+# alphabetically first: band_join_pricing .. join_full_outer
+# (the next six alphabetically are deferred to make slots for the
+# band-family and embedding-GEMM plan rewrites).
+# ROUND-11 ROTATION DEBT (the remaining 31 r07-green rows, all
 # unchanged-code shapes with prior driver greens):
-# json_extract, mr_inverted_index_facade, multi_distinct_agg,
-# pagerank_dup_graph,
+# join_skew_salted, json_extract, mr_inverted_index_facade,
+# multi_distinct_agg, pagerank_dup_graph,
 # pricing_summary, quality_weighted_sample, scd2_apply, search_dir_listing,
 # sessionize, set_except_all, set_intersect, split_leakage_check,
 # string_agg_sorted, top_k_per_group, tpch_q10_returned_items,
@@ -144,7 +148,8 @@ DRIVER_WINDOW = [
     "dedup_incremental_minhash_indexed",
     "band_index_maintain",
     "band_index_compact",
-    # (c) r07-latest greens (16 of 46; 30 deferred, see above)
+    "dedup_embedding_cosine",
+    # (c) r07-latest greens (15 of 46; 31 deferred, see above)
     "band_join_pricing",
     "blocklist_redact",
     "bpe_segment_docs",
@@ -160,7 +165,6 @@ DRIVER_WINDOW = [
     "gap_fill_hourly",
     "join_equi",
     "join_full_outer",
-    "join_skew_salted",
 ]
 
 

@@ -12,8 +12,9 @@ ewma_smooth_segmented (affine (A,B) unbounded-history decomposition),
 key_skew_profile (key-0 packing fix), expectations_audit (explicit
 NULL-key split), and the five MinHash band-family plan rewrites from
 the sf100 probe (skinny candidates + the index's two-table split,
-outputs row-for-row identical), and (c) the 16 alphabetically-first
-of the 46 r07-latest greens.  The remaining 30 r07 rows are deferred
+outputs row-for-row identical) plus the GEMM-hardened
+dedup_embedding_cosine, and (c) the 15 alphabetically-first
+of the 46 r07-latest greens.  The remaining 31 r07 rows are deferred
 to round 11 (named in registry.py — rotate them in FIRST next
 round).  The two
 approx sketches are excluded permanently — they can never hash-match
@@ -47,6 +48,8 @@ PLAN_CHANGED_OR_NEW_IN_R10 = {
     "dedup_incremental_minhash_indexed",
     "band_index_maintain",
     "band_index_compact",
+    # chunk-vs-suffix hot-block GEMM (bit-identical outputs, pinned)
+    "dedup_embedding_cosine",
 }
 
 #: r06-green rows deferred by round 9 — the debt this window pays FIRST
@@ -80,6 +83,7 @@ DEFERRED_FROM_R9 = [
 #: r07-green rows deferred to round 11 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R11 = {
+    "join_skew_salted",
     "json_extract",
     "mr_inverted_index_facade",
     "multi_distinct_agg",

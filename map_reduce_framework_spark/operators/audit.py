@@ -112,8 +112,10 @@ def _unique_check(
     all_nn = F.lit(True)
     for k in keys:
         all_nn = all_nn & F.col(k).isNotNull()
+    # coalesce: sum over an EMPTY table is NULL — the report must say
+    # "0 violations", not NULL (round-11 ADVICE fix; oracle twin below)
     one = df.agg(
-        F.sum(all_nn.cast("long")).alias("nn"),
+        F.coalesce(F.sum(all_nn.cast("long")), F.lit(0)).alias("nn"),
         F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
         F.count(F.lit(1)).alias("checked"),
     )
@@ -363,12 +365,13 @@ def _unique_check_sql(table: str, check: str, *keys: str) -> str:
     tup = keys[0] if len(keys) == 1 else "(" + ", ".join(keys) + ")"
     return (
         f"SELECT '{table}', '{check}',"
-        f" CAST(sum(CASE WHEN {nn} THEN 1 ELSE 0 END)"
+        f" CAST(COALESCE(sum(CASE WHEN {nn} THEN 1 ELSE 0 END), 0)"
         f" - count(DISTINCT CASE WHEN {nn} THEN {tup} END) AS BIGINT),"
         f" count(*) FROM {table}"
         f"\nUNION ALL\n"
         f"SELECT '{table}', '{check}_no_nulls',"
-        f" CAST(count(*) - sum(CASE WHEN {nn} THEN 1 ELSE 0 END) AS BIGINT),"
+        f" CAST(count(*) - COALESCE(sum(CASE WHEN {nn} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT),"
         f" count(*) FROM {table}"
     )
 

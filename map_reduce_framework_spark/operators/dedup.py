@@ -3333,7 +3333,11 @@ ORACLES["record_linkage_scores"] = f"""
                      JOIN d b ON b.doc_id = p.id_b),
     s AS (
         SELECT *,
-               (CASE WHEN dist = 0 THEN {LINK_W_TITLE[0]}
+               -- ::DOUBLE on the first arm makes every CASE (and the
+               -- whole sum) DOUBLE arithmetic like Spark's, not DuckDB
+               -- DECIMAL; all weights are exact binary fractions
+               -- (multiples of 0.25) so values are unchanged.
+               (CASE WHEN dist = 0 THEN {LINK_W_TITLE[0]}::DOUBLE
                      WHEN dist = 1 THEN {LINK_W_TITLE[1]}
                      ELSE {LINK_W_TITLE[2]} END
                 + CASE WHEN lang_agree THEN {LINK_W_LANG[0]}

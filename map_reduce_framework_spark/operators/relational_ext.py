@@ -1593,7 +1593,8 @@ ORACLES = {
         SELECT doc_id,
                to_json(MAP {'lang': lang, 'source': source}) AS meta_json,
                (MAP {'lang': lang, 'source': source}['lang'])[1] AS lang_val,
-               cardinality(MAP {'lang': lang, 'source': source}) AS n_keys
+               CAST(cardinality(MAP {'lang': lang, 'source': source})
+                    AS INTEGER) AS n_keys
         FROM documents ORDER BY doc_id
     """,
     "lateral_posexplode": """
@@ -2232,9 +2233,14 @@ ORACLES["interval_coalesce"] = f"""
         SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
         FROM m),
     isl AS (
-        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS island
+        -- DuckDB sum(int) OVER is HUGEINT (int128) — the round-10
+        -- driver red's root cause: Arrow exports it as decimal128 while
+        -- Spark emits int64, so a typed value-hash diverges even though
+        -- every value is equal.  CAST pins the oracle to BIGINT.
+        SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS island
         FROM fl)
     SELECT user_id, island,
            min(s) AS island_start, max(e) AS island_end,
@@ -2279,6 +2285,44 @@ QUERIES["ewma_smooth"] = ewma_smooth
 #: batch (thousands) — the algebra is length-independent.
 EWMA_SEG_LEN = 16
 
+#: tree-merge fan-in: each merge level composes ≤ this many ordered
+#: affine (A, B) segment summaries per task; capacity multiplies by 16
+#: per level, so level count is log₁₆ of the per-user segment count
+#: (sized small like EWMA_SEG_LEN so the sf0.01 corpus exercises a real
+#: multi-level tree when tests force it; production would use ~1024)
+EWMA_MERGE_FANIN = 16
+
+
+def _ewma_merge_level(cur: DataFrame) -> DataFrame:
+    """One tree-merge level: group ``seg div FANIN`` per user and
+    compose the chunk's ordered affine maps — seed ``(A,B) = (0,1)``,
+    step ``(g.A + g.B·A, g.B·B)`` (associative; single-element chunks
+    are FP-exact identities).  Input and output schema:
+    ``(user_id, seg, A, B, n, lastx)``."""
+    chunked = cur.groupBy(
+        "user_id",
+        F.expr(f"seg div {EWMA_MERGE_FANIN}").alias("seg"),
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("seg", "A", "B", "n", "lastx"))
+        ).alias("ms")
+    )
+    composed = F.expr(
+        "aggregate(ms, struct(CAST(0.0 AS DOUBLE) AS A,"
+        " CAST(1.0 AS DOUBLE) AS B),"
+        " (acc, g) -> struct(g.A + g.B * acc.A AS A, g.B * acc.B AS B))"
+    )
+    return chunked.select(
+        "user_id",
+        "seg",
+        composed["A"].alias("A"),
+        composed["B"].alias("B"),
+        F.expr(
+            "aggregate(ms, CAST(0 AS BIGINT), (acc, g) -> acc + g.n)"
+        ).alias("n"),
+        F.expr("element_at(ms, -1).lastx").alias("lastx"),
+    )
+
 
 def ewma_smooth_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA via the SEGMENTAL decomposition — the shape that
@@ -2293,9 +2337,10 @@ def ewma_smooth_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same reason Misra-Gries/heavy-hitters summaries merge): segments
     fold map-side with bounded memory (≤ :data:`EWMA_SEG_LEN` values
     per task), and per-user state at merge time is one ``(A, B)`` pair
-    per segment.  At truly unbounded history the merge itself recurses
-    — pairwise-compose ``(A, B)`` rounds like a tree aggregation — but
-    one merge level covers any retention-bounded corpus.
+    per segment.  The merge itself is a TREE (round 11): compose
+    ``(A, B)`` in :data:`EWMA_MERGE_FANIN`-sized ordered chunks per
+    level, repeating until one map per user remains — so no task ever
+    holds more than the fan-in, at ANY history length.
 
     Exactness: segment-local folds and the cross-segment merge are the
     SAME floating-point op sequences in Spark and in the DuckDB oracle
@@ -2309,7 +2354,28 @@ def ewma_smooth_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two shuffles (row_number window on user_id, then the
     groupBy merges — the second and third reuse the first's hash
     partitioning on user_id).  Nothing holds more than one segment's
-    values or one user's segment-summary list.
+    values — and, since round 11, no more than :data:`EWMA_MERGE_FANIN`
+    segment summaries per task either: the cross-segment merge is a
+    TREE — each level groups ``seg div FANIN`` and composes its ≤FANIN
+    ordered affine pairs (seed ``(A,B)=(0,1)``; step ``(g.A + g.B·A,
+    g.B·B)``), and levels repeat until one row per user remains.  The
+    level count is derived from ONE driver-side scalar (max segments
+    per user, a topology-bounded reduction), so per-task state is
+    bounded at ANY history length — 10^k events/user costs
+    ``ceil(log₁₆(10^k/16))`` levels, each a user_id-partitioned
+    groupBy.
+
+    Tree-vs-flat exactness: segment 0 is encoded as the CONSTANT map
+    ``(A=v, B=0)``, so any compose chain that starts at segment 0
+    reproduces the flat fold's op sequence EXACTLY (``B`` stays 0.0 and
+    ``A`` accumulates ``g.A + g.B·acc`` — the same (mul, add) per
+    step), and a single-element compose level is an FP-exact identity
+    (``A + B·0 = A``, ``B·1 = B``).  Hence: (a) extra levels never
+    change bits — the fixed-level oracle below replays a dynamic-level
+    engine safely; (b) for users whose segments fit one chunk the tree
+    is bit-equal to the flat merge; (c) only genuinely multi-chunk
+    users see the affine REGROUPING's ~1e-12 reassociation vs the flat
+    fold (pinned by the tolerance pytest).
     """
     ev = load_table(spark, sf_dir, "events")
     cents = _cents(F.col("value"))
@@ -2335,37 +2401,76 @@ def ewma_smooth_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_sum = per_seg.select(
         "user_id",
         "seg",
-        F.expr(f"aggregate({xs}, CAST(0.0 AS DOUBLE), {lam})").alias("A"),
+        # segment 0 is the CONSTANT affine map (A=v, B=0): its output
+        # is the x₁-seeded flat fold of its values regardless of input
+        # state — the seeding rule rides the algebra instead of a
+        # special-cased merge seed (and makes tree levels exact, see
+        # docstring)
         F.expr(
-            f"aggregate({xs}, CAST(1.0 AS DOUBLE), (acc, x) -> acc * {1 - a}D)"
+            f"CASE WHEN seg = 0 THEN"
+            f" aggregate(slice({xs}, 2, size(arr) - 1),"
+            f" element_at({xs}, 1), {lam})"
+            f" ELSE aggregate({xs}, CAST(0.0 AS DOUBLE), {lam}) END"
+        ).alias("A"),
+        F.expr(
+            f"CASE WHEN seg = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE aggregate({xs}, CAST(1.0 AS DOUBLE),"
+            f" (acc, x) -> acc * {1 - a}D) END"
         ).alias("B"),
-        # v: only the FIRST segment folds with the x₁ seed (the flat
-        # fold's seeding rule); later segments enter through (A, B)
-        F.expr(
-            f"CASE WHEN seg = 0 THEN aggregate(slice({xs}, 2, size(arr) - 1),"
-            f" element_at({xs}, 1), {lam}) ELSE CAST(0.0 AS DOUBLE) END"
-        ).alias("v"),
         F.size("arr").cast("long").alias("n"),
         F.expr(f"element_at({xs}, -1)").alias("lastx"),
     )
-    per_user = seg_sum.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("seg", "A", "B", "v", "lastx"))
-        ).alias("segs"),
-        F.sum("n").cast("long").alias("n_events"),
+    # tree merge: ONE scalar action sizes the level count, then the
+    # whole multi-level plan is declared (each level reuses the
+    # user_id hash partitioning)
+    import math
+
+    max_segs = (
+        seg_sum.groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 1
     )
-    final = F.expr(
-        "aggregate(slice(segs, 2, size(segs) - 1), element_at(segs, 1).v,"
-        " (acc, g) -> g.A + g.B * acc)"
-    )
-    return per_user.select(
+    levels = max(1, math.ceil(math.log(max(max_segs, 2)) / math.log(EWMA_MERGE_FANIN)))
+    cur = seg_sum
+    for _ in range(levels):
+        cur = _ewma_merge_level(cur)
+    return cur.select(
         "user_id",
-        "n_events",
-        F.expr("element_at(segs, -1).lastx").alias("last_value"),
-        rnd(final, 4).alias("ewma"),
+        F.col("n").alias("n_events"),
+        F.col("lastx").alias("last_value"),
+        rnd(F.col("A"), 4).alias("ewma"),
     ).orderBy("user_id")
 
 
+#: one tree-merge level of the segmented-EWMA oracle — the exact SQL
+#: twin of :func:`_ewma_merge_level` (ordered struct list, (0,1)-seeded
+#: affine compose, max-seg lastx, summed n)
+_EWMA_MERGE_SQL = """
+        SELECT user_id, seg // {fanin} AS seg,
+               list_reduce(
+                   list_prepend(struct_pack(A := 0.0::DOUBLE,
+                                            B := 1.0::DOUBLE),
+                       list(struct_pack(A := A, B := B) ORDER BY seg)),
+                   (acc, sm) -> struct_pack(A := sm.A + sm.B * acc.A,
+                                            B := sm.B * acc.B)).A AS A,
+               list_reduce(
+                   list_prepend(struct_pack(A := 0.0::DOUBLE,
+                                            B := 1.0::DOUBLE),
+                       list(struct_pack(A := A, B := B) ORDER BY seg)),
+                   (acc, sm) -> struct_pack(A := sm.A + sm.B * acc.A,
+                                            B := sm.B * acc.B)).B AS B,
+               CAST(sum(n) AS BIGINT) AS n,
+               max_by(lastx, seg) AS lastx
+        FROM {src} GROUP BY user_id, seg // {fanin}
+"""
+
+# TWO fixed merge levels replay the engine's DYNAMIC level count
+# exactly: a single-element compose is an FP-exact identity
+# (A + B·0 = A, B·1 = B), so any level beyond the ones the engine ran
+# changes no bits; two levels cover 16² segments = 4096 events/user,
+# far past every test SF's retention bound.
 ORACLES["ewma_smooth_segmented"] = f"""
     WITH x AS (
         SELECT user_id,
@@ -2382,30 +2487,27 @@ ORACLES["ewma_smooth_segmented"] = f"""
         FROM r GROUP BY user_id, rn // {EWMA_SEG_LEN}),
     g AS (
         SELECT user_id, seg,
-               list_reduce(list_prepend(0.0::DOUBLE, xs),
-                   (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
-                       + {1 - EWMA_ALPHA}::DOUBLE * acc) AS A,
-               list_reduce(list_prepend(1.0::DOUBLE, xs),
-                   (acc, x) -> acc * {1 - EWMA_ALPHA}::DOUBLE) AS B,
                CASE WHEN seg = 0 THEN
                    list_reduce(xs, (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
                        + {1 - EWMA_ALPHA}::DOUBLE * acc)
-               ELSE 0.0::DOUBLE END AS v,
+               ELSE
+                   list_reduce(list_prepend(0.0::DOUBLE, xs),
+                       (acc, x) -> {EWMA_ALPHA}::DOUBLE * x
+                           + {1 - EWMA_ALPHA}::DOUBLE * acc)
+               END AS A,
+               CASE WHEN seg = 0 THEN 0.0::DOUBLE
+               ELSE
+                   list_reduce(list_prepend(1.0::DOUBLE, xs),
+                       (acc, x) -> acc * {1 - EWMA_ALPHA}::DOUBLE)
+               END AS B,
                len(xs) AS n, xs[-1] AS lastx
         FROM s),
-    u AS (
-        SELECT user_id,
-               list(struct_pack(seg := seg, A := A, B := B, v := v,
-                                lastx := lastx) ORDER BY seg) AS segs,
-               CAST(sum(n) AS BIGINT) AS n_events
-        FROM g GROUP BY user_id)
-    SELECT user_id, n_events,
-           segs[-1].lastx AS last_value,
-           {rnd_sql(
-               "list_reduce(segs, (acc, g) -> struct_pack("
-               "seg := g.seg, A := 0.0::DOUBLE, B := 0.0::DOUBLE,"
-               " v := g.A + g.B * acc.v, lastx := g.lastx)).v", 4)} AS ewma
-    FROM u ORDER BY user_id
+    m1 AS ({_EWMA_MERGE_SQL.format(src="g", fanin=EWMA_MERGE_FANIN)}),
+    m2 AS ({_EWMA_MERGE_SQL.format(src="m1", fanin=EWMA_MERGE_FANIN)})
+    SELECT user_id, n AS n_events,
+           lastx AS last_value,
+           {rnd_sql("A", 4)} AS ewma
+    FROM m2 ORDER BY user_id
 """
 
 QUERIES["ewma_smooth_segmented"] = ewma_smooth_segmented

@@ -89,7 +89,7 @@ def ewma_stream(
     """Per-user streaming EWMA (update mode)."""
     stream = events_stream_source(
         spark, stream_dir, max_files_per_trigger=max_files_per_trigger
-    ).withColumn("t", F.unix_micros("ts"))
+    ).withColumn("t", F.expr("unix_micros(ts) div 1000000"))
     return stream.select("user_id", "event_id", "t", "value").groupBy(
         "user_id"
     ).applyInPandasWithState(

@@ -521,6 +521,56 @@ def test_ewma_segmented_agrees_with_flat_fold(spark):
     assert multi_segment_users > 0
 
 
+def test_ewma_tree_merge_multi_level_agrees_with_flat_fold(spark, tmp_path):
+    """Round-11 tree merge: a planted 1,000-event history spans
+    63 segments — past EWMA_MERGE_FANIN — so the engine must run ≥2
+    compose levels with every per-task array bounded by the fan-in, and
+    still agree with the pure-Python flat fold at the 4-dp grid."""
+    import math
+
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.relational_ext import (
+        EWMA_ALPHA,
+        EWMA_MERGE_FANIN,
+        EWMA_SEG_LEN,
+        ewma_smooth_segmented,
+    )
+
+    n = 1_000
+    rng = [(i * 7919) % 1000 / 7.0 for i in range(n)]  # deterministic
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime(
+                [1_600_000_000_000_000 + i * 60_000_000 for i in range(n)],
+                unit="us",
+            ),
+            "user_id": [1] * n,
+            "event_type": ["e"] * n,
+            "value": rng,
+            "props": ["{}"] * n,
+        }
+    )
+    sf_dir = tmp_path / "sf_synth"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "events.parquet", index=False)
+
+    segs = math.ceil(n / EWMA_SEG_LEN)
+    assert segs > EWMA_MERGE_FANIN, "fixture must force a second level"
+
+    row = ewma_smooth_segmented(spark, str(sf_dir)).collect()[0]
+    assert row["n_events"] == n
+
+    # flat fold on the same cents-derived values
+    xs = [math.floor(v * 100 + 0.5) / 100.0 for v in rng]
+    s = xs[0]
+    for x in xs[1:]:
+        s = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * s
+    assert row["last_value"] == xs[-1]
+    assert abs(row["ewma"] - math.floor(s * 1e4 + 0.5) / 1e4) <= 1e-4 + 1e-9
+
+
 # --------------------------------------------------------------------------
 # kcore_membership
 # --------------------------------------------------------------------------

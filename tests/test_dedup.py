@@ -863,6 +863,46 @@ def test_band_index_compact_matches_oracle(spark, duck):
     )
 
 
+def test_band_index_compact_store_fold_matches_band_table(spark):
+    """The compacted doc-keyed shingle store must agree with the
+    compacted band table: same doc set, one store row per doc, and each
+    doc's array size equal to the n_sh the band rows carry (round-11
+    ADVICE: the store write was previously unread by any check, so a
+    wrong fold — dropped or duplicated doc rows — went undetected)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark import cache
+    from map_reduce_framework_spark.operators.dedup import (
+        BAND_INDEX_COMPACT_TABLE,
+        BAND_SIG_COMPACT_TABLE,
+        band_index_compact,
+    )
+    from map_reduce_framework_spark.sources.bucketing import (
+        fingerprinted_table_name,
+    )
+
+    try:
+        band_index_compact(spark, SF_DIR).collect()  # materialize both folds
+    finally:
+        cache.release()
+    band = spark.table(
+        fingerprinted_table_name(BAND_INDEX_COMPACT_TABLE, SF_DIR, "documents")
+    )
+    store = spark.table(
+        fingerprinted_table_name(BAND_SIG_COMPACT_TABLE, SF_DIR, "documents")
+    )
+    n_docs = store.select("doc_id").distinct().count()
+    assert n_docs > 0
+    assert store.count() == n_docs, "store fold duplicated doc rows"
+    expected = band.select("doc_id", "n_sh").distinct()
+    got = store.select("doc_id", F.size("sh").alias("n_sh"))
+    # symmetric difference: any doc missing from either side, or with a
+    # diverging shingle count, surfaces as a row
+    assert (
+        got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
+    ), "compacted store (doc_id, size(sh)) diverges from band table (doc_id, n_sh)"
+
+
 def test_band_index_compact_is_rerun_idempotent(spark):
     from map_reduce_framework_spark import cache
     from map_reduce_framework_spark.operators.dedup import band_index_compact

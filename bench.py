@@ -122,6 +122,9 @@ HEADLINE = [
     "golden_record_assembly",
     # round 10 — the segmental EWMA (unbounded-history decomposition)
     "ewma_smooth_segmented",
+    # round 11 — prefix-doubling suffix spans + Kneser-Ney trigram LM
+    "dedup_suffix_spans",
+    "kn_perplexity",
 ]
 
 

@@ -2349,6 +2349,156 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum duplicated-span length (words) for the suffix-ranking pass —
+#: deliberately BELOW dedup_exact_substring's SUBSTR_WINDOW so the two
+#: operators' coverage differs where it matters: spans in [6, 10) words
+#: are invisible to the 10-word gram pass and found here.
+SUFFIX_SPAN_MIN_WORDS = 6
+
+#: position id packing for suffix-class representatives:
+#: pid = doc_id·2^24 + off (documents bounded at 16M words; doc_id at
+#: 2^39 — both far past any corpus shard's bounds)
+_SUFFIX_POS_BITS = 24
+
+
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated spans ≥ :data:`SUFFIX_SPAN_MIN_WORDS` words via
+    distributed PREFIX DOUBLING (Manber–Myers 1990) — the suffix-array
+    mechanism of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", §4.1) re-expressed as iterated
+    equi-join + group-by rounds, with NO hashing anywhere:
+
+    1. every word position gets an exact EQUIVALENCE-CLASS id for the
+       window starting there, length doubling per round — class_{k+1}
+       of position p is the class of the PAIR (class_k(p),
+       class_k(p+2^k)), materialized as the minimum packed position id
+       in the pair's group (collision-free representative: a groupBy +
+       join-back, never a hash);
+    2. after ⌈log₂ 2^a⌉ rounds (2^a = largest power of two ≤ L) the
+       sparse-table trick keys length-L windows exactly: two OVERLAPPING
+       length-2^a classes, at p and p+L−2^a, are equal for two
+       positions iff their length-L windows are equal word-for-word;
+    3. positions whose key recurs corpus-wide (count ≥ 2 over the key —
+       self-repetition included, per the paper) coalesce per document
+       into maximal spans (stride-1 gaps-and-islands, doc-bounded
+       window).
+
+    vs :func:`dedup_exact_substring` (the stride-1 gram pass): the gram
+    digest bakes the width into the hash, so spans SHORTER than
+    SUBSTR_WINDOW are invisible by construction; prefix-doubling
+    classes compose, so the threshold is a query-time choice — this
+    operator runs at 6 words and finds the [6, 10)-word duplicated
+    spans the gram pass misses (pinned by the planted-span pytest) —
+    and class equality is exact string equality, not a 128-bit-digest
+    trust level.
+
+    Scale: O(log L) rounds — NOT O(log n): ranking stops at the span
+    threshold length, the published early-exit for fixed-length
+    queries — each round one (doc_id, off) self-equi-join plus one
+    (cls, cls2) groupBy + join-back, all linear in corpus tokens with
+    no skew amplification (hot classes group to ONE representative row
+    before joining back).  The final duplicate test is a per-key
+    window count (high-cardinality key, map-side partial), and the
+    island merge never sees more rows per task than one document's
+    flagged positions.
+
+    Output: one row per maximal duplicated span — (doc_id, span_start,
+    span_end, span_words, n_windows), word offsets, end exclusive.
+    """
+    from pyspark.sql import Window as W
+
+    L = SUFFIX_SPAN_MIN_WORDS
+    a_len = 1 << (L.bit_length() - 1)  # largest power of two <= L
+    rounds = a_len.bit_length() - 1  # log2(a_len) doubling rounds
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.posexplode(F.split("text", " ")).alias("off", "w"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.col("off").cast("long").alias("off"),
+        "w",
+        (
+            F.col("doc_id") * F.lit(1 << _SUFFIX_POS_BITS) + F.col("off")
+        ).alias("pid"),
+    )
+    # class_0: one representative per distinct WORD (length-1 windows)
+    reps0 = toks.groupBy("w").agg(F.min("pid").alias("cls"))
+    cur = toks.join(reps0, "w").select(
+        "doc_id", "n_words", "off", "pid", "cls"
+    )
+    step = 1
+    for _ in range(rounds):
+        shifted = cur.select(
+            "doc_id",
+            (F.col("off") - step).alias("off"),
+            F.col("cls").alias("cls2"),
+        )
+        # left join: positions whose window overruns the doc keep a
+        # sentinel class — their (short) windows stay distinguishable
+        # from every full window and are filtered before keying below
+        paired = cur.join(shifted, ["doc_id", "off"], "left").withColumn(
+            "cls2", F.coalesce("cls2", F.lit(-1))
+        )
+        reps = paired.groupBy("cls", "cls2").agg(F.min("pid").alias("ncls"))
+        cur = paired.join(reps, ["cls", "cls2"]).select(
+            "doc_id", "n_words", "off", "pid", F.col("ncls").alias("cls")
+        )
+        step *= 2
+    # sparse-table keying: (class_a(off), class_a(off + L - 2^a)) for
+    # offsets with a full L-word window
+    tail = cur.select(
+        "doc_id",
+        (F.col("off") - (L - a_len)).alias("off"),
+        F.col("cls").alias("cls2"),
+    )
+    keyed = (
+        cur.join(tail, ["doc_id", "off"])
+        .where(F.col("off") <= F.col("n_words") - L)
+        .select("doc_id", "off", "cls", "cls2")
+    )
+    flagged = (
+        keyed.withColumn(
+            "n_occ", F.count(F.lit(1)).over(W.partitionBy("cls", "cls2"))
+        )
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "off")
+    )
+    merge_w = W.partitionBy("doc_id").orderBy("off")
+    runs = (
+        flagged.withColumn("prev", F.lag("off").over(merge_w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("off") > F.col("prev") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(merge_w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + L).alias("span_end"),
+            (F.max("off") + L - F.min("off")).alias("span_words"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_words", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB) — same constants, same hashing, same blocking
 # ---------------------------------------------------------------------------
@@ -2390,6 +2540,44 @@ _EMB_BANDS_CASE = " ".join(
 )
 
 ORACLES = {
+    # independent mechanism on purpose: the oracle MATERIALIZES every
+    # length-L window string and compares raw text, so the engine's
+    # prefix-doubling equivalence classes are checked against ground
+    # truth, not replayed
+    "dedup_suffix_spans": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks)
+                         - {SUFFIX_SPAN_MIN_WORDS} + 1, 0)))::BIGINT AS off
+              FROM d),
+        w AS (SELECT doc_id, off,
+                     array_to_string(
+                         toks[off + 1 : off + {SUFFIX_SPAN_MIN_WORDS}],
+                         ' ') AS win
+              FROM p),
+        f AS (SELECT doc_id, off FROM (
+                  SELECT *, count(*) OVER (PARTITION BY win) AS n_occ
+                  FROM w) q
+              WHERE n_occ >= 2),
+        m AS (SELECT *, CASE WHEN lag(off) OVER (PARTITION BY doc_id
+                                                 ORDER BY off) IS NULL
+                             OR off > lag(off) OVER (PARTITION BY doc_id
+                                                     ORDER BY off) + 1
+                        THEN 1 ELSE 0 END AS brk
+              FROM f),
+        i AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id
+                                            ORDER BY off) AS BIGINT)
+                        AS island
+              FROM m)
+        SELECT doc_id,
+               min(off) AS span_start,
+               max(off) + {SUFFIX_SPAN_MIN_WORDS} AS span_end,
+               max(off) + {SUFFIX_SPAN_MIN_WORDS} - min(off) AS span_words,
+               count(*) AS n_windows
+        FROM i GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """,
     "dedup_exact_substring": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
@@ -3211,6 +3399,7 @@ ORACLES_FUZZY_SQL = f"""
 
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
+    "dedup_suffix_spans": dedup_suffix_spans,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -882,6 +882,130 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kneser–Ney absolute discount (Chen & Goodman 1998's fixed-D variant;
+#: 0.75 is the standard choice and is exactly representable in binary,
+#: so both engines subtract the identical double)
+KN_DISCOUNT = 0.75
+
+
+def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED KNESER–NEY trigram
+    LM trained on the corpus itself — the standard n-gram quality
+    signal (CCNet-style filtering uses exactly this model shape),
+    upgrading :func:`perplexity_proxy`'s unigram reduction to the real
+    three-order smoothing recursion:
+
+    ``P₃(w|uv) = max(c(uvw)−D,0)/c(uv·) + D·N₁₊(uv·)/c(uv·) · P₂(w|v)``
+    ``P₂(w|v)  = max(N₁₊(·vw)−D,0)/N₁₊(·v·)
+                 + D·N₁₊(v·)/N₁₊(·v·) · P₁(w)``
+    ``P₁(w)   = N₁₊(·w) / N₁₊(··)``  (continuation unigram)
+
+    where N₁₊ are TYPE counts (how many distinct contexts), the
+    Kneser–Ney insight that makes lower orders model novel-context
+    likelihood rather than raw frequency.  Every denominator is
+    provably nonzero when scoring the training corpus (each scored
+    trigram witnesses its own contexts), so no OOV epsilon is needed.
+
+    Scale shape: the corpus collapses to TYPE tables immediately —
+    trigram counts are one partial-agg groupBy, every continuation
+    count is a groupBy over the (much smaller) type table, and scoring
+    joins types-to-types (vocab-sized, AQE/broadcast at real scale)
+    before the per-doc average touches instance rows again.  Nothing
+    wider than (doc_id, u, v, w) ever shuffles, and per-trigram math
+    runs once per TYPE, not per occurrence.
+
+    Output: per doc (≥3 tokens), trigram count, cross-entropy in bits
+    (``-avg log₂ P``) and perplexity ``2^ce`` — 4-dp rounded.
+    """
+    D = KN_DISCOUNT
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("tk"),
+    )
+    tri_inst = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """CASE WHEN size(tk) >= 3 THEN
+                       transform(sequence(0, size(tk) - 3),
+                           i -> struct(tk[i] AS u, tk[i+1] AS v,
+                                       tk[i+2] AS w))
+                   ELSE CAST(array() AS
+                             array<struct<u: string, v: string,
+                                          w: string>>) END"""
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.u", "g.v", "g.w")
+    big_types = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(tk) >= 2 THEN
+                           transform(sequence(0, size(tk) - 2),
+                               i -> struct(tk[i] AS a, tk[i+1] AS b))
+                       ELSE CAST(array() AS
+                                 array<struct<a: string, b: string>>)
+                       END"""
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+        .distinct()
+    )
+
+    c3 = tri_inst.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("cuv"),  # c(uv·): trigram tokens with ctx uv
+        F.count(F.lit(1)).alias("n1uv"),  # N₁₊(uv·): distinct w after uv
+    )
+    sfx = c3.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("n1vw")  # N₁₊(·vw): distinct u before vw
+    )
+    mid = c3.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n1vdot")  # N₁₊(·v·): tri types, middle v
+    )
+    lam = sfx.groupBy("v").agg(
+        F.count(F.lit(1)).alias("lam2")  # N₁₊(v·): distinct w with ·vw
+    )
+    r1 = big_types.groupBy(F.col("b").alias("w")).agg(
+        F.count(F.lit(1)).alias("r1w")  # N₁₊(·w): bigram types ending w
+    )
+    nbt = big_types.agg(F.count(F.lit(1)).alias("nbt"))  # N₁₊(··)
+
+    p1 = F.col("r1w").cast("double") / F.col("nbt").cast("double")
+    p2 = F.greatest(
+        F.col("n1vw").cast("double") - F.lit(D), F.lit(0.0)
+    ) / F.col("n1vdot").cast("double") + F.lit(D) * F.col("lam2").cast(
+        "double"
+    ) / F.col("n1vdot").cast("double") * p1
+    p3 = F.greatest(
+        F.col("c3").cast("double") - F.lit(D), F.lit(0.0)
+    ) / F.col("cuv").cast("double") + F.lit(D) * F.col("n1uv").cast(
+        "double"
+    ) / F.col("cuv").cast("double") * p2
+    scored_types = (
+        c3.join(ctx, ["u", "v"])
+        .join(sfx, ["v", "w"])
+        .join(mid, "v")
+        .join(lam, "v")
+        .join(r1, "w")
+        .crossJoin(F.broadcast(nbt))
+        .select("u", "v", "w", p3.alias("p"))
+    )
+    scored = tri_inst.join(scored_types, ["u", "v", "w"])
+    ce = -F.avg(F.log2("p"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            rnd(ce, 4).alias("ce_bits"),
+            rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: bpe_pair_stats: report the top-N most frequent adjacent char pairs
 BPE_PAIR_TOP_N = 20
 
@@ -1511,6 +1635,57 @@ ORACLES["perplexity_proxy"] = f"""
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+ORACLES["kn_perplexity"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    tri_i AS (
+        SELECT doc_id, g.u AS u, g.v AS v, g.w AS w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(len(tk) - 2, 0)),
+                       i -> struct_pack(u := tk[i+1], v := tk[i+2],
+                                        w := tk[i+3]))) AS g
+            FROM d) q),
+    big AS (
+        SELECT DISTINCT g.a AS a, g.b AS b FROM (
+            SELECT unnest(list_transform(
+                       range(0, greatest(len(tk) - 1, 0)),
+                       i -> struct_pack(a := tk[i+1],
+                                        b := tk[i+2]))) AS g
+            FROM d) q),
+    c3 AS (SELECT u, v, w, count(*) AS c3 FROM tri_i GROUP BY u, v, w),
+    ctx AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS cuv,
+                   count(*) AS n1uv
+            FROM c3 GROUP BY u, v),
+    sfx AS (SELECT v, w, count(*) AS n1vw FROM c3 GROUP BY v, w),
+    mid AS (SELECT v, count(*) AS n1vdot FROM c3 GROUP BY v),
+    lam AS (SELECT v, count(*) AS lam2 FROM sfx GROUP BY v),
+    r1 AS (SELECT b AS w, count(*) AS r1w FROM big GROUP BY b),
+    nbt AS (SELECT count(*) AS nbt FROM big),
+    st AS (
+        SELECT c3.u, c3.v, c3.w,
+               greatest(c3.c3::DOUBLE - {KN_DISCOUNT}, 0.0)
+                   / ctx.cuv::DOUBLE
+               + {KN_DISCOUNT} * ctx.n1uv::DOUBLE / ctx.cuv::DOUBLE
+                 * (greatest(sfx.n1vw::DOUBLE - {KN_DISCOUNT}, 0.0)
+                        / mid.n1vdot::DOUBLE
+                    + {KN_DISCOUNT} * lam.lam2::DOUBLE
+                        / mid.n1vdot::DOUBLE
+                      * (r1.r1w::DOUBLE / nbt.nbt::DOUBLE)) AS p
+        FROM c3 JOIN ctx USING (u, v) JOIN sfx USING (v, w)
+                JOIN mid USING (v) JOIN lam USING (v)
+                JOIN r1 USING (w) CROSS JOIN nbt),
+    sc AS (
+        SELECT tri_i.doc_id, st.p
+        FROM tri_i JOIN st USING (u, v, w))
+    SELECT doc_id, count(*) AS n_trigrams,
+           {rnd_sql("-avg(log2(p))", 4)} AS ce_bits,
+           {rnd_sql("pow(2.0, -avg(log2(p)))", 4)} AS ppl
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
 ORACLES["bpe_pair_stats"] = f"""
     WITH toks AS (
         SELECT t.term, count(*) AS tc
@@ -1904,6 +2079,7 @@ QUERIES = {
     "tfidf_topterms": tfidf_topterms,
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
+    "kn_perplexity": kn_perplexity,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train_merges": bpe_train_merges,
     "bpe_segment_docs": bpe_segment_docs,

@@ -848,6 +848,71 @@ def test_index_compact_tombstones_make_fold_equal_rebuild(spark, tmp_path):
         cache.release()
 
 
+def test_suffix_spans_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.dedup_suffix_spans,
+        dedup.ORACLES["dedup_suffix_spans"],
+        "dedup_suffix_spans",
+    )
+
+
+def test_suffix_spans_find_sub_gram_width_planted_span(spark, tmp_path):
+    """The round-11 contract: a duplicated span of 7 words — at or
+    above SUFFIX_SPAN_MIN_WORDS but BELOW dedup_exact_substring's
+    SUBSTR_WINDOW — must be found with exact word boundaries by the
+    prefix-doubling pass and missed entirely by the gram pass (whose
+    digest width floors its sensitivity)."""
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.dedup import (
+        SUBSTR_WINDOW,
+        SUFFIX_SPAN_MIN_WORDS,
+        dedup_exact_substring,
+        dedup_suffix_spans,
+    )
+
+    planted = "zebra quark nimbus fjord glyph vortex plinth"  # 7 words
+    span_w = len(planted.split())
+    assert SUFFIX_SPAN_MIN_WORDS <= span_w < SUBSTR_WINDOW
+
+    # unique filler words everywhere else: no other window repeats
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    texts = [
+        f"{filler('a', 5)} {planted} {filler('b', 9)}",  # span at off 5
+        f"{filler('c', 3)} {planted} {filler('d', 11)}",  # span at off 3
+        filler("e", 20),  # clean doc
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = tmp_path / "sf_planted"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup_suffix_spans(spark, str(sf_dir)).collect()
+    }
+    n_win = span_w - SUFFIX_SPAN_MIN_WORDS + 1
+    assert spans == {
+        0: (5, 5 + span_w, n_win),
+        1: (3, 3 + span_w, n_win),
+    }, spans
+
+    # the 10-word gram pass sees nothing: no duplicated 10-word window
+    assert dedup_exact_substring(spark, str(sf_dir)).count() == 0
+
+
 def test_band_index_compact_matches_oracle(spark, duck):
     from map_reduce_framework_spark.operators.dedup import (
         ORACLES,

@@ -831,6 +831,58 @@ def test_streaming_drift_monitor_equals_batch(spark):
     assert s == b and len(s) >= 5
 
 
+def test_streaming_interval_coalesce_equals_batch(spark):
+    """The stateful streaming interval union must equal the batch
+    gaps-and-islands exactly — integer seconds arithmetic, identical
+    (s, event_id) ordering, running-max break carried as state."""
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.streaming.interval_stream import (
+        run_interval_stream_demo,
+    )
+
+    streamed = run_interval_stream_demo(spark, SF_DIR)
+    batch = registry.QUERIES["interval_coalesce"](spark, SF_DIR)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_streaming_interval_coalesce_multi_batch_equals_batch(
+    spark, tmp_path
+):
+    """Micro-batch boundaries must be invisible to the island fold:
+    with the feed time-split into 4 files and maxFilesPerTrigger=1, an
+    island growing across batches re-emits per batch and the final
+    (max-n_events) emission per (user, island) still equals the batch
+    operator — including islands that straddle file boundaries."""
+    import pyarrow.parquet as pq
+
+    from map_reduce_framework_spark.plans import registry
+    from map_reduce_framework_spark.streaming.interval_stream import (
+        run_interval_stream_demo,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    ds_dir = tmp_path / "events.parquet"
+    ds_dir.mkdir()
+    for i in range(4):
+        chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+
+    streamed = run_interval_stream_demo(
+        spark,
+        SF_DIR,
+        table="interval_multibatch",
+        stream_dir=str(ds_dir),
+        max_files_per_trigger=1,
+    )
+    batch = registry.QUERIES["interval_coalesce"](spark, SF_DIR)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
 def test_streaming_ewma_equals_batch(spark):
     """The stateful streaming EWMA must equal the batch fold exactly —
     same seeds, same recursion, same 4-dp rounding (the segment-merge

@@ -1,0 +1,178 @@
+"""kn_perplexity — interpolated Kneser–Ney trigram LM tests.
+
+The oracle replays the smoothing arithmetic in DuckDB; this file pins
+the MODEL itself against an independent pure-Python implementation of
+Chen & Goodman's interpolated KN (fixed discount), so an error mirrored
+into both engines cannot hide.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from map_reduce_framework_spark.operators.text import (
+    KN_DISCOUNT,
+    ORACLES,
+    kn_perplexity,
+)
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def _py_kn(docs: dict[int, str]) -> dict[int, tuple[int, float, float]]:
+    """Reference interpolated KN trigram scorer (type-count lower
+    orders, fixed discount), written independently of the Spark/SQL
+    expressions: returns {doc_id: (n_trigrams, ce_bits, ppl)}."""
+    D = KN_DISCOUNT
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    tri = Counter()
+    big_types = set()
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            tri[(ts[i], ts[i + 1], ts[i + 2])] += 1
+        for i in range(len(ts) - 1):
+            big_types.add((ts[i], ts[i + 1]))
+    cuv = Counter()
+    n1uv = Counter()
+    n1vw = Counter()
+    n1vdot = Counter()
+    for (u, v, w), c in tri.items():
+        cuv[(u, v)] += c
+        n1uv[(u, v)] += 1
+        n1vw[(v, w)] += 1
+        n1vdot[v] += 1
+    lam2 = Counter()
+    for v, w in n1vw:
+        lam2[v] += 1
+    r1w = Counter()
+    for a, b in big_types:
+        r1w[b] += 1
+    nbt = len(big_types)
+
+    def p3(u, v, w):
+        p1 = r1w[w] / nbt
+        p2 = max(n1vw[(v, w)] - D, 0.0) / n1vdot[v] + D * lam2[v] / n1vdot[
+            v
+        ] * p1
+        return max(tri[(u, v, w)] - D, 0.0) / cuv[(u, v)] + D * n1uv[
+            (u, v)
+        ] / cuv[(u, v)] * p2
+
+    out = {}
+    for d, ts in toks.items():
+        grams = [
+            (ts[i], ts[i + 1], ts[i + 2]) for i in range(len(ts) - 2)
+        ]
+        if not grams:
+            continue
+        ce = -sum(math.log2(p3(*g)) for g in grams) / len(grams)
+        out[d] = (len(grams), ce, 2.0**ce)
+    return out
+
+
+def test_kn_matches_pure_python_on_toy_corpus(spark, tmp_path):
+    """Per-doc cross-entropy/perplexity must agree with the independent
+    Python KN to float precision on a corpus small enough to hand-audit
+    — including repeated trigrams, shared contexts, and a doc too short
+    to score."""
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the hat",
+        2: "a dog sat on the mat today",
+        3: "the cat ran",
+        4: "short one",  # < 3 tokens after split: must drop out
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(s) for s in docs.values()],
+        }
+    )
+    sf = tmp_path / "sf_kn"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+
+    expect = _py_kn(docs)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["ce_bits"], r["ppl"])
+        for r in kn_perplexity(spark, str(sf)).collect()
+    }
+    assert set(got) == set(expect) and 4 not in got
+    for d, (n, ce, ppl) in expect.items():
+        gn, gce, gppl = got[d]
+        assert gn == n
+        assert abs(gce - ce) <= 5e-5 + 1e-9, (d, gce, ce)
+        assert abs(gppl - ppl) <= 5e-5 + abs(ppl) * 1e-9, (d, gppl, ppl)
+
+
+def test_kn_probabilities_sum_to_one_over_seen_continuations():
+    """Interpolated KN is a proper distribution: for a fixed context
+    (u, v), summing P₃(w|uv) over the WHOLE vocabulary must give 1.
+    The toy corpus has a small closed vocabulary, so the sum is exact
+    up to float error — this catches denominator/lambda mistakes that
+    per-doc scoring can mask."""
+    docs = {
+        0: "x y z x y w x y z",
+        1: "y z w y z x",
+        2: "z x y z x w",
+    }
+    D = KN_DISCOUNT
+    toks = {d: s.split(" ") for d, s in docs.items()}
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    tri = Counter()
+    big_types = set()
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            tri[(ts[i], ts[i + 1], ts[i + 2])] += 1
+        for i in range(len(ts) - 1):
+            big_types.add((ts[i], ts[i + 1]))
+    n1vw = Counter()
+    n1vdot = Counter()
+    cuv = Counter()
+    n1uv = Counter()
+    for (u, v, w), c in tri.items():
+        cuv[(u, v)] += c
+        n1uv[(u, v)] += 1
+        n1vw[(v, w)] += 1
+        n1vdot[v] += 1
+    lam2 = Counter()
+    for v, w in n1vw:
+        lam2[v] += 1
+    r1w = Counter()
+    for a, b in big_types:
+        r1w[b] += 1
+    nbt = len(big_types)
+
+    # precondition for exact normalization: every vocab word has a left
+    # neighbor somewhere (Σ_w N1+(·w) then equals N1+(··) over vocab)
+    assert all(r1w[w] > 0 for w in vocab)
+
+    for u, v in cuv:
+        total = 0.0
+        for w in vocab:
+            p1 = r1w[w] / nbt
+            p2 = (
+                max(n1vw[(v, w)] - D, 0.0) / n1vdot[v]
+                + D * lam2[v] / n1vdot[v] * p1
+            )
+            total += (
+                max(tri[(u, v, w)] - D, 0.0) / cuv[(u, v)]
+                + D * n1uv[(u, v)] / cuv[(u, v)] * p2
+            )
+        assert abs(total - 1.0) <= 1e-9, (u, v, total)
+
+
+def test_kn_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        kn_perplexity,
+        ORACLES["kn_perplexity"],
+        "kn_perplexity",
+    )

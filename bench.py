@@ -122,9 +122,12 @@ HEADLINE = [
     "golden_record_assembly",
     # round 10 — the segmental EWMA (unbounded-history decomposition)
     "ewma_smooth_segmented",
-    # round 11 — prefix-doubling suffix spans + Kneser-Ney trigram LM
+    # round 11 — prefix-doubling suffix spans, Kneser-Ney trigram LM,
+    # DSIR importance resampling
     "dedup_suffix_spans",
     "kn_perplexity",
+    "dsir_sample",
+    "quality_classifier_score",
 ]
 
 

@@ -569,14 +569,238 @@ def _dedup_semantic_scalable_oracle() -> str:
         ORDER BY d.vec_id"""
 
 
+# --------------------------------------------------------------------------
+# quality classifier — trained hashed logistic regression (round 11)
+# --------------------------------------------------------------------------
+
+#: hashed feature dimension (unigram buckets; weight vector = B + bias)
+QC_BUCKETS = 64
+#: full-batch gradient-descent iterations (small and fixed so the
+#: oracle unrolls one CTE block per iteration, the kmeans/BPE pattern)
+QC_ITERS = 8
+#: learning rate — 4.0: exactly representable (a power of two), keeps
+#: both engines on the identical op sequence; sized so the separable
+#: toy corpus reaches clear margins within the fixed iteration budget
+QC_LR = 4.0
+#: positive class: the corpus has no quality labels, so language is the
+#: deterministic stand-in (the production shape is identical: GPT-3 /
+#: LLaMA pipelines train exactly this model with "reference corpus" as
+#: the positive class — swap the label expression and nothing changes)
+QC_POS_LANG = "en"
+
+
+def _qc_docfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-doc features: (doc_id, y, b, x) with x = tf/n_tokens
+    for hashed unigram buckets 0..B-1 plus a constant bias feature at
+    b = B.  Hash = the shared 60-bit md5 (oracle buckets identically)."""
+    B = QC_BUCKETS
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id",
+        (F.col("lang") == QC_POS_LANG).cast("double").alias("y"),
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("tk"),
+    ).where(F.size("tk") >= 1)
+    buck = (
+        "transform(tk, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)"
+        f" AS BIGINT) % {B})"
+    )
+    counts = (
+        tk.select(
+            "doc_id",
+            "y",
+            F.size("tk").cast("double").alias("n_tok"),
+            F.explode(F.expr(buck)).alias("b"),
+        )
+        .groupBy("doc_id", "y", "n_tok", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id", "y", "b", (F.col("c") / F.col("n_tok")).alias("x")
+        )
+    )
+    bias = tk.select(
+        "doc_id", "y", F.lit(B).cast("long").alias("b"), F.lit(1.0).alias("x")
+    )
+    return counts.unionByName(bias)
+
+
+_QC_GRAD_SCHEMA = "b long, g double"
+
+
+def _qc_grad_fn(w: "np.ndarray"):
+    """Per-batch partial gradient of the logistic loss at weights ``w``
+    over DENSE per-doc rows (doc_id, y, bs, xs): each batch emits ≤ B+1
+    rows (b, Σ x·(σ(m)−y)) — the kmeans partial-agg contract, nothing
+    corpus-sized reaches the driver.  Rows are per-doc-complete, so
+    arrow batch boundaries cannot split a document's features."""
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = np.zeros_like(w)
+            ys = pdf["y"].to_numpy(dtype=np.float64)
+            for bs, xs, y in zip(pdf["bs"], pdf["xs"], ys):
+                b = np.asarray(bs, dtype=np.int64)
+                x = np.asarray(xs, dtype=np.float64)
+                r = 1.0 / (1.0 + np.exp(-float(x @ w[b]))) - y
+                g[b] += x * r
+            nz = np.nonzero(g)[0]
+            yield pd.DataFrame({"b": nz, "g": g[nz]})
+
+    return fn
+
+
+def train_quality_classifier(dense: DataFrame, n_docs: int) -> "np.ndarray":
+    """``QC_ITERS`` full-batch GD steps; returns the (B+1)-dim weights.
+
+    One Spark job per iteration; the driver reduces ≤ (B+1)·batches
+    partial rows and rebroadcasts the weight vector through the task
+    closure — the :func:`train_kmeans` topology exactly."""
+    w = np.zeros(QC_BUCKETS + 1, dtype=np.float64)
+    for _ in range(QC_ITERS):
+        partials = dense.mapInPandas(
+            _qc_grad_fn(w), _QC_GRAD_SCHEMA
+        ).collect()
+        g = np.zeros_like(w)
+        for r in partials:
+            g[r.b] += r.g
+        w = w - QC_LR * (g / n_docs)
+    return w
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED document-quality classifier — hashed-feature logistic
+    regression, the fastText-shaped linear filter every large
+    pretraining pipeline runs (GPT-3's WebText-likeness model, LLaMA's
+    Wikipedia-reference classifier — both are exactly this: hashed
+    bag-of-words, binary target, linear model):
+
+    - features: unigram tf hashed into :data:`QC_BUCKETS` buckets,
+      normalized by doc length, plus a bias feature;
+    - training: :data:`QC_ITERS` full-batch gradient-descent steps of
+      the logistic loss, each ONE Spark job emitting per-partition
+      partial gradients (≤ B+1 rows each) that the driver reduces and
+      rebroadcasts — the :func:`train_kmeans` scale contract: the
+      corpus is never collected, and at 1000 executors an iteration
+      moves ~65k tiny rows;
+    - scoring: one more pass — margin, σ(margin), predicted class.
+
+    Determinism: zero init, fixed iteration count, lr = 1.0, float64
+    everywhere; the DuckDB oracle replays the whole trajectory with one
+    CTE block per iteration (the kmeans/BPE unroll pattern).  Gradient
+    SUMS are floating-point order-dependent across engines, so weights
+    agree to ~1e-13 rather than bitwise — absorbed by the shared 4-dp
+    output rounding, and the predicted class is derived from the
+    ROUNDED score so the class boundary is engine-stable.
+
+    Output: one row per scored doc — label, 4-dp score, prediction,
+    correctness flag.  No counterpart in the reference (SURVEY §2.4
+    extension; the training-data-pipeline family).
+    """
+    from ..cache import persist_tracked
+
+    docfeat = persist_tracked(_qc_docfeat(spark, sf_dir))
+    dense = persist_tracked(
+        docfeat.groupBy("doc_id", "y").agg(
+            F.collect_list("b").alias("bs"), F.collect_list("x").alias("xs")
+        )
+    )
+    # zip order of (bs, xs): collect_list pairs stay aligned because
+    # both lists aggregate the SAME input rows in the same order within
+    # each group (single child, single exchange) — and the gradient is
+    # order-insensitive anyway (a sum over (b, x) pairs)
+    n_docs = dense.count()
+    w = train_quality_classifier(dense, n_docs)
+    wdf = F.broadcast(
+        docfeat.sparkSession.createDataFrame(
+            [(int(b), float(wb)) for b, wb in enumerate(w)], "b long, w double"
+        )
+    )
+    margins = (
+        docfeat.join(wdf, "b")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+    )
+    score4 = rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 4)
+    return (
+        margins.select(
+            "doc_id",
+            F.col("y").cast("boolean").alias("is_target"),
+            score4.alias("score"),
+            (score4 >= 0.5).alias("pred"),
+            ((score4 >= 0.5) == F.col("y").cast("boolean")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _qc_oracle() -> str:
+    """Unrolled-trajectory oracle: replays feature hashing, all
+    QC_ITERS gradient steps, and the scoring pass in SQL."""
+    B = QC_BUCKETS
+    head = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN lang = '{QC_POS_LANG}' THEN 1.0::DOUBLE
+                    ELSE 0.0::DOUBLE END AS y,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+    cnt AS (
+        SELECT doc_id, y, n_tok, b, count(*) AS c FROM (
+            SELECT doc_id, y, len(tk)::DOUBLE AS n_tok,
+                   unnest(list_transform(tk, t ->
+                       CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                           % {B})) AS b
+            FROM d) q
+        GROUP BY doc_id, y, n_tok, b),
+    feat AS (
+        SELECT doc_id, y, b, c / n_tok AS x FROM cnt
+        UNION ALL
+        SELECT doc_id, y, {B}::BIGINT AS b, 1.0::DOUBLE AS x FROM d),
+    ndocs AS (SELECT count(*)::DOUBLE AS n FROM d),
+    w0 AS (SELECT unnest(range(0, {B + 1}))::BIGINT AS b, 0.0::DOUBLE AS w)
+    """
+    steps = []
+    for t in range(QC_ITERS):
+        steps.append(f"""
+    m{t} AS (
+        SELECT f.doc_id, f.y, sum(f.x * w{t}.w) AS m
+        FROM feat f JOIN w{t} USING (b) GROUP BY f.doc_id, f.y),
+    g{t} AS (
+        SELECT f.b, sum(f.x * (1.0 / (1.0 + exp(-m{t}.m)) - f.y)) AS g
+        FROM feat f JOIN m{t} USING (doc_id) GROUP BY f.b),
+    w{t + 1} AS (
+        SELECT w{t}.b,
+               w{t}.w - {QC_LR} * (COALESCE(g{t}.g, 0.0) / ndocs.n) AS w
+        FROM w{t} LEFT JOIN g{t} USING (b) CROSS JOIN ndocs)""")
+    T = QC_ITERS
+    tail = f""",
+    mf AS (
+        SELECT f.doc_id, f.y, sum(f.x * w{T}.w) AS m
+        FROM feat f JOIN w{T} USING (b) GROUP BY f.doc_id, f.y),
+    sc AS (
+        SELECT doc_id, y <> 0.0 AS is_target,
+               {rnd_sql("1.0 / (1.0 + exp(-m))", 4)} AS score
+        FROM mf)
+    SELECT doc_id, is_target, score,
+           score >= 0.5 AS pred,
+           (score >= 0.5) = is_target AS correct
+    FROM sc ORDER BY doc_id
+    """
+    return head + "," + ",".join(steps) + tail
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_scalable": dedup_semantic_scalable,
+    "quality_classifier_score": quality_classifier_score,
 }
 
 ORACLES = {
     "kmeans_embeddings": _kmeans_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_semantic_scalable": _dedup_semantic_scalable_oracle(),
+    "quality_classifier_score": _qc_oracle(),
 }

@@ -1006,6 +1006,132 @@ def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR hashed-feature dimension (buckets for unigram+bigram hashes) —
+#: the paper uses 10k; 256 keeps the sf0.001 bucket table dense enough
+#: that smoothing actually matters while the method is unchanged
+DSIR_BUCKETS = 256
+#: target distribution = documents with this language (the "target
+#: domain corpus" of the method; English as the Wikipedia-like stand-in)
+DSIR_TARGET_LANG = "en"
+#: Gumbel-top-k selection size
+DSIR_SAMPLE_K = 200
+#: hash-uniform resolution for the Gumbel draw
+DSIR_GUMBEL_M = 1_000_000
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — select raw-corpus documents that look like a TARGET domain, the
+    standard pretraining-mixture curation step:
+
+    1. hashed n-gram features: every unigram and bigram hashes into
+       :data:`DSIR_BUCKETS` buckets (shared 60-bit md5 hash — the
+       oracle buckets identically);
+    2. two bucket DISTRIBUTIONS with add-1 smoothing — the target
+       (docs with ``lang = DSIR_TARGET_LANG``) and the raw corpus;
+    3. per-doc log importance weight
+       ``Σ_b f_b(doc)·(ln p̂_target(b) − ln p̂_raw(b))`` — a bag-of-
+       hashed-ngrams likelihood ratio;
+    4. Gumbel top-k resampling: rank by ``log w + Gumbel(0,1)`` with
+       the Gumbel drawn from a deterministic per-doc hash uniform —
+       sampling-without-replacement ∝ importance, reproducible.
+
+    Scale: feature extraction is one explode + (doc_id, bucket)
+    partial-agg count; both distributions are bucket-table aggregates
+    (256 rows) broadcast back; per-doc weights are one more partial
+    agg.  Selection is a TakeOrderedAndProject (per-partition top-k,
+    no global sort).  The ranking key is 4-dp-rounded with a doc_id
+    tie-break so the cut is deterministic across engines (float-sum
+    low bits cannot reorder the boundary).
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline family).
+    """
+    from .dedup import hash60
+
+    B = DSIR_BUCKETS
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("tk"),
+    )
+    # one array of bucket ids per doc: hashed unigrams ++ hashed bigrams
+    uni = (
+        "transform(tk, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)"
+        f" AS BIGINT) % {B})"
+    )
+    big = (
+        "CASE WHEN size(tk) >= 2 THEN"
+        " transform(sequence(0, size(tk) - 2),"
+        " i -> CAST(conv(substring(md5(concat(tk[i], ' ', tk[i+1])),"
+        f" 1, 15), 16, 10) AS BIGINT) % {B})"
+        " ELSE CAST(array() AS array<bigint>) END"
+    )
+    feats = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(f"concat({uni}, {big})")).alias("b"),
+    )
+    docfeat = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = docfeat.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        docfeat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    buckets = (
+        spark.range(B)
+        .select(F.col("id").alias("b"))
+        .join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lam = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + B))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + B))
+        ).alias("lam"),
+    )
+    weighted = (
+        docfeat.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lam")).alias("logw"),
+        )
+    )
+    u = (
+        (
+            hash60(F.concat_ws(":", F.lit("dsir"), F.col("doc_id")))
+            % DSIR_GUMBEL_M
+        ).cast("double")
+        + 0.5
+    ) / DSIR_GUMBEL_M
+    gumbel = -F.log(-F.log(u))
+    return (
+        weighted.select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            rnd(F.col("logw"), 4).alias("log_weight"),
+            rnd(F.col("logw") + gumbel, 4).alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+    )
+
+
 #: bpe_pair_stats: report the top-N most frequent adjacent char pairs
 BPE_PAIR_TOP_N = 20
 
@@ -1635,6 +1761,63 @@ ORACLES["perplexity_proxy"] = f"""
     FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+ORACLES["dsir_sample"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+    feats AS (
+        SELECT doc_id, lang, unnest(list_concat(
+            list_transform(tk, t ->
+                CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                    % {DSIR_BUCKETS}),
+            list_transform(range(0, greatest(len(tk) - 1, 0)), i ->
+                CAST(concat('0x', substr(md5(concat(tk[i+1], ' ',
+                     tk[i+2])), 1, 15)) AS BIGINT) % {DSIR_BUCKETS})
+        )) AS b
+        FROM d),
+    docfeat AS (
+        SELECT doc_id, lang, b, count(*) AS c
+        FROM feats GROUP BY doc_id, lang, b),
+    raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
+            FROM docfeat GROUP BY b),
+    tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct
+            FROM docfeat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    buckets AS (
+        SELECT r.b, COALESCE(raw.cr, 0) AS cr, COALESCE(tgt.ct, 0) AS ct
+        FROM (SELECT unnest(range(0, {DSIR_BUCKETS}))::BIGINT AS b) r
+        LEFT JOIN raw USING (b) LEFT JOIN tgt USING (b)),
+    totals AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS tr,
+               CAST(sum(ct) AS BIGINT) AS tt
+        FROM buckets),
+    lam AS (
+        SELECT b,
+               ln((ct + 1)::DOUBLE / (tt + {DSIR_BUCKETS}))
+               - ln((cr + 1)::DOUBLE / (tr + {DSIR_BUCKETS})) AS lam
+        FROM buckets CROSS JOIN totals),
+    weighted AS (
+        SELECT doc_id, lang,
+               CAST(sum(c) AS BIGINT) AS n_feats,
+               sum(c * lam) AS logw
+        FROM docfeat JOIN lam USING (b)
+        GROUP BY doc_id, lang),
+    keyed AS (
+        SELECT doc_id, lang, n_feats,
+               {rnd_sql("logw", 4)} AS log_weight,
+               {rnd_sql(
+                   "logw - ln(-ln((("
+                   "CAST(concat('0x', substr(md5(concat('dsir', ':',"
+                   " doc_id)), 1, 15)) AS BIGINT) % "
+                   + str(DSIR_GUMBEL_M)
+                   + ")::DOUBLE + 0.5) / "
+                   + str(DSIR_GUMBEL_M) + "))", 4)}
+               AS sel_key
+        FROM weighted)
+    SELECT * FROM keyed
+    ORDER BY sel_key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
 ORACLES["kn_perplexity"] = f"""
     WITH d AS (
         SELECT doc_id,
@@ -2080,6 +2263,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
     "kn_perplexity": kn_perplexity,
+    "dsir_sample": dsir_sample,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train_merges": bpe_train_merges,
     "bpe_segment_docs": bpe_segment_docs,

@@ -75,13 +75,20 @@ _MODULES = [
 # with no gram-width floor, naive-materialization oracle);
 # kn_perplexity (NEW: interpolated Kneser-Ney trigram LM, type-count
 # smoothing replayed by the oracle and pinned against a pure-Python
-# reference).
-# (c) the alphabetically-first TWELVE of the 47 r08-latest greens —
+# reference); dsir_sample (NEW: DSIR importance resampling, Xie et al.
+# 2023 — hashed n-gram likelihood-ratio weights + deterministic
+# Gumbel top-k; behavioral target-enrichment pytest);
+# quality_classifier_score (NEW: TRAINED hashed-feature logistic
+# regression — fixed-iteration full-batch GD with kmeans-style
+# partial-gradient collects, unrolled-trajectory oracle, pure-Python
+# GD reference pytest).
+# (c) the alphabetically-first TEN of the 47 r08-latest greens —
 # the oldest remaining evidence on current code: ann_index_maintain ..
-# dedup_simhash.
-# ROUND-12 ROTATION DEBT (the remaining 35 r08-latest rows, all
+# dedup_exact_normalized.
+# ROUND-12 ROTATION DEBT (the remaining 37 r08-latest rows, all
 # unchanged-code shapes with prior driver greens):
-# distinct_keys, embedding_norm_stats,
+# dedup_index_maintain, dedup_simhash, distinct_keys,
+# embedding_norm_stats,
 # events_interval_join, filter_project, frame_sample_schedule,
 # funnel_analysis, graph_triangle_stats, group_having, hash_sample,
 # histogram_totalprice, join_anti, join_cross, join_outer, join_semi,
@@ -141,8 +148,10 @@ DRIVER_WINDOW = [
     "ewma_smooth_segmented",
     "dedup_suffix_spans",
     "kn_perplexity",
-    # (c) r08-latest greens, alphabetically first 12 (35 deferred to
-    # round 12: cohort-of dedup_simhash .. wordcount, see note above)
+    "dsir_sample",
+    "quality_classifier_score",
+    # (c) r08-latest greens, alphabetically first 10 (37 deferred to
+    # round 12, see note above)
     "ann_index_maintain",
     "bm25_topk",
     "bpe_pair_stats",
@@ -153,8 +162,6 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_exact_normalized",
-    "dedup_index_maintain",
-    "dedup_simhash",
 ]
 
 

@@ -155,3 +155,125 @@ def test_dedup_semantic_scalable_catches_planted_clones(spark, tmp_path):
     for i in range(10):
         assert 40 + i in rows, f"clone {40 + i} not dropped"
         assert rows[40 + i] == i, rows
+
+
+# --------------------------------------------------------------------------
+# quality classifier (round 11)
+# --------------------------------------------------------------------------
+
+
+def _py_train_and_score(docs):
+    """Independent pure-Python replay of the classifier: same hashing
+    contract (md5 60-bit % B), same zero-init fixed-iteration GD, same
+    scoring — triangulates the Spark trajectory AND the SQL oracle."""
+    import hashlib
+    import math
+
+    from map_reduce_framework_spark.operators.clustering import (
+        QC_BUCKETS,
+        QC_ITERS,
+        QC_LR,
+        QC_POS_LANG,
+    )
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % QC_BUCKETS
+
+    feats, ys = {}, {}
+    for doc_id, text, lang in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        f = {}
+        for t in toks:
+            b = h(t)
+            f[b] = f.get(b, 0.0) + 1.0 / len(toks)
+        f[QC_BUCKETS] = 1.0  # bias
+        feats[doc_id] = f
+        ys[doc_id] = 1.0 if lang == QC_POS_LANG else 0.0
+    n = len(feats)
+    w = [0.0] * (QC_BUCKETS + 1)
+    for _ in range(QC_ITERS):
+        g = [0.0] * (QC_BUCKETS + 1)
+        for d, f in feats.items():
+            m = sum(x * w[b] for b, x in f.items())
+            r = 1.0 / (1.0 + math.exp(-m)) - ys[d]
+            for b, x in f.items():
+                g[b] += x * r
+        w = [wi - QC_LR * gi / n for wi, gi in zip(w, g)]
+    out = {}
+    for d, f in feats.items():
+        m = sum(x * w[b] for b, x in f.items())
+        out[d] = 1.0 / (1.0 + math.exp(-m))
+    return out
+
+
+def test_quality_classifier_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        clustering.quality_classifier_score,
+        clustering.ORACLES["quality_classifier_score"],
+        "quality_classifier_score",
+    )
+
+
+def test_quality_classifier_matches_pure_python(spark, tmp_path):
+    """Spark scores must equal the independent Python GD replay to
+    ~1e-9 (only float reassociation separates them) on a corpus small
+    enough to audit."""
+    import itertools
+
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.clustering import (
+        QC_POS_LANG,
+        quality_classifier_score,
+    )
+
+    va = [f"good{i}" for i in range(9)]
+    vb = [f"junk{i}" for i in range(9)]
+
+    def doc(vocab, seed, n=25):
+        it = itertools.cycle(vocab[seed % len(vocab) :] + vocab[: seed % len(vocab)])
+        return " ".join(next(it) for _ in range(n))
+
+    docs = []
+    for i in range(8):
+        docs.append((i, doc(va, i), QC_POS_LANG))
+    for i in range(8, 16):
+        docs.append((i, doc(vb, i), "de"))
+    # two ambiguous docs mixing both vocabularies
+    docs.append((16, doc(va, 0, 12) + " " + doc(vb, 0, 12), QC_POS_LANG))
+    docs.append((17, doc(vb, 1, 12) + " " + doc(va, 1, 12), "de"))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": ["t"] * len(docs),
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    sf = tmp_path / "sf_qc"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+
+    expect = _py_train_and_score(docs)
+    got = {
+        r["doc_id"]: r for r in quality_classifier_score(spark, str(sf)).collect()
+    }
+    assert set(got) == set(expect)
+    for d, p in expect.items():
+        import math
+
+        p4 = math.floor(p * 1e4 + 0.5) / 1e4
+        assert abs(got[d]["score"] - p4) <= 1e-4 + 1e-9, (d, got[d]["score"], p4)
+    # the separable part must actually be LEARNED: every pure-vocab doc
+    # classified correctly with clear margins
+    assert all(got[i]["correct"] for i in range(16))
+    assert min(got[i]["score"] for i in range(8)) > 0.6
+    assert max(got[i]["score"] for i in range(8, 16)) < 0.4

@@ -11,8 +11,8 @@ operators: interval_coalesce (island CAST), map_functions +
 record_linkage_scores (type-lint alignments), expectations_audit
 (empty-table 0-not-NULL), ewma_smooth_segmented (tree merge),
 dedup_suffix_spans (prefix-doubling suffix ranking), kn_perplexity
-(interpolated Kneser–Ney trigram LM), and (c) the 12
-alphabetically-first of the 47 r08-latest greens.  The remaining 35
+(interpolated Kneser–Ney trigram LM), and (c) the 10
+alphabetically-first of the 47 r08-latest greens.  The remaining 37
 r08 rows are deferred to round 12 (named in registry.py — rotate them
 in FIRST next round).  The two approx sketches are excluded permanently
 — they can never hash-match DuckDB's sketches and would burn slots on
@@ -44,6 +44,10 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R11 = {
     "dedup_suffix_spans",
     # NEW: interpolated Kneser–Ney trigram LM perplexity
     "kn_perplexity",
+    # NEW: DSIR importance resampling (hashed n-gram likelihood ratio)
+    "dsir_sample",
+    # NEW: trained hashed-feature logistic-regression quality filter
+    "quality_classifier_score",
 }
 
 #: r07-green rows deferred by round 10 — the debt this window pays FIRST
@@ -84,6 +88,8 @@ DEFERRED_FROM_R10 = [
 #: r08-latest rows deferred to round 12 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R12 = {
+    "dedup_index_maintain",
+    "dedup_simhash",
     "distinct_keys",
     "embedding_norm_stats",
     "events_interval_join",

@@ -3,6 +3,8 @@ must equal the batch events_time_window on the same data."""
 
 from __future__ import annotations
 
+import os
+
 from map_reduce_framework_spark.operators.relational import events_time_window
 from map_reduce_framework_spark.streaming import run_events_stream_demo
 
@@ -152,7 +154,15 @@ def test_stream_stream_interval_join_multi_batch(spark, tmp_path):
     ds_dir.mkdir()
     for i in range(4):
         chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
-        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+        path = ds_dir / f"part-{i}.parquet"
+        pq.write_table(chunk, path)
+        # FileStreamSource orders files by MODIFICATION TIME; four
+        # writes can land inside one mtime tick under load, and a tie
+        # processed out of order silently breaks every order-dependent
+        # cross-batch fold (the one full-suite flake round 11 caught).
+        # Pin strictly increasing mtimes so batch order IS chunk order.
+        mt = os.stat(path).st_mtime + 10.0 * (i + 1)
+        os.utime(path, (mt, mt))
 
     streamed = run_interval_join_demo(
         spark,
@@ -868,7 +878,15 @@ def test_streaming_interval_coalesce_multi_batch_equals_batch(
     ds_dir.mkdir()
     for i in range(4):
         chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
-        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+        path = ds_dir / f"part-{i}.parquet"
+        pq.write_table(chunk, path)
+        # FileStreamSource orders files by MODIFICATION TIME; four
+        # writes can land inside one mtime tick under load, and a tie
+        # processed out of order silently breaks every order-dependent
+        # cross-batch fold (the one full-suite flake round 11 caught).
+        # Pin strictly increasing mtimes so batch order IS chunk order.
+        mt = os.stat(path).st_mtime + 10.0 * (i + 1)
+        os.utime(path, (mt, mt))
 
     streamed = run_interval_stream_demo(
         spark,
@@ -920,7 +938,15 @@ def test_streaming_ewma_multi_batch_equals_batch(spark, tmp_path):
     ds_dir.mkdir()
     for i in range(4):
         chunk = t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
-        pq.write_table(chunk, ds_dir / f"part-{i}.parquet")
+        path = ds_dir / f"part-{i}.parquet"
+        pq.write_table(chunk, path)
+        # FileStreamSource orders files by MODIFICATION TIME; four
+        # writes can land inside one mtime tick under load, and a tie
+        # processed out of order silently breaks every order-dependent
+        # cross-batch fold (the one full-suite flake round 11 caught).
+        # Pin strictly increasing mtimes so batch order IS chunk order.
+        mt = os.stat(path).st_mtime + 10.0 * (i + 1)
+        os.utime(path, (mt, mt))
 
     streamed = run_ewma_stream_demo(
         spark,

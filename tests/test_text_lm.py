@@ -168,6 +168,56 @@ def test_kn_probabilities_sum_to_one_over_seen_continuations():
         assert abs(total - 1.0) <= 1e-9, (u, v, total)
 
 
+def test_dsir_upweights_target_like_documents(spark, tmp_path):
+    """The importance weight must rank raw-corpus docs written in the
+    TARGET domain's vocabulary above docs from a disjoint vocabulary —
+    the defining property of the likelihood-ratio selection.  Two
+    disjoint vocabularies; target (lang=en) docs use vocab A; the
+    non-target pool mixes A-like and B-like docs; every A-like doc must
+    outscore every B-like doc on log_weight."""
+    import itertools
+
+    from map_reduce_framework_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        dsir_sample,
+    )
+
+    va = [f"alpha{i}" for i in range(12)]
+    vb = [f"beta{i}" for i in range(12)]
+
+    def doc(vocab, seed, n=30):
+        it = itertools.cycle(vocab[seed % len(vocab) :] + vocab[: seed % len(vocab)])
+        return " ".join(next(it) for _ in range(n))
+
+    rows = []
+    for i in range(10):  # target corpus: vocab A, lang=en
+        rows.append((i, doc(va, i), DSIR_TARGET_LANG))
+    for i in range(10, 20):  # raw pool, target-like (vocab A), lang=de
+        rows.append((i, doc(va, i), "de"))
+    for i in range(20, 30):  # raw pool, off-domain (vocab B), lang=de
+        rows.append((i, doc(vb, i), "de"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    sf = tmp_path / "sf_dsir"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+
+    out = {r["doc_id"]: r for r in dsir_sample(spark, str(sf)).collect()}
+    a_like = [out[i]["log_weight"] for i in range(10, 20)]
+    b_like = [out[i]["log_weight"] for i in range(20, 30)]
+    assert min(a_like) > max(b_like), (min(a_like), max(b_like))
+    # and target docs themselves score like the A-like pool (positive)
+    assert all(out[i]["log_weight"] > 0 for i in range(10))
+    assert all(w < 0 for w in b_like)
+
+
 def test_kn_matches_oracle(spark, duck):
     assert_matches_oracle(
         spark,

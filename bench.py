@@ -128,6 +128,7 @@ HEADLINE = [
     "kn_perplexity",
     "dsir_sample",
     "quality_classifier_score",
+    "contamination_embedding",
 ]
 
 

@@ -1253,7 +1253,96 @@ ORACLES["ann_ivf_pq"] = f"""
 # index + scan-time codebook lookup vs the derived encode join)
 ORACLES["ann_ivf_pq_indexed"] = ORACLES["ann_ivf_pq"]
 
+
+# --------------------------------------------------------------------------
+# embedding-axis contamination screen (round 11)
+# --------------------------------------------------------------------------
+
+#: benchmark set = this many lowest vec_ids (the external-eval-set
+#: stand-in, same convention as contamination_check's benchmark docs)
+CONTAM_EMB_BENCH = 8
+#: flag a corpus vector when its best benchmark cosine clears this —
+#: a PARAPHRASE-level bar, deliberately below the dup threshold:
+#: contamination hides in rewordings exact n-gram screens miss
+CONTAM_EMB_COS = 0.5
+
+
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-axis benchmark-contamination screen — the semantic
+    complement of :func:`~.text.contamination_check` (n-gram axis),
+    completing the contamination matrix the way the incremental screens
+    complete the dedup matrix: an eval example that was PARAPHRASED
+    into the training set shares no 3-grams but keeps its embedding.
+
+    Every corpus vector reports its nearest benchmark vector and
+    cosine, with a ``contaminated`` flag at :data:`CONTAM_EMB_COS`.
+
+    Scale: the benchmark is tiny next to a 100 TB corpus, so it
+    BROADCASTS and the screen is one corpus scan with K JVM-side dot
+    products per vector and a packed-integer partial-agg argmax —
+    combiner reduces each vector's K candidate rows map-side, so the
+    exchange carries one row per corpus vector and there is no
+    benchmark-side shuffle at any corpus size.  (argmax key =
+    ``(cos6_int + 1e6)·1024 + (K − bench_id)`` — pure int64, ties to
+    the LOWEST bench id, identical in both engines; no float compare
+    ever decides the winner.)
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline family).
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.where(F.col("vec_id") >= CONTAM_EMB_BENCH).select(
+        "vec_id", unit_vector_col("embedding").alias("vc")
+    )
+    bench = emb.where(F.col("vec_id") < CONTAM_EMB_BENCH).select(
+        F.col("vec_id").alias("bench_id"),
+        unit_vector_col("embedding").alias("vb"),
+    )
+    c6i = F.floor(dot_col("vc", "vb") * 1e6 + F.lit(0.5)).cast("long")
+    key = (c6i + F.lit(1_000_000)) * 1024 + (
+        F.lit(CONTAM_EMB_BENCH) - F.col("bench_id")
+    )
+    best = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", key.alias("k"))
+        .groupBy("vec_id")
+        .agg(F.max("k").alias("k"))
+    )
+    c6 = (F.expr("k div 1024") - 1_000_000) / F.lit(1e6)
+    return best.select(
+        "vec_id",
+        (F.lit(CONTAM_EMB_BENCH) - F.col("k") % 1024).alias(
+            "nearest_benchmark"
+        ),
+        rnd(c6, 4).alias("cosine"),
+        (c6 >= CONTAM_EMB_COS).alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+ORACLES["contamination_embedding"] = f"""
+    WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id,
+               (CAST(floor(list_dot_product(a.v, b.v) * 1e6 + 0.5)
+                     AS BIGINT) + 1000000) * 1024
+                   + ({CONTAM_EMB_BENCH} - b.vec_id) AS k
+        FROM e a CROSS JOIN e b
+        WHERE a.vec_id >= {CONTAM_EMB_BENCH}
+          AND b.vec_id < {CONTAM_EMB_BENCH}),
+    best AS (
+        SELECT vec_id, CAST(max(k) AS BIGINT) AS k
+        FROM scored GROUP BY vec_id)
+    SELECT vec_id,
+           CAST({CONTAM_EMB_BENCH} - k % 1024 AS BIGINT)
+               AS nearest_benchmark,
+           {_rnd_sql("((k // 1024) - 1000000) / 1e6", 4)} AS cosine,
+           ((k // 1024) - 1000000) / 1e6 >= {CONTAM_EMB_COS}
+               AS contaminated
+    FROM best ORDER BY vec_id
+"""
+
 QUERIES = {
+    "contamination_embedding": contamination_embedding,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,

@@ -81,14 +81,16 @@ _MODULES = [
 # quality_classifier_score (NEW: TRAINED hashed-feature logistic
 # regression — fixed-iteration full-batch GD with kmeans-style
 # partial-gradient collects, unrolled-trajectory oracle, pure-Python
-# GD reference pytest).
-# (c) the alphabetically-first TEN of the 47 r08-latest greens —
+# GD reference pytest); contamination_embedding (NEW: the
+# embedding-axis benchmark-contamination screen — broadcast benchmark,
+# packed-int64 partial-agg argmax, planted-paraphrase pytest).
+# (c) the alphabetically-first NINE of the 47 r08-latest greens —
 # the oldest remaining evidence on current code: ann_index_maintain ..
-# dedup_exact_normalized.
-# ROUND-12 ROTATION DEBT (the remaining 37 r08-latest rows, all
+# dedup_exact.
+# ROUND-12 ROTATION DEBT (the remaining 38 r08-latest rows, all
 # unchanged-code shapes with prior driver greens):
-# dedup_index_maintain, dedup_simhash, distinct_keys,
-# embedding_norm_stats,
+# dedup_exact_normalized, dedup_index_maintain, dedup_simhash,
+# distinct_keys, embedding_norm_stats,
 # events_interval_join, filter_project, frame_sample_schedule,
 # funnel_analysis, graph_triangle_stats, group_having, hash_sample,
 # histogram_totalprice, join_anti, join_cross, join_outer, join_semi,
@@ -150,7 +152,8 @@ DRIVER_WINDOW = [
     "kn_perplexity",
     "dsir_sample",
     "quality_classifier_score",
-    # (c) r08-latest greens, alphabetically first 10 (37 deferred to
+    "contamination_embedding",
+    # (c) r08-latest greens, alphabetically first 9 (38 deferred to
     # round 12, see note above)
     "ann_index_maintain",
     "bm25_topk",
@@ -161,7 +164,6 @@ DRIVER_WINDOW = [
     "date_arithmetic",
     "dedup_clusters",
     "dedup_exact",
-    "dedup_exact_normalized",
 ]
 
 

@@ -11,8 +11,8 @@ operators: interval_coalesce (island CAST), map_functions +
 record_linkage_scores (type-lint alignments), expectations_audit
 (empty-table 0-not-NULL), ewma_smooth_segmented (tree merge),
 dedup_suffix_spans (prefix-doubling suffix ranking), kn_perplexity
-(interpolated Kneser–Ney trigram LM), and (c) the 10
-alphabetically-first of the 47 r08-latest greens.  The remaining 37
+(interpolated Kneser–Ney trigram LM), and (c) the 9
+alphabetically-first of the 47 r08-latest greens.  The remaining 38
 r08 rows are deferred to round 12 (named in registry.py — rotate them
 in FIRST next round).  The two approx sketches are excluded permanently
 — they can never hash-match DuckDB's sketches and would burn slots on
@@ -48,6 +48,8 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R11 = {
     "dsir_sample",
     # NEW: trained hashed-feature logistic-regression quality filter
     "quality_classifier_score",
+    # NEW: embedding-axis benchmark-contamination screen
+    "contamination_embedding",
 }
 
 #: r07-green rows deferred by round 10 — the debt this window pays FIRST
@@ -88,6 +90,7 @@ DEFERRED_FROM_R10 = [
 #: r08-latest rows deferred to round 12 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R12 = {
+    "dedup_exact_normalized",
     "dedup_index_maintain",
     "dedup_simhash",
     "distinct_keys",

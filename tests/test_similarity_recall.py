@@ -210,3 +210,60 @@ def test_int8_quantize_error_within_analytic_bound(spark):
     for r in rows:
         assert r["max_rel_err"] <= 0.0315, r
         assert r["avg_cos_recon"] >= 0.9999, r
+
+
+def test_contamination_embedding_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        sim.contamination_embedding,
+        sim.ORACLES["contamination_embedding"],
+        "contamination_embedding",
+    )
+
+
+def test_contamination_embedding_flags_planted_paraphrase(spark, tmp_path):
+    """A corpus vector that is a small perturbation of a benchmark
+    vector (the embedding of a PARAPHRASED eval example) must be
+    flagged with the right nearest_benchmark; orthogonal corpus
+    vectors must not be."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.similarity import (
+        CONTAM_EMB_BENCH,
+        contamination_embedding,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    bench = rng.normal(size=(CONTAM_EMB_BENCH, dim))
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    # corpus: one near-copy of benchmark 3, plus clean random vectors
+    near = bench[3] + 0.05 * rng.normal(size=dim)
+    clean = rng.normal(size=(6, dim))
+    vecs = np.vstack([bench, near[None, :], clean])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    sf = tmp_path / "sf_contam"
+    sf.mkdir()
+    pdf.to_parquet(sf / "embeddings.parquet", index=False)
+
+    out = {
+        r["vec_id"]: r
+        for r in contamination_embedding(spark, str(sf)).collect()
+    }
+    planted = CONTAM_EMB_BENCH  # the near-copy's vec_id
+    assert out[planted]["contaminated"]
+    assert out[planted]["nearest_benchmark"] == 3
+    assert out[planted]["cosine"] > 0.9
+    # 64-dim random vectors are near-orthogonal to everything
+    for v in range(planted + 1, len(vecs)):
+        assert not out[v]["contaminated"], out[v]

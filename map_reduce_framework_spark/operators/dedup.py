@@ -2416,11 +2416,9 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_words"),
         F.posexplode(F.split("text", " ")).alias("off", "w"),
     ).select(
         "doc_id",
-        "n_words",
         F.col("off").cast("long").alias("off"),
         "w",
         (
@@ -2429,9 +2427,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # class_0: one representative per distinct WORD (length-1 windows)
     reps0 = toks.groupBy("w").agg(F.min("pid").alias("cls"))
-    cur = toks.join(reps0, "w").select(
-        "doc_id", "n_words", "off", "pid", "cls"
-    )
+    cur = toks.join(reps0, "w").select("doc_id", "off", "pid", "cls")
     step = 1
     for _ in range(rounds):
         shifted = cur.select(
@@ -2447,11 +2443,17 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reps = paired.groupBy("cls", "cls2").agg(F.min("pid").alias("ncls"))
         cur = paired.join(reps, ["cls", "cls2"]).select(
-            "doc_id", "n_words", "off", "pid", F.col("ncls").alias("cls")
+            "doc_id", "off", "pid", F.col("ncls").alias("cls")
         )
         step *= 2
     # sparse-table keying: (class_a(off), class_a(off + L - 2^a)) for
-    # offsets with a full L-word window
+    # offsets with a full L-word window.  n_words deliberately does NOT
+    # ride the doubling-round shuffles above (8 bytes × every position
+    # × every round at 100 TB) — the per-doc length joins back here,
+    # doc-count-sized.
+    n_words = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
     tail = cur.select(
         "doc_id",
         (F.col("off") - (L - a_len)).alias("off"),
@@ -2459,6 +2461,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = (
         cur.join(tail, ["doc_id", "off"])
+        .join(n_words, "doc_id")
         .where(F.col("off") <= F.col("n_words") - L)
         .select("doc_id", "off", "cls", "cls2")
     )

@@ -1036,13 +1036,18 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
        the Gumbel drawn from a deterministic per-doc hash uniform —
        sampling-without-replacement ∝ importance, reproducible.
 
-    Scale: feature extraction is one explode + (doc_id, bucket)
-    partial-agg count; both distributions are bucket-table aggregates
-    (256 rows) broadcast back; per-doc weights are one more partial
-    agg.  Selection is a TakeOrderedAndProject (per-partition top-k,
-    no global sort).  The ranking key is 4-dp-rounded with a doc_id
-    tie-break so the cut is deterministic across engines (float-sum
-    low bits cannot reorder the boundary).
+    Scale: ONE corpus-scale shuffle total (round-11 sf100 probe fix —
+    the first cut staged a (doc, lang, bucket) count table, which cost
+    a SECOND full-corpus exchange and measured 22×/decade at 5M docs
+    from the spill pressure): both distributions are 256-row
+    partial-agg rollups straight off the exploded features (combiners
+    collapse them map-side, so those "shuffles" move ~256 rows per
+    task), and scoring sums λ(bucket) per raw OCCURRENCE through the
+    broadcast λ table into one groupBy(doc_id).  Selection is a
+    TakeOrderedAndProject (per-partition top-k, no global sort).  The
+    ranking key is 4-dp-rounded with a doc_id tie-break so the cut is
+    deterministic across engines (float-sum low bits cannot reorder
+    the boundary).
 
     No counterpart in the reference (SURVEY §2.4 extension; the
     training-data-pipeline family).
@@ -1073,20 +1078,23 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.expr(f"concat({uni}, {big})")).alias("b"),
     )
-    docfeat = feats.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    raw = docfeat.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = (
-        docfeat.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
+    from ..cache import persist_tracked
+
+    # feats feeds the distribution pass AND the scoring pass — persist
+    # so the corpus-scale explode + per-token md5 runs once, not twice
+    feats = persist_tracked(feats)
+    # BOTH distributions in ONE partial-agg pass (conditional count);
+    # combiners collapse to ≤256 rows per task before the exchange
+    dist = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1))
+        ).alias("ct"),
     )
     buckets = (
         spark.range(B)
         .select(F.col("id").alias("b"))
-        .join(raw, "b", "left")
-        .join(tgt, "b", "left")
+        .join(dist, "b", "left")
         .select(
             "b",
             F.coalesce("cr", F.lit(0)).alias("cr"),
@@ -1104,11 +1112,11 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lam"),
     )
     weighted = (
-        docfeat.join(F.broadcast(lam), "b")
+        feats.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum("c").alias("n_feats"),
-            F.sum(F.col("c") * F.col("lam")).alias("logw"),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lam").alias("logw"),
         )
     )
     u = (
@@ -1776,17 +1784,14 @@ ORACLES["dsir_sample"] = f"""
                      tk[i+2])), 1, 15)) AS BIGINT) % {DSIR_BUCKETS})
         )) AS b
         FROM d),
-    docfeat AS (
-        SELECT doc_id, lang, b, count(*) AS c
-        FROM feats GROUP BY doc_id, lang, b),
-    raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr
-            FROM docfeat GROUP BY b),
-    tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct
-            FROM docfeat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    dist AS (
+        SELECT b, count(*) AS cr,
+               count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct
+        FROM feats GROUP BY b),
     buckets AS (
-        SELECT r.b, COALESCE(raw.cr, 0) AS cr, COALESCE(tgt.ct, 0) AS ct
+        SELECT r.b, COALESCE(dist.cr, 0) AS cr, COALESCE(dist.ct, 0) AS ct
         FROM (SELECT unnest(range(0, {DSIR_BUCKETS}))::BIGINT AS b) r
-        LEFT JOIN raw USING (b) LEFT JOIN tgt USING (b)),
+        LEFT JOIN dist USING (b)),
     totals AS (
         SELECT CAST(sum(cr) AS BIGINT) AS tr,
                CAST(sum(ct) AS BIGINT) AS tt
@@ -1798,9 +1803,9 @@ ORACLES["dsir_sample"] = f"""
         FROM buckets CROSS JOIN totals),
     weighted AS (
         SELECT doc_id, lang,
-               CAST(sum(c) AS BIGINT) AS n_feats,
-               sum(c * lam) AS logw
-        FROM docfeat JOIN lam USING (b)
+               count(*) AS n_feats,
+               sum(lam) AS logw
+        FROM feats JOIN lam USING (b)
         GROUP BY doc_id, lang),
     keyed AS (
         SELECT doc_id, lang, n_feats,

@@ -199,6 +199,89 @@ def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: PII patterns — deliberately restricted to the Java-regex ∩ RE2 common
+#: subset (no lookaround, ASCII ``\b``/``\d``, non-capturing groups) so
+#: Spark and DuckDB match byte-for-byte.  The shapes are the standard
+#: public pre-training scrub list (BigScience ROOTS / Dolma PII pass):
+#: emails, NANP-style phone numbers, IPv4 addresses.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over ``documents`` — the scrubbing pass
+    every public pre-training pipeline runs (ROOTS/Dolma shape): count
+    and mask emails, phone numbers, and IPv4 literals.
+
+    The synthetic corpus carries no organic PII, so the operator
+    SELF-PLANTS a deterministic instance on a doc_id-keyed subset before
+    scanning — pure string arithmetic both engines replay exactly, which
+    turns the oracle comparison into a real behavioral check (non-zero
+    hit counts, real rewrites) instead of an all-zeros tautology.  The
+    planted rows double as the fixture for the redaction-order contract:
+    emails are masked first, then phones, then IPs, so an email whose
+    local part looks numeric can never be half-eaten by the IP pass.
+
+    Scale: narrow codegen'd regex projection — scan-bound, zero
+    shuffles before the presentation sort; at 100 TB this runs at
+    whatever the parquet scan runs at.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "pt",
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pt"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("pt", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("pt", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("pt", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        redacted.alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
 # shared SQL fragments for the clean_corpus capstone oracle — single
 # source of truth with each stage's own oracle
 from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
@@ -293,8 +376,44 @@ ORACLES = {
     """,
 }
 
+ORACLES["pii_redact"] = f"""
+    WITH pl AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN concat(
+                      text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com now')
+                 WHEN doc_id % 5 = 1 THEN concat(
+                      text, ' call 555-',
+                      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                      ' today')
+                 WHEN doc_id % 5 = 2 THEN concat(
+                      text, ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+                      '.0.', CAST((doc_id * 7) % 256 AS VARCHAR),
+                      ' logged')
+                 ELSE text
+               END AS pt
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pt, '{PII_EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pt, '{PII_PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(pt, '{PII_IP_RE}'))
+                AS BIGINT) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(pt, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS redacted_text
+    FROM pl
+    ORDER BY doc_id
+"""
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "dedup_passage": dedup_passage,
     "blocklist_redact": blocklist_redact,
+    "pii_redact": pii_redact,
 }

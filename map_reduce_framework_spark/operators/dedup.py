@@ -2407,6 +2407,69 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from .. import cache
+
+    L = SUFFIX_SPAN_MIN_WORDS
+    docs, keyed = _suffix_window_keys(spark, sf_dir)
+    # keyed feeds two branches (the class-stats agg and the join-back);
+    # persist it so the O(log L) doubling rounds run ONCE, not per branch
+    keyed = cache.persist_tracked(keyed)
+    # duplicated-class membership via groupBy + semi-join, NOT a window
+    # over partitionBy(cls, cls2): the agg partial-aggregates map-side
+    # (a span duplicated a million times contributes one row per input
+    # partition), where the window would sort EVERY position and funnel
+    # each hot class into a single task — the skew rule SCALING.md
+    # records for first-occurrence selection applies to duplicate
+    # FLAGGING too
+    dup_classes = (
+        keyed.groupBy("cls", "cls2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("cls", "cls2")
+    )
+    flagged = keyed.join(dup_classes, ["cls", "cls2"], "left_semi").select(
+        "doc_id", "off"
+    )
+    merge_w = W.partitionBy("doc_id").orderBy("off")
+    runs = (
+        flagged.withColumn("prev", F.lag("off").over(merge_w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("off") > F.col("prev") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(merge_w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + L).alias("span_end"),
+            (F.max("off") + L - F.min("off")).alias("span_words"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_words", "n_windows"
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _suffix_window_keys(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-doubling core of the suffix-span family.
+
+    Returns ``(docs, keyed)`` where ``docs`` is the (doc_id, text) scan
+    and ``keyed`` holds one row per full ``SUFFIX_SPAN_MIN_WORDS``-word
+    window occurrence — (doc_id, off, cls, cls2) — with two positions
+    sharing (cls, cls2) iff their windows are equal word-for-word
+    (exact equivalence classes, no hashing; see
+    :func:`dedup_suffix_spans` for the algorithm citations).
+    """
     L = SUFFIX_SPAN_MIN_WORDS
     a_len = 1 << (L.bit_length() - 1)  # largest power of two <= L
     rounds = a_len.bit_length() - 1  # log2(a_len) doubling rounds
@@ -2465,20 +2528,70 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("off") <= F.col("n_words") - L)
         .select("doc_id", "off", "cls", "cls2")
     )
-    flagged = (
-        keyed.withColumn(
-            "n_occ", F.count(F.lit(1)).over(W.partitionBy("cls", "cls2"))
+    return docs, keyed
+
+
+def dedup_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus REWRITE removing duplicated spans — the deliverable of
+    Lee et al. 2022 §4.1 (ExactSubstr deduplication: detect repeated
+    spans, then *edit the text*), composing with the prefix-doubling
+    pass behind :func:`dedup_suffix_spans`.
+
+    Semantics (exact, both engines replay it identically):
+
+    1. every length-L window occurrence whose window text recurs
+       corpus-wide (count ≥ 2) is duplicated; its CANONICAL occurrence
+       is the one with the minimum packed position id (doc_id, off) —
+       first document, then first offset, a total order;
+    2. all NON-canonical duplicated occurrences are *foreign*; per
+       document, foreign windows union into maximal clipped intervals
+       (two windows merge iff they overlap or touch: off' ≤ off + L);
+    3. the rewritten document drops exactly the words inside clipped
+       intervals.  The canonical occurrence of each duplicated window
+       survives *unless* an overlapping foreign interval from a
+       different duplicated span covers it — the same boundary behavior
+       as the published span-removal tool.
+
+    Output: one row per document — (doc_id, n_words, n_clipped,
+    clipped_text); untouched documents pass their ORIGINAL text through
+    (no tokenize→rejoin round trip and no rebuild cost for the clean
+    majority of the corpus, which at 100 TB is almost all of it — the
+    explode + per-doc rebuild below runs only over affected docs).
+    """
+    from pyspark.sql import Window as W
+
+    from .. import cache
+
+    L = SUFFIX_SPAN_MIN_WORDS
+    docs, keyed = _suffix_window_keys(spark, sf_dir)
+    # keyed feeds the stats agg AND the join-back: persist once
+    keyed = cache.persist_tracked(keyed)
+    # canonical selection partial-aggregates (count + min pid combine
+    # map-side) and joins back — same skew posture as dedup_passage's
+    # survivor selection, never a window over partitionBy(cls, cls2)
+    pid = F.col("doc_id") * F.lit(1 << _SUFFIX_POS_BITS) + F.col("off")
+    stats = (
+        keyed.groupBy("cls", "cls2")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(pid).alias("min_pid"),
         )
         .where(F.col("n_occ") >= 2)
+        .select("cls", "cls2", "min_pid")
+    )
+    foreign = (
+        keyed.join(stats, ["cls", "cls2"])
+        .where(pid != F.col("min_pid"))
         .select("doc_id", "off")
     )
+    # interval union: windows [off, off+L) merge while off' <= off + L
     merge_w = W.partitionBy("doc_id").orderBy("off")
-    runs = (
-        flagged.withColumn("prev", F.lag("off").over(merge_w))
+    isl = (
+        foreign.withColumn("prev", F.lag("off").over(merge_w))
         .withColumn(
             "brk",
             F.when(
-                F.col("prev").isNull() | (F.col("off") > F.col("prev") + 1),
+                F.col("prev").isNull() | (F.col("off") > F.col("prev") + L),
                 1,
             ).otherwise(0),
         )
@@ -2486,19 +2599,60 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "island",
             F.sum("brk").over(merge_w.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .groupBy("doc_id", "island")
+        .agg(F.min("off").alias("s"), (F.max("off") + L).alias("e"))
+    )
+    # islands feed three consumers (stats, covered positions, and the
+    # final joins through them) and are tiny (one row per clipped span)
+    isl = cache.persist_tracked(isl)
+    clip_stats = isl.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_clipped")
+    )
+    # disjoint islands → exploded covered positions need no distinct
+    covered = isl.select(
+        "doc_id", F.explode(F.sequence("s", F.col("e") - 1)).alias("pos")
+    )
+    # rebuild ONLY affected docs: explode → anti-join clipped positions
+    # → order-preserving re-assembly (per-doc array, same bound as every
+    # other per-doc text op here)
+    toks = (
+        docs.join(clip_stats.select("doc_id"), "doc_id")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
+    )
+    rebuilt = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("rebuilt_text")
+        )
     )
     return (
-        runs.groupBy("doc_id", "island")
-        .agg(
-            F.min("off").alias("span_start"),
-            (F.max("off") + L).alias("span_end"),
-            (F.max("off") + L - F.min("off")).alias("span_words"),
-            F.count(F.lit(1)).alias("n_windows"),
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+            "text",
         )
+        .join(clip_stats, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
         .select(
-            "doc_id", "span_start", "span_end", "span_words", "n_windows"
+            "doc_id",
+            "n_words",
+            F.coalesce("n_clipped", F.lit(0)).cast("long").alias("n_clipped"),
+            F.when(F.col("n_clipped").isNull(), F.col("text"))
+            # fully-clipped doc: no surviving words → empty rewrite
+            .otherwise(F.coalesce("rebuilt_text", F.lit("")))
+            .alias("clipped_text"),
         )
-        .orderBy("doc_id", "span_start")
+        .orderBy("doc_id")
     )
 
 
@@ -2580,6 +2734,64 @@ ORACLES = {
                count(*) AS n_windows
         FROM i GROUP BY doc_id, island
         ORDER BY doc_id, span_start
+    """,
+    # same independence as the spans oracle: windows and canonical
+    # occurrences are materialized from raw text, the rewrite replayed
+    # with list ops — the engine's equivalence classes are checked
+    # against ground truth, not re-run
+    "dedup_span_clip": f"""
+        WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks)
+                         - {SUFFIX_SPAN_MIN_WORDS} + 1, 0)))::BIGINT AS off
+              FROM d),
+        w AS (SELECT doc_id, off,
+                     array_to_string(
+                         toks[off + 1 : off + {SUFFIX_SPAN_MIN_WORDS}],
+                         ' ') AS win
+              FROM p),
+        g AS (SELECT win,
+                     min(doc_id * {1 << _SUFFIX_POS_BITS} + off) AS min_pid
+              FROM w GROUP BY win HAVING count(*) >= 2),
+        f AS (SELECT doc_id, off FROM w JOIN g USING (win)
+              WHERE doc_id * {1 << _SUFFIX_POS_BITS} + off <> min_pid),
+        m AS (SELECT doc_id, off,
+                     CASE WHEN lag(off) OVER dw IS NULL
+                            OR off > lag(off) OVER dw
+                                     + {SUFFIX_SPAN_MIN_WORDS}
+                          THEN 1 ELSE 0 END AS brk
+              FROM f WINDOW dw AS (PARTITION BY doc_id ORDER BY off)),
+        i AS (SELECT doc_id, off,
+                     CAST(sum(brk) OVER (PARTITION BY doc_id
+                                         ORDER BY off) AS BIGINT) AS island
+              FROM m),
+        isl AS (SELECT doc_id, min(off) AS s,
+                       max(off) + {SUFFIX_SPAN_MIN_WORDS} AS e
+                FROM i GROUP BY doc_id, island),
+        st AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_clipped
+               FROM isl GROUP BY doc_id),
+        cov AS (SELECT doc_id, unnest(range(s, e))::BIGINT AS pos FROM isl),
+        wd AS (SELECT doc_id, pos, toks[pos + 1] AS w
+               FROM (SELECT doc_id, toks,
+                            unnest(range(len(toks)))::BIGINT AS pos
+                     FROM d JOIN st USING (doc_id)) q),
+        kept AS (SELECT wd.doc_id, wd.pos, wd.w
+                 FROM wd LEFT JOIN cov
+                   ON wd.doc_id = cov.doc_id AND wd.pos = cov.pos
+                 WHERE cov.pos IS NULL),
+        rb AS (SELECT doc_id,
+                      string_agg(w, ' ' ORDER BY pos) AS rebuilt_text
+               FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_words,
+               COALESCE(st.n_clipped, 0) AS n_clipped,
+               CASE WHEN st.doc_id IS NULL THEN d.text
+                    ELSE COALESCE(rb.rebuilt_text, '') END AS clipped_text
+        FROM d
+        LEFT JOIN st USING (doc_id)
+        LEFT JOIN rb USING (doc_id)
+        ORDER BY doc_id
     """,
     "dedup_exact_substring": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3403,6 +3615,7 @@ ORACLES_FUZZY_SQL = f"""
 QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_suffix_spans": dedup_suffix_spans,
+    "dedup_span_clip": dedup_span_clip,
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -83,12 +83,18 @@ _MODULES = [
 # partial-gradient collects, unrolled-trajectory oracle, pure-Python
 # GD reference pytest); contamination_embedding (NEW: the
 # embedding-axis benchmark-contamination screen — broadcast benchmark,
-# packed-int64 partial-agg argmax, planted-paraphrase pytest).
-# (c) the alphabetically-first NINE of the 47 r08-latest greens —
+# packed-int64 partial-agg argmax, planted-paraphrase pytest);
+# dedup_span_clip (NEW: the Lee et al. ExactSubstr corpus REWRITE —
+# canonical-occurrence-keeping span removal composed with the
+# prefix-doubling classes, ground-truth-materializing oracle);
+# pii_redact (NEW: ROOTS/Dolma-shape PII scrub — self-planted
+# deterministic emails/phones/IPv4s, Java∩RE2 common-subset regexes).
+# (c) the alphabetically-first SEVEN of the 47 r08-latest greens —
 # the oldest remaining evidence on current code: ann_index_maintain ..
-# dedup_exact.
-# ROUND-12 ROTATION DEBT (the remaining 38 r08-latest rows, all
+# date_arithmetic.
+# ROUND-12 ROTATION DEBT (the remaining 40 r08-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# dedup_clusters, dedup_exact,
 # dedup_exact_normalized, dedup_index_maintain, dedup_simhash,
 # distinct_keys, embedding_norm_stats,
 # events_interval_join, filter_project, frame_sample_schedule,
@@ -153,8 +159,12 @@ DRIVER_WINDOW = [
     "dsir_sample",
     "quality_classifier_score",
     "contamination_embedding",
-    # (c) r08-latest greens, alphabetically first 9 (38 deferred to
-    # round 12, see note above)
+    "dedup_span_clip",
+    "pii_redact",
+    # (c) r08-latest greens, alphabetically first 7 (two more NEW
+    # queries above claimed the dedup_clusters / dedup_exact slots —
+    # those two join the 38-row round-12 debt, making it 40; see note
+    # above)
     "ann_index_maintain",
     "bm25_topk",
     "bpe_pair_stats",
@@ -162,8 +172,6 @@ DRIVER_WINDOW = [
     "cohort_retention",
     "cube_agg",
     "date_arithmetic",
-    "dedup_clusters",
-    "dedup_exact",
 ]
 
 

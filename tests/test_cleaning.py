@@ -57,6 +57,37 @@ def test_blocklist_redact_hits_planted_terms(spark, passage_dir):
     assert rows[0]["n_hits"] == 0 and rows[0]["redacted_text"] == DOC_A
 
 
+def test_pii_redact_masks_planted_instances(spark, passage_dir):
+    """Each doc_id % 5 arm plants exactly one PII instance of its kind;
+    the counts and the rewritten text must reflect it, and the clean
+    arms must pass their text through unmodified."""
+    rows = {r["doc_id"]: r for r in cleaning.pii_redact(spark, passage_dir).collect()}
+    # doc 0: planted email
+    assert (rows[0]["n_emails"], rows[0]["n_phones"], rows[0]["n_ips"]) == (1, 0, 0)
+    assert rows[0]["redacted_text"] == f"{DOC_A} contact <EMAIL> now"
+    # doc 1: planted phone 555-001-0001
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (0, 1, 0)
+    assert rows[1]["redacted_text"] == f"{DOC_A} call <PHONE> today"
+    # doc 2: planted IP 10.2.0.14
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ips"]) == (0, 0, 1)
+    assert rows[2]["redacted_text"] == f"{DOC_C} from <IP> logged"
+    # doc 3: no plant arm (3 % 5 == 3) and no organic PII — untouched
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ips"]) == (0, 0, 0)
+    assert rows[3]["redacted_text"] == "slow dup words big slow"
+
+
+def test_pii_redact_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        cleaning.pii_redact,
+        cleaning.ORACLES["pii_redact"],
+        "pii_redact",
+    )
+
+
 def test_cleaning_non_vacuous_on_corpus(spark):
     dp = cleaning.dedup_passage(spark, SF_DIR)
     dup_docs = dp.filter("n_kept < n_passages").count()

@@ -858,6 +858,61 @@ def test_suffix_spans_matches_oracle(spark, duck):
     )
 
 
+def test_span_clip_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.dedup_span_clip,
+        dedup.ORACLES["dedup_span_clip"],
+        "dedup_span_clip",
+    )
+
+
+def test_span_clip_keeps_canonical_and_clips_foreign(spark, tmp_path):
+    """Span-removal semantics: the canonical (first doc, first offset)
+    occurrence of a duplicated span survives verbatim; every other
+    occurrence is clipped out of the rewritten text; clean docs pass
+    their original text through untouched."""
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.dedup import dedup_span_clip
+
+    planted = "zebra quark nimbus fjord glyph vortex plinth"  # 7 words
+    span_w = len(planted.split())
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    texts = [
+        f"{filler('a', 5)} {planted} {filler('b', 9)}",  # canonical
+        f"{filler('c', 3)} {planted} {filler('d', 11)}",  # foreign copy
+        filler("e", 20),  # clean doc
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = tmp_path / "sf_clip"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "documents.parquet", index=False)
+
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_clipped"], r["clipped_text"])
+        for r in dedup_span_clip(spark, str(sf_dir)).collect()
+    }
+    # doc 0 holds the canonical occurrence: untouched, original text
+    assert rows[0] == (21, 0, texts[0])
+    # doc 1's copy is foreign: exactly the 7 span words removed
+    assert rows[1] == (21, span_w, f"{filler('c', 3)} {filler('d', 11)}")
+    # doc 2 is clean: passes through
+    assert rows[2] == (20, 0, texts[2])
+
+
 def test_suffix_spans_find_sub_gram_width_planted_span(spark, tmp_path):
     """The round-11 contract: a duplicated span of 7 words — at or
     above SUFFIX_SPAN_MIN_WORDS but BELOW dedup_exact_substring's

@@ -129,6 +129,9 @@ HEADLINE = [
     "dsir_sample",
     "quality_classifier_score",
     "contamination_embedding",
+    # round 11 (second batch) — ExactSubstr span-clip rewrite, PII scrub
+    "dedup_span_clip",
+    "pii_redact",
 ]
 
 

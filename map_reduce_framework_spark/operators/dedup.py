@@ -2602,54 +2602,35 @@ def dedup_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "island")
         .agg(F.min("off").alias("s"), (F.max("off") + L).alias("e"))
     )
-    # islands feed three consumers (stats, covered positions, and the
-    # final joins through them) and are tiny (one row per clipped span)
-    isl = cache.persist_tracked(isl)
-    clip_stats = isl.groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_clipped")
-    )
-    # disjoint islands → exploded covered positions need no distinct
-    covered = isl.select(
-        "doc_id", F.explode(F.sequence("s", F.col("e") - 1)).alias("pos")
-    )
-    # rebuild ONLY affected docs: explode → anti-join clipped positions
-    # → order-preserving re-assembly (per-doc array, same bound as every
-    # other per-doc text op here)
-    toks = (
-        docs.join(clip_stats.select("doc_id"), "doc_id")
-        .select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-        )
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
-    )
-    rebuilt = (
-        toks.join(covered, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("rebuilt_text")
-        )
+    # per-doc INTERVAL LISTS, not exploded covered positions: the first
+    # cut of this rebuild (explode islands → anti-join a re-exploded
+    # token table → collect_list reassembly) moved THREE corpus-scale
+    # tables through the shuffle and overran the probe box's disk at
+    # the 5M-doc decade on a worst-case corpus where by-chance 6-word
+    # repeats make nearly every doc affected.  Clipped intervals are
+    # doc-bounded (≤ words/2 per doc, same per-doc bound as every text
+    # op here), so the rewrite is ONE doc-count-sized join plus a
+    # zero-shuffle higher-order filter on the split array — no explode,
+    # no anti-join, no collect of word structs
+    iv = isl.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("iv"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_clipped"),
     )
     return (
-        docs.select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_words"),
-            "text",
-        )
-        .join(clip_stats, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        docs.join(iv, "doc_id", "left")
         .select(
             "doc_id",
-            "n_words",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
             F.coalesce("n_clipped", F.lit(0)).cast("long").alias("n_clipped"),
             F.when(F.col("n_clipped").isNull(), F.col("text"))
-            # fully-clipped doc: no surviving words → empty rewrite
-            .otherwise(F.coalesce("rebuilt_text", F.lit("")))
+            # drop words whose position falls in any clipped interval;
+            # a fully-clipped doc filters to [] → empty rewrite
+            .otherwise(
+                F.expr(
+                    "array_join(filter(split(text, ' '), (w, p) ->"
+                    " NOT exists(iv, x -> p >= x.s AND p < x.e)), ' ')"
+                )
+            )
             .alias("clipped_text"),
         )
         .orderBy("doc_id")

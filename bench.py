@@ -129,9 +129,11 @@ HEADLINE = [
     "dsir_sample",
     "quality_classifier_score",
     "contamination_embedding",
-    # round 11 (second batch) — ExactSubstr span-clip rewrite, PII scrub
+    # round 11 (second batch) — ExactSubstr span-clip rewrite, PII scrub,
+    # mojibake repair
     "dedup_span_clip",
     "pii_redact",
+    "encoding_repair",
 ]
 
 

@@ -282,6 +282,77 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: mojibake repair table — the most common UTF-8-read-as-Latin-1/cp1252
+#: artifacts (the core cases of the public ftfy fixer), repaired by
+#: LITERAL chained replaces in this exact order (multi-char artifacts
+#: first so no entry is a prefix of a later one's match).  Literal
+#: replace, not regex: byte-identical semantics in Spark and DuckDB
+#: with no dialect surface at all.
+MOJIBAKE_TABLE = (
+    ("â€™", "'"),  # â€™  → right single quote (as ASCII ')
+    ("â€œ", '"'),  # â€œ  → left double quote (as ASCII ")
+    ("Ã©", "é"),  # Ã©  → é
+    ("Ã¼", "ü"),  # Ã¼  → ü
+    ("Ã±", "ñ"),  # Ã±  → ñ
+    ("Â ", " "),  # Â + space → space (NBSP mojibake)
+)
+
+
+def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair over ``documents`` — the
+    encoding-fix pass of public corpus pipelines (ftfy's core table:
+    UTF-8 text that was decoded as Latin-1/cp1252 once, leaving
+    artifacts like ``Ã©`` for ``é`` and ``â€™`` for ``'``).
+
+    Like :func:`pii_redact`, the synthetic corpus is clean, so the
+    operator SELF-PLANTS deterministic artifacts on doc_id-keyed arms —
+    both engines replay the plant exactly, making the oracle row a real
+    repair check.  Counting is pure length arithmetic
+    (``(len(t) - len(replace(t, a, ''))) / len(a)``) and repair is the
+    chained literal replace of :data:`MOJIBAKE_TABLE` in table order —
+    no regex anywhere, so there is no cross-engine dialect surface.
+
+    Scale: narrow codegen'd projection, scan-bound, zero shuffles
+    before the presentation sort (same posture as the other redaction
+    passes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "pt",
+        F.when(
+            did % 4 == 0, F.concat(F.col("text"), F.lit(" cafÃ© menu"))
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.col("text"), F.lit(" donâ€™t stop")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" seÃ±or Ã¼ber Â here"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    n_moji = None
+    repaired = F.col("pt")
+    for art, fix in MOJIBAKE_TABLE:
+        cnt = (
+            (F.length("pt") - F.length(F.replace(F.col("pt"), F.lit(art))))
+            / F.lit(len(art))
+        ).cast("long")
+        n_moji = cnt if n_moji is None else n_moji + cnt
+        repaired = F.replace(repaired, F.lit(art), F.lit(fix))
+    return planted.select(
+        "doc_id",
+        n_moji.cast("long").alias("n_mojibake"),
+        repaired.alias("repaired_text"),
+        (n_moji == 0).alias("was_clean"),
+    ).orderBy("doc_id")
+
+
 # shared SQL fragments for the clean_corpus capstone oracle — single
 # source of truth with each stage's own oracle
 from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
@@ -376,6 +447,36 @@ ORACLES = {
     """,
 }
 
+# generated from MOJIBAKE_TABLE — single source of truth with the engine
+_MOJI_COUNT_SQL = " + ".join(
+    f"CAST((length(pt) - length(replace(pt, '{a}', ''))) / {len(a)}"
+    " AS BIGINT)"
+    for a, _ in MOJIBAKE_TABLE
+)
+_MOJI_REPAIR_SQL = "pt"
+for _a, _f in MOJIBAKE_TABLE:
+    _fq = _f.replace("'", "''")
+    _MOJI_REPAIR_SQL = f"replace({_MOJI_REPAIR_SQL}, '{_a}', '{_fq}')"
+
+ORACLES["encoding_repair"] = f"""
+    WITH pl AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 4 = 0 THEN concat(text, ' cafÃ© menu')
+                 WHEN doc_id % 4 = 1 THEN concat(text, ' donâ€™t stop')
+                 WHEN doc_id % 4 = 2 THEN concat(text,
+                                                 ' seÃ±or Ã¼ber Â here')
+                 ELSE text
+               END AS pt
+        FROM documents)
+    SELECT doc_id,
+           {_MOJI_COUNT_SQL} AS n_mojibake,
+           {_MOJI_REPAIR_SQL} AS repaired_text,
+           ({_MOJI_COUNT_SQL}) = 0 AS was_clean
+    FROM pl
+    ORDER BY doc_id
+"""
+
 ORACLES["pii_redact"] = f"""
     WITH pl AS (
         SELECT doc_id,
@@ -416,4 +517,5 @@ QUERIES = {
     "dedup_passage": dedup_passage,
     "blocklist_redact": blocklist_redact,
     "pii_redact": pii_redact,
+    "encoding_repair": encoding_repair,
 }

@@ -88,13 +88,16 @@ _MODULES = [
 # canonical-occurrence-keeping span removal composed with the
 # prefix-doubling classes, ground-truth-materializing oracle);
 # pii_redact (NEW: ROOTS/Dolma-shape PII scrub — self-planted
-# deterministic emails/phones/IPv4s, Java∩RE2 common-subset regexes).
-# (c) the alphabetically-first SEVEN of the 47 r08-latest greens —
+# deterministic emails/phones/IPv4s, Java∩RE2 common-subset regexes);
+# encoding_repair (NEW: ftfy-core mojibake detect + repair — literal
+# chained replaces from one shared table, length-arithmetic counts,
+# self-planted artifacts, zero regex surface).
+# (c) the alphabetically-first SIX of the 47 r08-latest greens —
 # the oldest remaining evidence on current code: ann_index_maintain ..
-# date_arithmetic.
-# ROUND-12 ROTATION DEBT (the remaining 40 r08-latest rows, all
+# cube_agg.
+# ROUND-12 ROTATION DEBT (the remaining 41 r08-latest rows, all
 # unchanged-code shapes with prior driver greens):
-# dedup_clusters, dedup_exact,
+# date_arithmetic, dedup_clusters, dedup_exact,
 # dedup_exact_normalized, dedup_index_maintain, dedup_simhash,
 # distinct_keys, embedding_norm_stats,
 # events_interval_join, filter_project, frame_sample_schedule,
@@ -161,17 +164,17 @@ DRIVER_WINDOW = [
     "contamination_embedding",
     "dedup_span_clip",
     "pii_redact",
-    # (c) r08-latest greens, alphabetically first 7 (two more NEW
-    # queries above claimed the dedup_clusters / dedup_exact slots —
-    # those two join the 38-row round-12 debt, making it 40; see note
-    # above)
+    "encoding_repair",
+    # (c) r08-latest greens, alphabetically first 6 (three more NEW
+    # queries above claimed the dedup_clusters / dedup_exact /
+    # date_arithmetic slots — those three join the 38-row round-12
+    # debt, making it 41; see note above)
     "ann_index_maintain",
     "bm25_topk",
     "bpe_pair_stats",
     "chunk_documents",
     "cohort_retention",
     "cube_agg",
-    "date_arithmetic",
 ]
 
 

@@ -88,6 +88,36 @@ def test_pii_redact_matches_oracle(spark, duck):
     )
 
 
+def test_encoding_repair_fixes_planted_mojibake(spark, passage_dir):
+    """Each doc_id % 4 arm plants known UTF-8-as-Latin-1 artifacts; the
+    repair must produce the intended text and count every artifact."""
+    rows = {r["doc_id"]: r for r in cleaning.encoding_repair(spark, passage_dir).collect()}
+    # doc 0: cafÃ© → café (1 artifact)
+    assert rows[0]["n_mojibake"] == 1 and not rows[0]["was_clean"]
+    assert rows[0]["repaired_text"] == f"{DOC_A} café menu"
+    # doc 1: donâ€™t → don't
+    assert rows[1]["n_mojibake"] == 1
+    assert rows[1]["repaired_text"] == f"{DOC_A} don't stop"
+    # doc 2: seÃ±or Ã¼ber Â here → señor über  here (3 artifacts)
+    assert rows[2]["n_mojibake"] == 3
+    assert rows[2]["repaired_text"] == f"{DOC_C} señor über  here"
+    # doc 3: no plant arm — clean and untouched
+    assert rows[3]["n_mojibake"] == 0 and rows[3]["was_clean"]
+    assert rows[3]["repaired_text"] == "slow dup words big slow"
+
+
+def test_encoding_repair_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        cleaning.encoding_repair,
+        cleaning.ORACLES["encoding_repair"],
+        "encoding_repair",
+    )
+
+
 def test_cleaning_non_vacuous_on_corpus(spark):
     dp = cleaning.dedup_passage(spark, SF_DIR)
     dup_docs = dp.filter("n_kept < n_passages").count()

@@ -913,6 +913,36 @@ def test_span_clip_keeps_canonical_and_clips_foreign(spark, tmp_path):
     assert rows[2] == (20, 0, texts[2])
 
 
+def test_span_clip_self_repetition_keeps_first_occurrence(spark, tmp_path):
+    """Same-document repetition (the count ≥ 2 rule includes
+    self-repeats, per the paper): the FIRST copy inside the doc is
+    canonical and survives; the second copy is clipped."""
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.dedup import dedup_span_clip
+
+    span = "zebra quark nimbus fjord glyph vortex"  # exactly L = 6 words
+    mid = " ".join(f"m{i}" for i in range(7))
+    tail = " ".join(f"t{i}" for i in range(5))
+    text = f"{span} {mid} {span} {tail}"  # span at offs 0 and 13
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [len(text)],
+        }
+    )
+    d = tmp_path / "sf_self"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet", index=False)
+
+    [r] = dedup_span_clip(spark, str(d)).collect()
+    assert (r["n_words"], r["n_clipped"]) == (24, 6)
+    assert r["clipped_text"] == f"{span} {mid} {tail}"
+
+
 def test_suffix_spans_find_sub_gram_width_planted_span(spark, tmp_path):
     """The round-11 contract: a duplicated span of 7 words — at or
     above SUFFIX_SPAN_MIN_WORDS but BELOW dedup_exact_substring's

@@ -12,8 +12,9 @@ record_linkage_scores (type-lint alignments), expectations_audit
 (empty-table 0-not-NULL), ewma_smooth_segmented (tree merge),
 dedup_suffix_spans (prefix-doubling suffix ranking), kn_perplexity
 (interpolated Kneser–Ney trigram LM), dedup_span_clip (ExactSubstr
-corpus rewrite), pii_redact (self-planting PII scrub), and (c) the 7
-alphabetically-first of the 47 r08-latest greens.  The remaining 40
+corpus rewrite), pii_redact (self-planting PII scrub), encoding_repair
+(mojibake repair), and (c) the 6
+alphabetically-first of the 47 r08-latest greens.  The remaining 41
 r08 rows are deferred to round 12 (named in registry.py — rotate them
 in FIRST next round).  The two approx sketches are excluded permanently
 — they can never hash-match DuckDB's sketches and would burn slots on
@@ -56,6 +57,8 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R11 = {
     "dedup_span_clip",
     # NEW: self-planting PII scrub (emails / phones / IPv4)
     "pii_redact",
+    # NEW: ftfy-core mojibake detection + repair (self-planting)
+    "encoding_repair",
 }
 
 #: r07-green rows deferred by round 10 — the debt this window pays FIRST
@@ -96,6 +99,7 @@ DEFERRED_FROM_R10 = [
 #: r08-latest rows deferred to round 12 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R12 = {
+    "date_arithmetic",
     "dedup_clusters",
     "dedup_exact",
     "dedup_exact_normalized",

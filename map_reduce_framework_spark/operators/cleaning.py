@@ -1,7 +1,7 @@
 """Corpus-cleaning operators for training-data pipelines over ``documents``.
 
-Two standard pre-training cleanup passes the reference lacks entirely (its
-only text operator is substring containment, Search.cpp:217-227); both are
+Standard pre-training cleanup passes the reference lacks entirely (its
+only text operator is substring containment, Search.cpp:217-227); all are
 mandated-extension material:
 
 - :func:`dedup_passage` — passage-level (fixed token-window) corpus
@@ -12,6 +12,12 @@ mandated-extension material:
 - :func:`blocklist_redact` — wordlist-based redaction (the C4 "bad words"
   filter shape): count and replace blocklisted terms, emitting per-document
   hit counts plus the redacted text.
+- :func:`pii_redact` — the ROOTS/Dolma PII scrub (emails, phone numbers,
+  IPv4), self-planting deterministic instances so the oracle row is a real
+  behavioral check.
+- :func:`encoding_repair` — ftfy-core mojibake repair (UTF-8 decoded as
+  Latin-1 once), literal chained replaces from one shared table.
+- :func:`clean_corpus` — the composed capstone pipeline.
 
 Scale posture (100 TB): ``dedup_passage`` is built entirely from
 partial-aggregatable groupBys — no window over ``partitionBy(passage)``,

@@ -221,13 +221,12 @@ def main() -> int:
         "load_1m_start": load_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
     }
-    # The driver's stdout capture is byte-bounded: rounds 9 and 10 both
-    # lost the FRONT of the (single, ~4 KB, default-separator) JSON line
-    # and recorded `parsed: null`.  Defense in depth: (1) the final line
-    # is the ONLY stdout this function emits and uses compact separators
-    # (~35% shorter); (2) the complete record is also written to
-    # BENCH_LOCAL.json next to this script so a full copy always exists
-    # even if the capture window still clips stdout.
+    # The driver's stdout capture keeps only the LAST ~2 KB: rounds
+    # 9-11 all lost the FRONT of the single full-map JSON line and
+    # recorded `parsed: null`.  So the stdout record must FIT the
+    # window: the final line carries totals + config + only the 5
+    # slowest queries (~0.5 KB), while the complete per-query map goes
+    # to BENCH_LOCAL.json next to this script.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -238,7 +237,16 @@ def main() -> int:
             f.write("\n")
     except OSError as e:  # never let the file copy kill the stdout record
         print(f"BENCH_LOCAL.json write failed: {e}", file=sys.stderr)
-    print(json.dumps(record, separators=(",", ":")))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    stdout_record = {
+        **{k: v for k, v in record.items() if k != "queries"},
+        "n_queries": len(timings),
+        "queries": slowest,
+        "full_record": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(stdout_record, separators=(",", ":")))
     return 0
 
 

@@ -283,9 +283,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts derive from the MASK LITERALS in the redacted text (length
     # arithmetic, no regex) instead of a second regexp pass per pattern:
     # 3 regex scans per doc instead of 6 — measured 1.6× on the
-    # scan-bound profile (11.0→6.7 s sf1, 148→94 s sf10).  Exact whenever the input does not already contain the
-    # mask tokens themselves (true by construction here; an input that
-    # does would inflate the count, not corrupt the rewrite).
+    # scan-bound profile (11.0→6.7 s sf1, 148→94 s sf10).  Exact
+    # whenever the input does not already contain the mask tokens
+    # themselves (true by construction here; an ARBITRARY corpus that
+    # organically carries '<EMAIL>'-style tokens would inflate the
+    # count, not corrupt the rewrite — if this operator is ever pointed
+    # at real corpora, escape pre-existing mask tokens before the
+    # redaction chain or fall back to the 6-regex counting plan).
     def mask_count(col, token):
         return (
             (F.length(col) - F.length(F.replace(col, F.lit(token))))

@@ -2612,17 +2612,22 @@ def dedup_span_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op here), so the rewrite is ONE doc-count-sized join plus a
     # zero-shuffle higher-order filter on the split array — no explode,
     # no anti-join, no collect of word structs
+    # the join column is bound to a DISTINCT intermediate name so the
+    # final projection cannot confuse it with the coalesced output
+    # column it aliases to "n_clipped" (round-11 advice: resolving the
+    # F.when against the pre-coalesce join column by the SAME name was
+    # correct but fragile under refactor)
     iv = isl.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("iv"),
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_clipped"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("clip_total"),
     )
     return (
         docs.join(iv, "doc_id", "left")
         .select(
             "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_words"),
-            F.coalesce("n_clipped", F.lit(0)).cast("long").alias("n_clipped"),
-            F.when(F.col("n_clipped").isNull(), F.col("text"))
+            F.coalesce("clip_total", F.lit(0)).cast("long").alias("n_clipped"),
+            F.when(F.col("clip_total").isNull(), F.col("text"))
             # drop words whose position falls in any clipped interval;
             # a fully-clipped doc filters to [] → empty rewrite
             .otherwise(

@@ -1267,6 +1267,32 @@ CONTAM_EMB_BENCH = 8
 CONTAM_EMB_COS = 0.5
 
 
+def _seq_unit(vec) -> "np.ndarray":
+    """L2-normalize with STRICT left-to-right float64 accumulation —
+    the exact op order of :func:`~.dedup.unit_vector_col` and DuckDB's
+    ``list_sum``, so the result is bit-identical to both engines."""
+    acc = 0.0
+    xs = [float(x) for x in vec]
+    for x in xs:
+        acc += x * x
+    nrm = acc ** 0.5
+    return np.array([x / nrm for x in xs], dtype=np.float64)
+
+
+def _seq_c6i(raw_vec: "np.ndarray", unit_other: "np.ndarray") -> int:
+    """Exact engine-order ``floor(cos·1e6 + 0.5)`` for one pair:
+    sequential norm of the raw vector, sequential dot of the two unit
+    vectors — the boundary-rescue twin of the GEMM fast path in
+    :func:`contamination_embedding`."""
+    import math
+
+    u = _seq_unit(raw_vec)
+    acc = 0.0
+    for a, b in zip(u, unit_other):
+        acc += a * b
+    return math.floor(acc * 1e6 + 0.5)
+
+
 def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING-axis benchmark-contamination screen — the semantic
     complement of :func:`~.text.contamination_check` (n-gram axis),
@@ -1277,37 +1303,76 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every corpus vector reports its nearest benchmark vector and
     cosine, with a ``contaminated`` flag at :data:`CONTAM_EMB_COS`.
 
-    Scale: the benchmark is tiny next to a 100 TB corpus, so it
-    BROADCASTS and the screen is one corpus scan with K JVM-side dot
-    products per vector and a packed-integer partial-agg argmax —
-    combiner reduces each vector's K candidate rows map-side, so the
-    exchange carries one row per corpus vector and there is no
-    benchmark-side shuffle at any corpus size.  (argmax key =
-    ``(cos6_int + 1e6)·1024 + (K − bench_id)`` — pure int64, ties to
-    the LOWEST bench id, identical in both engines; no float compare
-    ever decides the winner.)
+    Scale: the benchmark is tiny next to a 100 TB corpus, so it ships
+    in the task closure and the screen is ONE ``mapInPandas`` pass:
+    each Arrow batch normalizes its corpus rows and runs a single BLAS
+    GEMM against the K×dim benchmark matrix, then the packed-int64
+    argmax reduces each row's K candidates INSIDE the kernel — one
+    output row per corpus vector, zero exchanges before the
+    presentation sort, no benchmark-side shuffle at any corpus size.
+    (argmax key = ``(cos6_int + 1e6)·1024 + (K − bench_id)`` — pure
+    int64, ties to the LOWEST bench id, identical in both engines; no
+    float compare ever decides the winner.)
+
+    The round-11 plan computed the same key through a broadcast
+    crossJoin and a JVM higher-order ``aggregate`` dot — correct, but
+    it allocated K boxed array pairs per corpus row and measured a
+    GC-bound 32× wall at a 10× corpus step (1.7 s @ 200k → 55 s @ 2M
+    vectors, BASELINE.md round-11 probes); the GEMM kernel does the
+    identical arithmetic in one vectorized multiply.
+
+    Cross-engine exactness: the oracle (and the old JVM path) sums
+    LEFT-TO-RIGHT in float64, while a GEMM may sum pairwise — the two
+    can differ by ≲1e-8 after the 1e6 scaling, which only matters
+    within 1e-6 of a ``floor`` boundary.  Any (row, bench) pair whose
+    GEMM value lands inside that guard band is recomputed with the
+    exact sequential order (norms and dot), so the emitted integer is
+    bit-identical to the oracle's on every input, not just with high
+    probability.
 
     No counterpart in the reference (SURVEY §2.4 extension; the
     training-data-pipeline family).
     """
+    K = CONTAM_EMB_BENCH
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    corpus = emb.where(F.col("vec_id") >= CONTAM_EMB_BENCH).select(
-        "vec_id", unit_vector_col("embedding").alias("vc")
+    corpus = emb.where(F.col("vec_id") >= K).select("vec_id", "embedding")
+    bench_rows = sorted(
+        emb.where(F.col("vec_id") < K)
+        .select("vec_id", "embedding")
+        .collect(),  # bounded: < K rows by construction
+        key=lambda r: r.vec_id,
     )
-    bench = emb.where(F.col("vec_id") < CONTAM_EMB_BENCH).select(
-        F.col("vec_id").alias("bench_id"),
-        unit_vector_col("embedding").alias("vb"),
-    )
-    c6i = F.floor(dot_col("vc", "vb") * 1e6 + F.lit(0.5)).cast("long")
-    key = (c6i + F.lit(1_000_000)) * 1024 + (
-        F.lit(CONTAM_EMB_BENCH) - F.col("bench_id")
-    )
-    best = (
-        corpus.crossJoin(F.broadcast(bench))
-        .select("vec_id", key.alias("k"))
-        .groupBy("vec_id")
-        .agg(F.max("k").alias("k"))
-    )
+    if not bench_rows:
+        best = corpus.select(
+            F.col("vec_id"), F.lit(None).cast("long").alias("k")
+        ).where(F.lit(False))
+    else:
+        bench_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
+        bench_units = np.stack(
+            [_seq_unit(r.embedding) for r in bench_rows]
+        )  # exact left-to-right norms: matches unit_vector_col bitwise
+
+        def nearest_batches(batches):
+            import pandas as pd
+
+            bt = bench_units.T
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+                x = u @ bt * 1e6 + 0.5
+                c6i = np.floor(x).astype(np.int64)
+                frac = x - np.floor(x)
+                for i, j in zip(*np.nonzero((frac < 1e-6) | (frac > 1 - 1e-6))):
+                    c6i[i, j] = _seq_c6i(v[i], bench_units[j])
+                key = (c6i + 1_000_000) * 1024 + (K - bench_ids[None, :])
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "k": key.max(axis=1)}
+                )
+
+        best = corpus.mapInPandas(nearest_batches, "vec_id long, k long")
     c6 = (F.expr("k div 1024") - 1_000_000) / F.lit(1e6)
     return best.select(
         "vec_id",

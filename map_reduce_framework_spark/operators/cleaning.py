@@ -16,7 +16,9 @@ mandated-extension material:
   IPv4), self-planting deterministic instances so the oracle row is a real
   behavioral check.
 - :func:`encoding_repair` — ftfy-core mojibake repair (UTF-8 decoded as
-  Latin-1 once), literal chained replaces from one shared table.
+  cp1252/Windows-1252 once — artifacts like â€™ need cp1252's 0x80–0x9F
+  page, which Latin-1 maps to control chars), literal chained replaces
+  from the generated full round-trip table.
 - :func:`clean_corpus` — the composed capstone pipeline.
 
 Scale posture (100 TB): ``dedup_passage`` is built entirely from
@@ -309,43 +311,60 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: mojibake repair table — the most common UTF-8-read-as-Latin-1/cp1252
-#: artifacts (the core cases of the public ftfy fixer), repaired by
-#: LITERAL chained replaces in this exact order (multi-char artifacts
-#: first so no entry is a prefix of a later one's match).  Literal
+def _build_mojibake_table() -> tuple:
+    """The FULL cp1252 (Windows-1252) mojibake round-trip table,
+    generated — not hand-listed: for every byte 0x80–0xFF that cp1252
+    defines, the artifact is what that character's UTF-8 bytes look
+    like when mis-decoded as cp1252 once (``c.encode('utf-8')
+    .decode('cp1252')``), and the fix is the character itself.  This is
+    the exact artifact set a strict single-pass cp1252 mis-decode can
+    produce — the core case of the public ftfy fixer.
+
+    Skipped, provably-impossible entries: cp1252 leaves 5 bytes
+    undefined (0x81 0x8D 0x8F 0x90 0x9D), so (a) those bytes have no
+    character to repair to, and (b) the 6 characters whose UTF-8
+    encoding CONTAINS one of those bytes (” Á Í Ï Ð Ý) can never
+    round-trip through a strict cp1252 decode in the first place —
+    text carrying their artifacts would have raised at decode time.
+    117 entries survive.
+
+    Ordering contract: longest artifact first (3-char UTF-8 trails
+    before 2-char), fix-codepoint within a length — so no earlier
+    entry's replace can consume the front of a later entry's match.
+    Stronger, tested invariant: no artifact is a SUBSTRING of any
+    other (3-char artifacts all lead with ``â`` = 0xE2's cp1252 char,
+    which is never a continuation char; continuation chars are never
+    lead chars).
+    """
+    entries = []
+    for b in range(0x80, 0x100):
+        try:
+            c = bytes([b]).decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # cp1252-undefined byte
+        try:
+            art = c.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # UTF-8 bytes hit a cp1252 hole — unreachable artifact
+        entries.append((art, c))
+    entries.sort(key=lambda e: (-len(e[0]), e[1]))
+    return tuple(entries)
+
+
+#: mojibake repair table — every UTF-8-read-as-cp1252 artifact (the
+#: generated full round-trip page, see :func:`_build_mojibake_table`),
+#: repaired by LITERAL chained replaces in table order.  Literal
 #: replace, not regex: byte-identical semantics in Spark and DuckDB
 #: with no dialect surface at all.
-MOJIBAKE_TABLE = (
-    ("â€™", "'"),  # â€™  → right single quote (as ASCII ')
-    ("â€œ", '"'),  # â€œ  → left double quote (as ASCII ")
-    ("Ã©", "é"),  # Ã©  → é
-    ("Ã¼", "ü"),  # Ã¼  → ü
-    ("Ã±", "ñ"),  # Ã±  → ñ
-    ("Â ", " "),  # Â + space → space (NBSP mojibake)
-)
+MOJIBAKE_TABLE = _build_mojibake_table()
 
 
-def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mojibake detection + repair over ``documents`` — the
-    encoding-fix pass of public corpus pipelines (ftfy's core table:
-    UTF-8 text that was decoded as Latin-1/cp1252 once, leaving
-    artifacts like ``Ã©`` for ``é`` and ``â€™`` for ``'``).
-
-    Like :func:`pii_redact`, the synthetic corpus is clean, so the
-    operator SELF-PLANTS deterministic artifacts on doc_id-keyed arms —
-    both engines replay the plant exactly, making the oracle row a real
-    repair check.  Counting is pure length arithmetic
-    (``(len(t) - len(replace(t, a, ''))) / len(a)``) and repair is the
-    chained literal replace of :data:`MOJIBAKE_TABLE` in table order —
-    no regex anywhere, so there is no cross-engine dialect surface.
-
-    Scale: narrow codegen'd projection, scan-bound, zero shuffles
-    before the presentation sort (same posture as the other redaction
-    passes).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _moji_plant(docs: DataFrame) -> DataFrame:
+    """Self-plant deterministic cp1252 artifacts on doc_id-keyed arms
+    (the synthetic corpus is clean): é / ’ / ñ € ü — all real entries
+    of the generated round-trip table."""
     did = F.col("doc_id")
-    planted = docs.withColumn(
+    return docs.withColumn(
         "pt",
         F.when(
             did % 4 == 0, F.concat(F.col("text"), F.lit(" cafÃ© menu"))
@@ -358,26 +377,81 @@ def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             did % 4 == 2,
             F.concat(
                 F.col("text"),
-                F.lit(" seÃ±or Ã¼ber Â here"),
+                F.lit(" seÃ±or paid â‚¬5 for Ã¼ber"),
             ),
         )
         .otherwise(F.col("text")),
     )
-    n_moji = None
-    repaired = F.col("pt")
+
+
+def encoding_repair_docs(docs: DataFrame) -> DataFrame:
+    """The mojibake detect+repair projection over any docs DataFrame
+    with a ``pt`` column — shared by the batch query and the streaming
+    twin (map-only: works identically under Structured Streaming).
+
+    Repair = the chained literal replaces of :data:`MOJIBAKE_TABLE` in
+    table order, staged as two checkpointed columns (all 3-char
+    artifacts, then all 2-char).  Counting is length arithmetic on the
+    STAGE CHECKPOINTS: a 3-char artifact repair drops exactly 2 chars
+    and a 2-char repair drops 1, so
+
+    ``n_mojibake = (len(pt) − len(t3)) / 2 + (len(t3) − len(rt))``
+
+    counts the replace operations ACTUALLY PERFORMED at each stage —
+    per the round-11 advice, counts can no longer diverge from the
+    chained repair when one replacement abuts or synthesizes a later
+    entry's match (the count moves with it, by construction).
+    """
+    chain3 = F.col("pt")
     for art, fix in MOJIBAKE_TABLE:
-        cnt = (
-            (F.length("pt") - F.length(F.replace(F.col("pt"), F.lit(art))))
-            / F.lit(len(art))
-        ).cast("long")
-        n_moji = cnt if n_moji is None else n_moji + cnt
-        repaired = F.replace(repaired, F.lit(art), F.lit(fix))
-    return planted.select(
-        "doc_id",
-        n_moji.cast("long").alias("n_mojibake"),
-        repaired.alias("repaired_text"),
-        (n_moji == 0).alias("was_clean"),
-    ).orderBy("doc_id")
+        if len(art) == 3:
+            chain3 = F.replace(chain3, F.lit(art), F.lit(fix))
+    chain2 = F.col("t3")
+    for art, fix in MOJIBAKE_TABLE:
+        if len(art) == 2:
+            chain2 = F.replace(chain2, F.lit(art), F.lit(fix))
+    n_moji = (
+        (F.length("pt") - F.length("t3")) / 2 + (F.length("t3") - F.length("rt"))
+    ).cast("long")
+    return (
+        docs.withColumn("t3", chain3)
+        .withColumn("rt", chain2)
+        .select(
+            "doc_id",
+            n_moji.alias("n_mojibake"),
+            F.col("rt").alias("repaired_text"),
+            (n_moji == 0).alias("was_clean"),
+        )
+    )
+
+
+def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair over ``documents`` — the
+    encoding-fix pass of public corpus pipelines (ftfy's core case:
+    UTF-8 text that was decoded as cp1252/Windows-1252 once, leaving
+    artifacts like ``Ã©`` for ``é`` and ``â€™`` for ``’``), with the
+    FULL generated 117-entry round-trip table
+    (:func:`_build_mojibake_table`), not a hand-picked sample.
+
+    Like :func:`pii_redact`, the synthetic corpus is clean, so the
+    operator SELF-PLANTS deterministic artifacts on doc_id-keyed arms —
+    both engines replay the plant exactly, making the oracle row a real
+    repair check.  Repair is chained literal replaces and counting is
+    per-stage length arithmetic (:func:`encoding_repair_docs`) — no
+    regex anywhere, so there is no cross-engine dialect surface.
+
+    Known limit (shared with ftfy itself): the table repairs ONE layer
+    of mis-decoding per pass; doubly-encoded text needs a second pass,
+    and on adversarial input a performed replace can expose or abut a
+    later entry's match — the counts follow the replaces performed,
+    which is the honest semantic.
+
+    Scale: narrow codegen'd projection, scan-bound, zero shuffles
+    before the presentation sort (same posture as the other redaction
+    passes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding_repair_docs(_moji_plant(docs)).orderBy("doc_id")
 
 
 # shared SQL fragments for the clean_corpus capstone oracle — single
@@ -474,16 +548,21 @@ ORACLES = {
     """,
 }
 
-# generated from MOJIBAKE_TABLE — single source of truth with the engine
-_MOJI_COUNT_SQL = " + ".join(
-    f"CAST((length(pt) - length(replace(pt, '{a}', ''))) / {len(a)}"
-    " AS BIGINT)"
-    for a, _ in MOJIBAKE_TABLE
+# generated from MOJIBAKE_TABLE — single source of truth with the
+# engine: same two-stage chain (3-char entries, then 2-char), same
+# checkpoint length arithmetic, each stage bound ONCE in its own CTE
+def _moji_chain_sql(base: str, length: int) -> str:
+    out = base
+    for _a, _f in MOJIBAKE_TABLE:
+        if len(_a) == length:
+            _fq = _f.replace("'", "''")
+            out = f"replace({out}, '{_a}', '{_fq}')"
+    return out
+
+
+_MOJI_COUNT_SQL = (
+    "((length(pt) - length(t3)) // 2 + (length(t3) - length(rt)))"
 )
-_MOJI_REPAIR_SQL = "pt"
-for _a, _f in MOJIBAKE_TABLE:
-    _fq = _f.replace("'", "''")
-    _MOJI_REPAIR_SQL = f"replace({_MOJI_REPAIR_SQL}, '{_a}', '{_fq}')"
 
 ORACLES["encoding_repair"] = f"""
     WITH pl AS (
@@ -492,15 +571,17 @@ ORACLES["encoding_repair"] = f"""
                  WHEN doc_id % 4 = 0 THEN concat(text, ' cafÃ© menu')
                  WHEN doc_id % 4 = 1 THEN concat(text, ' donâ€™t stop')
                  WHEN doc_id % 4 = 2 THEN concat(text,
-                                                 ' seÃ±or Ã¼ber Â here')
+                                                 ' seÃ±or paid â‚¬5 for Ã¼ber')
                  ELSE text
                END AS pt
-        FROM documents)
+        FROM documents),
+    s3 AS (SELECT doc_id, pt, {_moji_chain_sql("pt", 3)} AS t3 FROM pl),
+    s2 AS (SELECT doc_id, pt, t3, {_moji_chain_sql("t3", 2)} AS rt FROM s3)
     SELECT doc_id,
-           {_MOJI_COUNT_SQL} AS n_mojibake,
-           {_MOJI_REPAIR_SQL} AS repaired_text,
+           CAST({_MOJI_COUNT_SQL} AS BIGINT) AS n_mojibake,
+           rt AS repaired_text,
            ({_MOJI_COUNT_SQL}) = 0 AS was_clean
-    FROM pl
+    FROM s2
     ORDER BY doc_id
 """
 

@@ -89,21 +89,50 @@ def test_pii_redact_matches_oracle(spark, duck):
 
 
 def test_encoding_repair_fixes_planted_mojibake(spark, passage_dir):
-    """Each doc_id % 4 arm plants known UTF-8-as-Latin-1 artifacts; the
+    """Each doc_id % 4 arm plants known UTF-8-as-cp1252 artifacts; the
     repair must produce the intended text and count every artifact."""
     rows = {r["doc_id"]: r for r in cleaning.encoding_repair(spark, passage_dir).collect()}
     # doc 0: cafÃ© → café (1 artifact)
     assert rows[0]["n_mojibake"] == 1 and not rows[0]["was_clean"]
     assert rows[0]["repaired_text"] == f"{DOC_A} café menu"
-    # doc 1: donâ€™t → don't
+    # doc 1: donâ€™t → don’t (round-trip fix is the REAL right quote)
     assert rows[1]["n_mojibake"] == 1
-    assert rows[1]["repaired_text"] == f"{DOC_A} don't stop"
-    # doc 2: seÃ±or Ã¼ber Â here → señor über  here (3 artifacts)
+    assert rows[1]["repaired_text"] == f"{DOC_A} don’t stop"
+    # doc 2: seÃ±or paid â‚¬5 for Ã¼ber → señor paid €5 for über (3)
     assert rows[2]["n_mojibake"] == 3
-    assert rows[2]["repaired_text"] == f"{DOC_C} señor über  here"
+    assert rows[2]["repaired_text"] == f"{DOC_C} señor paid €5 for über"
     # doc 3: no plant arm — clean and untouched
     assert rows[3]["n_mojibake"] == 0 and rows[3]["was_clean"]
     assert rows[3]["repaired_text"] == "slow dup words big slow"
+
+
+def test_mojibake_table_full_cp1252_and_prefix_safe():
+    """The generated table must (a) cover every strict-cp1252-reachable
+    artifact exactly once (117 = 251 defined bytes − ASCII − the 6
+    chars whose UTF-8 hits a cp1252 hole), (b) round-trip by
+    construction, (c) be substring-free (no artifact occurs inside
+    another — so chained replaces can never eat part of a later match),
+    and (d) be ordered longest-first."""
+    tbl = cleaning.MOJIBAKE_TABLE
+    assert len(tbl) == 117
+    arts = [a for a, _ in tbl]
+    assert len(set(arts)) == 117
+    for a, f in tbl:
+        assert len(f) == 1
+        # round trip: the artifact really is the char's UTF-8 bytes
+        # mis-decoded as cp1252
+        assert f.encode("utf-8").decode("cp1252") == a
+    for i, a in enumerate(arts):
+        for j, b in enumerate(arts):
+            if i != j:
+                assert a not in b, (a, b)
+    lens = [len(a) for a in arts]
+    assert lens == sorted(lens, reverse=True)
+    # the provably-unreachable chars are absent (their UTF-8 contains a
+    # cp1252-undefined byte)
+    fixes = {f for _, f in tbl}
+    for impossible in "”ÁÍÏÐÝ":
+        assert impossible not in fixes
 
 
 def test_encoding_repair_matches_oracle(spark, duck):

@@ -888,6 +888,75 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 KN_DISCOUNT = 0.75
 
 
+def _kn_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tk) — the non-empty space tokens, shared KN tokenizer."""
+    return docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("tk"),
+    )
+
+
+def _kn_tri_inst(tk: DataFrame) -> DataFrame:
+    """Per-document trigram INSTANCES (doc_id, u, v, w)."""
+    return tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """CASE WHEN size(tk) >= 3 THEN
+                       transform(sequence(0, size(tk) - 3),
+                           i -> struct(tk[i] AS u, tk[i+1] AS v,
+                                       tk[i+2] AS w))
+                   ELSE CAST(array() AS
+                             array<struct<u: string, v: string,
+                                          w: string>>) END"""
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.u", "g.v", "g.w")
+
+
+def _kn_model(tk: DataFrame, tri_inst: DataFrame):
+    """The interpolated-KN TYPE tables over a training token stream:
+    ``(c3, ctx, sfx, mid, lam, r1, nbt)`` — trigram counts, context
+    totals/type-counts, continuation counts, and the bigram-type
+    normalizer.  The corpus collapses to these immediately; everything
+    downstream joins types-to-types (see :func:`kn_perplexity`)."""
+    big_types = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(tk) >= 2 THEN
+                           transform(sequence(0, size(tk) - 2),
+                               i -> struct(tk[i] AS a, tk[i+1] AS b))
+                       ELSE CAST(array() AS
+                                 array<struct<a: string, b: string>>)
+                       END"""
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+        .distinct()
+    )
+    c3 = tri_inst.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("cuv"),  # c(uv·): trigram tokens with ctx uv
+        F.count(F.lit(1)).alias("n1uv"),  # N₁₊(uv·): distinct w after uv
+    )
+    sfx = c3.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("n1vw")  # N₁₊(·vw): distinct u before vw
+    )
+    mid = c3.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n1vdot")  # N₁₊(·v·): tri types, middle v
+    )
+    lam = sfx.groupBy("v").agg(
+        F.count(F.lit(1)).alias("lam2")  # N₁₊(v·): distinct w with ·vw
+    )
+    r1 = big_types.groupBy(F.col("b").alias("w")).agg(
+        F.count(F.lit(1)).alias("r1w")  # N₁₊(·w): bigram types ending w
+    )
+    nbt = big_types.agg(F.count(F.lit(1)).alias("nbt"))  # N₁₊(··)
+    return c3, ctx, sfx, mid, lam, r1, nbt
+
+
 def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under an INTERPOLATED KNESER–NEY trigram
     LM trained on the corpus itself — the standard n-gram quality
@@ -919,59 +988,9 @@ def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     D = KN_DISCOUNT
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tk = docs.select(
-        "doc_id",
-        F.expr("filter(split(text, ' '), x -> x != '')").alias("tk"),
-    )
-    tri_inst = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                """CASE WHEN size(tk) >= 3 THEN
-                       transform(sequence(0, size(tk) - 3),
-                           i -> struct(tk[i] AS u, tk[i+1] AS v,
-                                       tk[i+2] AS w))
-                   ELSE CAST(array() AS
-                             array<struct<u: string, v: string,
-                                          w: string>>) END"""
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.u", "g.v", "g.w")
-    big_types = (
-        tk.select(
-            F.explode(
-                F.expr(
-                    """CASE WHEN size(tk) >= 2 THEN
-                           transform(sequence(0, size(tk) - 2),
-                               i -> struct(tk[i] AS a, tk[i+1] AS b))
-                       ELSE CAST(array() AS
-                                 array<struct<a: string, b: string>>)
-                       END"""
-                )
-            ).alias("g")
-        )
-        .select("g.a", "g.b")
-        .distinct()
-    )
-
-    c3 = tri_inst.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
-    ctx = c3.groupBy("u", "v").agg(
-        F.sum("c3").alias("cuv"),  # c(uv·): trigram tokens with ctx uv
-        F.count(F.lit(1)).alias("n1uv"),  # N₁₊(uv·): distinct w after uv
-    )
-    sfx = c3.groupBy("v", "w").agg(
-        F.count(F.lit(1)).alias("n1vw")  # N₁₊(·vw): distinct u before vw
-    )
-    mid = c3.groupBy("v").agg(
-        F.count(F.lit(1)).alias("n1vdot")  # N₁₊(·v·): tri types, middle v
-    )
-    lam = sfx.groupBy("v").agg(
-        F.count(F.lit(1)).alias("lam2")  # N₁₊(v·): distinct w with ·vw
-    )
-    r1 = big_types.groupBy(F.col("b").alias("w")).agg(
-        F.count(F.lit(1)).alias("r1w")  # N₁₊(·w): bigram types ending w
-    )
-    nbt = big_types.agg(F.count(F.lit(1)).alias("nbt"))  # N₁₊(··)
+    tk = _kn_tokens(docs)
+    tri_inst = _kn_tri_inst(tk)
+    c3, ctx, sfx, mid, lam, r1, nbt = _kn_model(tk, tri_inst)
 
     p1 = F.col("r1w").cast("double") / F.col("nbt").cast("double")
     p2 = F.greatest(
@@ -999,6 +1018,118 @@ def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
+            rnd(ce, 4).alias("ce_bits"),
+            rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: held-out split: docs whose 60-bit doc_id hash ≡ 0 (mod 5) are SCORED,
+#: the rest train the model — the CCNet regime (incoming data is never
+#: the training corpus)
+KN_HELDOUT_MOD = 5
+#: OOV floor: the probability assigned to a continuation word the model
+#: has never seen as a bigram type end.  2⁻²⁰ is exactly representable,
+#: far below any seen-word continuation probability at the shipped SFs,
+#: and keeps log₂ finite.
+KN_OOV_EPS = 2.0**-20
+
+
+def kn_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser–Ney scoring — the regime CCNet actually runs:
+    the trigram LM trains on one split and scores documents it has
+    NEVER seen, so unseen events are possible at every order and the
+    smoothing recursion needs explicit backoff instead of
+    :func:`kn_perplexity`'s self-scoring nonzero-denominator guarantee.
+
+    Split: the 60-bit md5 of ``doc_id`` (the repo's shared hash, so
+    the oracle splits identically) ≡ 0 mod :data:`KN_HELDOUT_MOD`
+    selects the scored split (~20%); the rest train the model.
+
+    Backoff ladder (standard interpolated-KN with escape-to-lower-order
+    on unseen contexts, Chen & Goodman 1998 §4; OOV floor at the
+    bottom):
+
+    - context (u,v) seen → full trigram interpolation with the unseen-
+      trigram numerator clamped (``max(0−D, 0) = 0`` keeps exactly the
+      reserved mass λ(uv)·P₂);
+    - (u,v) unseen → ``P₃ = P₂``; middle word v unseen → ``P₂ = P₁``;
+    - w never a continuation type → ``P₁ = KN_OOV_EPS``.
+
+    For every trained context, Σ over the TRAINING vocabulary of the
+    backed-off P is still 1 (the same property the self-scoring tests
+    pin); OOV words sit outside that sum at the ε floor.
+
+    Scale shape: identical to :func:`kn_perplexity` — the training
+    corpus collapses to type tables in one partial-agg pass each, the
+    held-out split's trigram TYPES left-join the (vocab-sized,
+    AQE/broadcast-able) model tables, and instance rows are touched
+    only by the final per-doc average.
+
+    Output adds ``n_oov`` (trigram instances whose continuation word is
+    out-of-vocabulary) to the ``kn_perplexity`` shape.
+    """
+    from .dedup import hash60
+
+    D = KN_DISCOUNT
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    held_flag = hash60(F.col("doc_id").cast("string")) % KN_HELDOUT_MOD == 0
+    train_tk = _kn_tokens(docs.where(~held_flag))
+    held_tk = _kn_tokens(docs.where(held_flag))
+    c3, ctx, sfx, mid, lam, r1, nbt = _kn_model(
+        train_tk, _kn_tri_inst(train_tk)
+    )
+    held_inst = _kn_tri_inst(held_tk)
+    held_types = held_inst.select("u", "v", "w").distinct()
+
+    p1 = F.when(
+        F.col("r1w").isNotNull(),
+        F.col("r1w").cast("double") / F.col("nbt").cast("double"),
+    ).otherwise(F.lit(KN_OOV_EPS))
+    p2 = F.when(
+        F.col("n1vdot").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("n1vw"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / F.col("n1vdot").cast("double")
+        + F.lit(D)
+        * F.col("lam2").cast("double")
+        / F.col("n1vdot").cast("double")
+        * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("cuv").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / F.col("cuv").cast("double")
+        + F.lit(D)
+        * F.col("n1uv").cast("double")
+        / F.col("cuv").cast("double")
+        * p2,
+    ).otherwise(p2)
+    scored_types = (
+        held_types.join(c3, ["u", "v", "w"], "left")
+        .join(ctx, ["u", "v"], "left")
+        .join(sfx, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(lam, "v", "left")
+        .join(r1, "w", "left")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "u", "v", "w", p3.alias("p"), F.col("r1w").isNull().alias("oov")
+        )
+    )
+    scored = held_inst.join(scored_types, ["u", "v", "w"])
+    ce = -F.avg(F.log2("p"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.col("oov").cast("long")).alias("n_oov"),
             rnd(ce, 4).alias("ce_bits"),
             rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
         )
@@ -1874,6 +2005,82 @@ ORACLES["kn_perplexity"] = f"""
     FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
+# held-out KN: identical type-table arithmetic trained on the ~80%
+# split, LEFT joins + the CASE backoff ladder on the held split, OOV
+# floor at 2^-20 (exactly representable; same double literal both
+# engines).  Op order mirrors the Spark expressions term for term.
+_KN_HELD_PRED = (
+    f"{_hash60_sql('CAST(doc_id AS VARCHAR)')} % {KN_HELDOUT_MOD} = 0"
+)
+_KN_P1 = (
+    "CASE WHEN r1w IS NOT NULL THEN r1w::DOUBLE / nbt.nbt::DOUBLE"
+    f" ELSE {KN_OOV_EPS!r} END"
+)
+_KN_P2 = f"""CASE WHEN n1vdot IS NOT NULL THEN
+        greatest(COALESCE(n1vw, 0)::DOUBLE - {KN_DISCOUNT}, 0.0)
+            / n1vdot::DOUBLE
+        + {KN_DISCOUNT} * lam2::DOUBLE / n1vdot::DOUBLE * ({_KN_P1})
+    ELSE ({_KN_P1}) END"""
+_KN_P3 = f"""CASE WHEN cuv IS NOT NULL THEN
+        greatest(COALESCE(c3, 0)::DOUBLE - {KN_DISCOUNT}, 0.0)
+            / cuv::DOUBLE
+        + {KN_DISCOUNT} * n1uv::DOUBLE / cuv::DOUBLE * ({_KN_P2})
+    ELSE ({_KN_P2}) END"""
+
+ORACLES["kn_perplexity_heldout"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+               {_KN_HELD_PRED} AS held
+        FROM documents),
+    tri_tr AS (
+        SELECT g.u AS u, g.v AS v, g.w AS w FROM (
+            SELECT unnest(list_transform(
+                       range(0, greatest(len(tk) - 2, 0)),
+                       i -> struct_pack(u := tk[i+1], v := tk[i+2],
+                                        w := tk[i+3]))) AS g
+            FROM d WHERE NOT held) q),
+    tri_h AS (
+        SELECT doc_id, g.u AS u, g.v AS v, g.w AS w FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(len(tk) - 2, 0)),
+                       i -> struct_pack(u := tk[i+1], v := tk[i+2],
+                                        w := tk[i+3]))) AS g
+            FROM d WHERE held) q),
+    big AS (
+        SELECT DISTINCT g.a AS a, g.b AS b FROM (
+            SELECT unnest(list_transform(
+                       range(0, greatest(len(tk) - 1, 0)),
+                       i -> struct_pack(a := tk[i+1],
+                                        b := tk[i+2]))) AS g
+            FROM d WHERE NOT held) q),
+    c3 AS (SELECT u, v, w, count(*) AS c3 FROM tri_tr GROUP BY u, v, w),
+    ctx AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS cuv,
+                   count(*) AS n1uv
+            FROM c3 GROUP BY u, v),
+    sfx AS (SELECT v, w, count(*) AS n1vw FROM c3 GROUP BY v, w),
+    mid AS (SELECT v, count(*) AS n1vdot FROM c3 GROUP BY v),
+    lam AS (SELECT v, count(*) AS lam2 FROM sfx GROUP BY v),
+    r1 AS (SELECT b AS w, count(*) AS r1w FROM big GROUP BY b),
+    nbt AS (SELECT count(*) AS nbt FROM big),
+    ht AS (SELECT DISTINCT u, v, w FROM tri_h),
+    st AS (
+        SELECT u, v, w, {_KN_P3} AS p, (r1w IS NULL) AS oov
+        FROM ht LEFT JOIN c3 USING (u, v, w) LEFT JOIN ctx USING (u, v)
+                LEFT JOIN sfx USING (v, w) LEFT JOIN mid USING (v)
+                LEFT JOIN lam USING (v) LEFT JOIN r1 USING (w)
+                CROSS JOIN nbt),
+    sc AS (
+        SELECT tri_h.doc_id, st.p, st.oov
+        FROM tri_h JOIN st USING (u, v, w))
+    SELECT doc_id, count(*) AS n_trigrams,
+           CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           {rnd_sql("-avg(log2(p))", 4)} AS ce_bits,
+           {rnd_sql("pow(2.0, -avg(log2(p)))", 4)} AS ppl
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
 ORACLES["bpe_pair_stats"] = f"""
     WITH toks AS (
         SELECT t.term, count(*) AS tc
@@ -2268,6 +2475,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "perplexity_proxy": perplexity_proxy,
     "kn_perplexity": kn_perplexity,
+    "kn_perplexity_heldout": kn_perplexity_heldout,
     "dsir_sample": dsir_sample,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train_merges": bpe_train_merges,

@@ -226,3 +226,178 @@ def test_kn_matches_oracle(spark, duck):
         ORACLES["kn_perplexity"],
         "kn_perplexity",
     )
+
+
+# --------------------------------------------------------------------------
+# held-out scoring (round 12): backoff + OOV floor
+# --------------------------------------------------------------------------
+
+
+def _held(doc_id: int) -> bool:
+    """The engine's split predicate, recomputed independently."""
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    from map_reduce_framework_spark.operators.text import KN_HELDOUT_MOD
+
+    return h % KN_HELDOUT_MOD == 0
+
+
+def _kn_model_py(train_docs: dict[int, str]):
+    D = KN_DISCOUNT
+    toks = {d: [t for t in s.split(" ") if t] for d, s in train_docs.items()}
+    tri = Counter()
+    big_types = set()
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            tri[(ts[i], ts[i + 1], ts[i + 2])] += 1
+        for i in range(len(ts) - 1):
+            big_types.add((ts[i], ts[i + 1]))
+    cuv, n1uv, n1vw, n1vdot = Counter(), Counter(), Counter(), Counter()
+    for (u, v, w), c in tri.items():
+        cuv[(u, v)] += c
+        n1uv[(u, v)] += 1
+        n1vw[(v, w)] += 1
+        n1vdot[v] += 1
+    lam2 = Counter()
+    for v, w in n1vw:
+        lam2[v] += 1
+    r1w = Counter()
+    for a, b in big_types:
+        r1w[b] += 1
+    nbt = len(big_types)
+
+    def p3(u, v, w):
+        from map_reduce_framework_spark.operators.text import KN_OOV_EPS
+
+        p1 = r1w[w] / nbt if w in r1w else KN_OOV_EPS
+        if v in n1vdot:
+            p2 = (
+                max(n1vw[(v, w)] - D, 0.0) / n1vdot[v]
+                + D * lam2[v] / n1vdot[v] * p1
+            )
+        else:
+            p2 = p1
+        if (u, v) in cuv:
+            return (
+                max(tri[(u, v, w)] - D, 0.0) / cuv[(u, v)]
+                + D * n1uv[(u, v)] / cuv[(u, v)] * p2
+            )
+        return p2
+
+    return p3, r1w, cuv, n1vdot, nbt
+
+
+def _py_kn_heldout(train_docs, held_docs):
+    """Independent reference for the backed-off held-out scorer:
+    {doc_id: (n_trigrams, n_oov, ce_bits, ppl)}."""
+    p3, r1w, _, _, _ = _kn_model_py(train_docs)
+    out = {}
+    for d, s in held_docs.items():
+        ts = [t for t in s.split(" ") if t]
+        grams = [(ts[i], ts[i + 1], ts[i + 2]) for i in range(len(ts) - 2)]
+        if not grams:
+            continue
+        ce = -sum(math.log2(p3(*g)) for g in grams) / len(grams)
+        n_oov = sum(1 for (_, _, w) in grams if w not in r1w)
+        out[d] = (len(grams), n_oov, ce, 2.0**ce)
+    return out
+
+
+def test_kn_heldout_matches_pure_python_with_oov(spark, tmp_path):
+    """A held-out doc carrying trigrams the training split never saw —
+    unseen trigram under a SEEN context, an unseen context, and a fully
+    out-of-vocabulary word — must score through every rung of the
+    backoff ladder and agree with the independent Python reference,
+    with n_oov counting exactly the OOV continuations."""
+    from map_reduce_framework_spark.operators.text import (
+        kn_perplexity_heldout,
+    )
+
+    base = {
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "a dog sat on the mat today",
+        "the dog ran to the mat",
+        "a cat ran to the hat",
+    }
+    # held doc: "the cat ran" = unseen trigram over seen words;
+    # "mat hat dog" = unseen contexts; "zzz" = OOV continuation
+    held_text = "the cat ran mat hat dog chased zzz quickly"
+    train_docs, held_docs, texts = {}, {}, iter(sorted(base))
+    held_planted = False
+    i = 0
+    while not held_planted or len(train_docs) < len(base):
+        if _held(i):
+            if not held_planted:
+                held_docs[i] = held_text
+                held_planted = True
+        elif len(train_docs) < len(base):
+            train_docs[i] = next(texts)
+        i += 1
+    docs = {**train_docs, **held_docs}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(s) for s in docs.values()],
+        }
+    )
+    sf = tmp_path / "sf_knh"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+
+    expect = _py_kn_heldout(train_docs, held_docs)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_oov"], r["ce_bits"], r["ppl"])
+        for r in kn_perplexity_heldout(spark, str(sf)).collect()
+    }
+    assert set(got) == set(expect)
+    (d,) = expect
+    assert expect[d][1] >= 1, "fixture must actually contain an OOV word"
+    gn, goov, gce, gppl = got[d]
+    n, n_oov, ce, ppl = expect[d]
+    assert (gn, goov) == (n, n_oov)
+    assert abs(gce - ce) <= 5e-5 + 1e-9
+    assert abs(gppl - ppl) <= 5e-5 + abs(ppl) * 1e-9
+
+
+def test_kn_heldout_backoff_sums_to_one_per_ladder_rung():
+    """The backed-off distribution stays proper over the TRAINING
+    vocabulary at every rung: Σ_w P(w|u,v) = 1 for a trained context,
+    for an untrained context with trained middle word (pure P₂), and
+    for an untrained middle word (pure continuation unigram)."""
+    train = {
+        0: "x y z x y w x y z",
+        1: "y z w y z x",
+        2: "z x y z x w",
+    }
+    p3, r1w, cuv, n1vdot, _ = _kn_model_py(train)
+    vocab = sorted({t for s in train.values() for t in s.split(" ")})
+    assert all(w in r1w for w in vocab)
+
+    some_trained_ctx = next(iter(sorted(cuv)))
+    assert abs(sum(p3(*some_trained_ctx, w) for w in vocab) - 1.0) <= 1e-9
+    # untrained context, trained middle word → P₂ rung
+    v = next(iter(sorted(n1vdot)))
+    assert ("QQQ", v) not in cuv
+    assert abs(sum(p3("QQQ", v, w) for w in vocab) - 1.0) <= 1e-9
+    # untrained middle word → continuation-unigram rung
+    assert "QQQ" not in n1vdot
+    assert abs(sum(p3("zz", "QQQ", w) for w in vocab) - 1.0) <= 1e-9
+
+
+def test_kn_heldout_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.text import (
+        kn_perplexity_heldout,
+    )
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        kn_perplexity_heldout,
+        ORACLES["kn_perplexity_heldout"],
+        "kn_perplexity_heldout",
+    )

@@ -197,6 +197,95 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the published pipeline shape
+    (Wenzek et al. 2020): language-ID every document, score it under
+    the Kneser–Ney LM, split each language's perplexity distribution
+    into HEAD / MIDDLE / TAIL terciles (lower perplexity = more
+    Wikipedia-like), and keep head+middle survivors of dedup.
+
+    Composition of the repo's standalone stages: :func:`~.text.lang_id`
+    prediction + :func:`~.text.kn_perplexity` scores +
+    :func:`~.graph.keeplist_unsorted` dedup verdicts.  Documents too
+    short to score (< 3 tokens) land in an explicit ``unscored`` bucket
+    and are never kept.
+
+    Tercile mechanics — VALUE-bucketed, not row-ranked: the corpus
+    collapses to per-``(pred_lang, ppl)`` counts (ppl is 4-dp rounded,
+    so this is a partial agg over a bounded value domain), the tercile
+    cut is decided per VALUE GROUP by integer arithmetic on the
+    cumulative count below it (``3·cum_before < n`` → head,
+    ``< 2n`` → middle), and the verdict joins back on (lang, ppl).
+    Every doc sharing a ppl value shares a bucket — deterministic in
+    both engines with no float boundary and no doc-level tiebreak.
+
+    Scale shape: the only window runs over the DISTINCT-(lang, ppl)
+    value table — bounded by value cardinality, not corpus size — so
+    the hot-language skew that a ``row_number() OVER (PARTITION BY
+    lang)`` would funnel into one task never materializes (same design
+    as :func:`~.text.global_rank_quality`); the corpus sees one
+    partial-agg groupBy and one (lang, ppl)-keyed join back, which AQE
+    broadcasts at real scale.  CCNet itself computes the cutoffs from a
+    sample for the same reason.
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline family).
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import persist_tracked
+    from .graph import keeplist_unsorted
+    from .text import _kn_doc_scores, _stopword_counts, pred_lang_expr
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    langs = _stopword_counts(docs).select(
+        "doc_id", pred_lang_expr().alias("pred_lang")
+    )
+    ppl = _kn_doc_scores(docs).select("doc_id", "ppl")
+    keep = keeplist_unsorted(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("kept_dedup")
+    )
+    base = persist_tracked(
+        langs.join(ppl, "doc_id", "left").join(keep, "doc_id")
+    )
+    vals = (
+        base.where(F.col("ppl").isNotNull())
+        .groupBy("pred_lang", "ppl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("pred_lang").orderBy("ppl")
+    wall = Window.partitionBy("pred_lang")
+    vb = vals.select(
+        "pred_lang",
+        "ppl",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    buckets = vb.select(
+        "pred_lang",
+        "ppl",
+        F.when(F.col("cum_before") * 3 < F.col("n"), "head")
+        .when(F.col("cum_before") * 3 < 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    bcol = F.coalesce(F.col("bucket"), F.lit("unscored"))
+    return (
+        base.join(buckets, ["pred_lang", "ppl"], "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "ppl",
+            bcol.alias("bucket"),
+            "kept_dedup",
+            (F.col("kept_dedup") & bcol.isin("head", "middle")).alias(
+                "kept_final"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def blocklist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist hit counting + redaction — narrow, codegen'd, scan-bound."""
     docs = load_table(spark, sf_dir, "documents")
@@ -458,7 +547,9 @@ def encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source of truth with each stage's own oracle
 from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
 from .dedup import _hash60_sql  # noqa: E402
+from ..functions import rnd_sql  # noqa: E402
 from .text import (  # noqa: E402
+    _KN_SELF_CTES,
     _LANG_SCORES,
     _PRED,
     MIXTURE_BASE_PERMILLE,
@@ -474,10 +565,9 @@ _KEPT_SAMPLE_SQL = (
     f" + {MIXTURE_BASE_PERMILLE}))"
 )
 
-ORACLES = {
-    "clean_corpus": f"""
-        WITH RECURSIVE
-        near AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+# the dedup-keeplist label chain as a shared CTE block (clean_corpus
+# and ccnet_buckets both compose it); callers must open WITH RECURSIVE
+_KEEPLIST_CTES = f"""near AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
         exact AS (
             SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS doc_a,
                    doc_id AS doc_b
@@ -495,7 +585,12 @@ ORACLES = {
             SELECT e.dst AS doc_id, r.label
             FROM reach r JOIN edges e ON e.src = r.doc_id),
         labels AS (SELECT doc_id, min(label) AS cl FROM reach
-                   GROUP BY doc_id),
+                   GROUP BY doc_id)"""
+
+ORACLES = {
+    "clean_corpus": f"""
+        WITH RECURSIVE
+        {_KEEPLIST_CTES},
         q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
         s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents),
         base AS (
@@ -585,6 +680,47 @@ ORACLES["encoding_repair"] = f"""
     ORDER BY doc_id
 """
 
+ORACLES["ccnet_buckets"] = f"""
+    WITH RECURSIVE
+    {_KN_SELF_CTES},
+    knppl AS (
+        SELECT doc_id, {rnd_sql("pow(2.0, -avg(log2(p)))", 4)} AS ppl
+        FROM knsc GROUP BY doc_id),
+    {_KEEPLIST_CTES},
+    s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM documents),
+    base AS (
+        SELECT dd.doc_id, {_PRED} AS pred_lang, knppl.ppl,
+               (coalesce(l.cl, dd.doc_id) = dd.doc_id) AS kept_dedup
+        FROM documents dd
+        JOIN s ON s.doc_id = dd.doc_id
+        LEFT JOIN knppl ON knppl.doc_id = dd.doc_id
+        LEFT JOIN labels l ON l.doc_id = dd.doc_id),
+    vals AS (
+        SELECT pred_lang, ppl, count(*) AS c FROM base
+        WHERE ppl IS NOT NULL GROUP BY pred_lang, ppl),
+    vb AS (
+        SELECT pred_lang, ppl,
+               sum(c) OVER (PARTITION BY pred_lang ORDER BY ppl) - c
+                   AS cum_before,
+               sum(c) OVER (PARTITION BY pred_lang) AS n
+        FROM vals),
+    bk AS (
+        SELECT pred_lang, ppl,
+               CASE WHEN cum_before * 3 < n THEN 'head'
+                    WHEN cum_before * 3 < 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM vb)
+    SELECT base.doc_id, base.pred_lang, base.ppl,
+           COALESCE(bk.bucket, 'unscored') AS bucket,
+           base.kept_dedup,
+           (base.kept_dedup
+            AND COALESCE(bk.bucket, 'unscored') IN ('head', 'middle'))
+               AS kept_final
+    FROM base LEFT JOIN bk
+         ON bk.pred_lang = base.pred_lang AND bk.ppl = base.ppl
+    ORDER BY doc_id
+"""
+
 ORACLES["pii_redact"] = f"""
     WITH pl AS (
         SELECT doc_id,
@@ -627,6 +763,7 @@ ORACLES["pii_redact"] = f"""
 
 QUERIES = {
     "clean_corpus": clean_corpus,
+    "ccnet_buckets": ccnet_buckets,
     "dedup_passage": dedup_passage,
     "blocklist_redact": blocklist_redact,
     "pii_redact": pii_redact,

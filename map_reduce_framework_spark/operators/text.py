@@ -986,8 +986,15 @@ def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per doc (≥3 tokens), trigram count, cross-entropy in bits
     (``-avg log₂ P``) and perplexity ``2^ce`` — 4-dp rounded.
     """
-    D = KN_DISCOUNT
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return _kn_doc_scores(docs).orderBy("doc_id")
+
+
+def _kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """:func:`kn_perplexity`'s per-doc frame WITHOUT the presentation
+    sort — for composition (``ccnet_buckets``), where a downstream join
+    would destroy the order anyway."""
+    D = KN_DISCOUNT
     tk = _kn_tokens(docs)
     tri_inst = _kn_tri_inst(tk)
     c3, ctx, sfx, mid, lam, r1, nbt = _kn_model(tk, tri_inst)
@@ -1014,14 +1021,10 @@ def kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = tri_inst.join(scored_types, ["u", "v", "w"])
     ce = -F.avg(F.log2("p"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            rnd(ce, 4).alias("ce_bits"),
-            rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        rnd(ce, 4).alias("ce_bits"),
+        rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
     )
 
 
@@ -1954,8 +1957,10 @@ ORACLES["dsir_sample"] = f"""
     ORDER BY sel_key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
 """
 
-ORACLES["kn_perplexity"] = f"""
-    WITH d AS (
+# the self-scoring KN pipeline as a reusable CTE block (kn_perplexity
+# consumes it directly; ccnet_buckets embeds it in its composition) —
+# ends at `knsc` = (doc_id, p) per scored trigram instance
+_KN_SELF_CTES = f"""d AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS tk
         FROM documents),
@@ -1996,13 +2001,16 @@ ORACLES["kn_perplexity"] = f"""
         FROM c3 JOIN ctx USING (u, v) JOIN sfx USING (v, w)
                 JOIN mid USING (v) JOIN lam USING (v)
                 JOIN r1 USING (w) CROSS JOIN nbt),
-    sc AS (
+    knsc AS (
         SELECT tri_i.doc_id, st.p
-        FROM tri_i JOIN st USING (u, v, w))
+        FROM tri_i JOIN st USING (u, v, w))"""
+
+ORACLES["kn_perplexity"] = f"""
+    WITH {_KN_SELF_CTES}
     SELECT doc_id, count(*) AS n_trigrams,
            {rnd_sql("-avg(log2(p))", 4)} AS ce_bits,
            {rnd_sql("pow(2.0, -avg(log2(p)))", 4)} AS ppl
-    FROM sc GROUP BY doc_id ORDER BY doc_id
+    FROM knsc GROUP BY doc_id ORDER BY doc_id
 """
 
 # held-out KN: identical type-table arithmetic trained on the ~80%

@@ -135,6 +135,59 @@ def test_mojibake_table_full_cp1252_and_prefix_safe():
         assert impossible not in fixes
 
 
+def test_ccnet_buckets_tercile_and_keep_semantics(spark):
+    """Value-bucketed terciles: per language the head/middle/tail doc
+    counts differ by at most the largest single ppl-value group; docs
+    too short to score land in 'unscored' and are never kept; kept_final
+    requires dedup survival AND a head/middle bucket."""
+    from collections import Counter
+
+    from .conftest import SF_DIR
+
+    rows = cleaning.ccnet_buckets(spark, SF_DIR).collect()
+    assert rows, "non-vacuous"
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["pred_lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        scored = [r for r in rs if r["bucket"] != "unscored"]
+        if len(scored) < 6:
+            continue
+        counts = Counter(r["bucket"] for r in scored)
+        biggest_group = max(
+            Counter((r["ppl"]) for r in scored).values()
+        )
+        n = len(scored)
+        for b in ("head", "middle", "tail"):
+            assert abs(counts[b] - n / 3) <= biggest_group + 1, (
+                lang,
+                counts,
+            )
+        # bucket ordering respects ppl: max head ppl <= min tail ppl
+        head = [r["ppl"] for r in scored if r["bucket"] == "head"]
+        tail = [r["ppl"] for r in scored if r["bucket"] == "tail"]
+        if head and tail:
+            assert max(head) <= min(tail)
+    for r in rows:
+        if r["bucket"] == "unscored":
+            assert r["ppl"] is None and not r["kept_final"]
+        assert r["kept_final"] == (
+            r["kept_dedup"] and r["bucket"] in ("head", "middle")
+        )
+
+
+def test_ccnet_buckets_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        cleaning.ccnet_buckets,
+        cleaning.ORACLES["ccnet_buckets"],
+        "ccnet_buckets",
+    )
+
+
 def test_encoding_repair_matches_oracle(spark, duck):
     from .conftest import assert_matches_oracle
 

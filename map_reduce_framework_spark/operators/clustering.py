@@ -590,11 +590,15 @@ QC_POS_LANG = "en"
 
 
 def _qc_docfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-doc features over the full ``documents`` table."""
+    return _qc_docfeat_from(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def _qc_docfeat_from(docs: DataFrame) -> DataFrame:
     """Sparse per-doc features: (doc_id, y, b, x) with x = tf/n_tokens
     for hashed unigram buckets 0..B-1 plus a constant bias feature at
     b = B.  Hash = the shared 60-bit md5 (oracle buckets identically)."""
     B = QC_BUCKETS
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tk = docs.select(
         "doc_id",
         (F.col("lang") == QC_POS_LANG).cast("double").alias("y"),
@@ -637,13 +641,27 @@ def _qc_grad_fn(w: "np.ndarray"):
         for pdf in batches:
             if not len(pdf):
                 continue
-            g = np.zeros_like(w)
             ys = pdf["y"].to_numpy(dtype=np.float64)
-            for bs, xs, y in zip(pdf["bs"], pdf["xs"], ys):
-                b = np.asarray(bs, dtype=np.int64)
-                x = np.asarray(xs, dtype=np.float64)
-                r = 1.0 / (1.0 + np.exp(-float(x @ w[b]))) - y
-                g[b] += x * r
+            lens = np.fromiter(
+                (len(v) for v in pdf["bs"]), dtype=np.int64, count=len(pdf)
+            )
+            b = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in pdf["bs"]]
+            )
+            x = np.concatenate(
+                [np.asarray(v, dtype=np.float64) for v in pdf["xs"]]
+            )
+            # segment sums replace the per-doc Python loop (round-11
+            # advice): margins and the bucket gradient are both
+            # bincount reductions over the concatenated feature stream.
+            # bincount accumulates in input order — the SAME global
+            # (doc, within-doc) order the loop used — so the gradient
+            # is bit-compatible up to the margin dot's summation order
+            # (pinned ≤ 1e-12 by test_qc_grad_vectorization_matches_loop).
+            doc = np.repeat(np.arange(len(pdf)), lens)
+            m = np.bincount(doc, weights=x * w[b], minlength=len(pdf))
+            r = 1.0 / (1.0 + np.exp(-m)) - ys
+            g = np.bincount(b, weights=x * r[doc], minlength=w.shape[0])
             nz = np.nonzero(g)[0]
             yield pd.DataFrame({"b": nz, "g": g[nz]})
 
@@ -734,19 +752,128 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: eval split: docs whose 60-bit doc_id hash ≡ 0 (mod 4) are HELD OUT
+#: for evaluation (~25%); the rest train the classifier
+QC_EVAL_MOD = 4
+
+
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the trained quality classifier — the
+    measurement the training trajectory alone cannot give (round-11
+    verdict item 6): train on the ~75% hash split, score the rest, and
+    report ranking + threshold quality as ONE summary row:
+
+    - ``auc`` — the Mann–Whitney AUC of the 4-dp score against the
+      held-out labels, TIE-AWARE (equal scores contribute ½), computed
+      entirely in integer arithmetic until one final division:
+      ``Σ_s n_pos(s)·(2·n_neg_below(s) + n_neg(s)) / (2·N⁺·N⁻)`` — no
+      float compare ever orders the ranking, so both engines agree
+      exactly;
+    - ``precision`` / ``recall`` / ``accuracy`` at the 0.5 threshold on
+      the ROUNDED score (the engine-stable boundary the scoring query
+      already uses).
+
+    Scale shape: training is the :func:`train_quality_classifier`
+    partial-gradient topology; evaluation is one groupBy(doc) margin
+    pass, one groupBy(score) collapse to ≤ 10⁰⁰¹ value rows (scores are
+    4-dp in [0,1] — a BOUNDED domain), and the only window runs over
+    that value table, never the corpus (the ``ccnet_buckets`` /
+    ``global_rank_quality`` posture).  Degenerate splits (no positives
+    or no negatives held out) yield NULL metrics instead of a division
+    error.
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import persist_tracked
+    from .dedup import hash60
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    held = hash60(F.col("doc_id").cast("string")) % QC_EVAL_MOD == 0
+    train_feat = persist_tracked(_qc_docfeat_from(docs.where(~held)))
+    dense = persist_tracked(
+        train_feat.groupBy("doc_id", "y").agg(
+            F.collect_list("b").alias("bs"), F.collect_list("x").alias("xs")
+        )
+    )
+    w = train_quality_classifier(dense, dense.count())
+    wdf = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(int(b), float(wb)) for b, wb in enumerate(w)], "b long, w double"
+        )
+    )
+    eval_feat = _qc_docfeat_from(docs.where(held))
+    score4 = rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 4)
+    sc = persist_tracked(
+        eval_feat.join(wdf, "b")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        .select((F.col("y") == 1.0).alias("pos"), score4.alias("score"))
+    )
+    lev = sc.groupBy("score").agg(
+        F.sum(F.col("pos").cast("long")).alias("np"),
+        F.sum((~F.col("pos")).cast("long")).alias("nn"),
+    )
+    wv = Window.orderBy("score")  # value table: ≤ 10001 rows by domain
+    auc2 = lev.select(
+        (
+            F.col("np")
+            * (
+                2 * (F.sum("nn").over(wv) - F.col("nn"))
+                + F.col("nn")
+            )
+        ).alias("a2")
+    ).agg(F.sum("a2").alias("auc_num2"))
+    cnt = sc.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.col("pos").cast("long")).alias("n_pos"),
+        F.sum((F.col("pos") & (F.col("score") >= 0.5)).cast("long")).alias(
+            "tp"
+        ),
+        F.sum((~F.col("pos") & (F.col("score") >= 0.5)).cast("long")).alias(
+            "fp"
+        ),
+        F.sum((F.col("pos") & (F.col("score") < 0.5)).cast("long")).alias(
+            "fn"
+        ),
+    )
+    n_neg = F.col("n_eval") - F.col("n_pos")
+    safe = lambda num, den: F.when(den > 0, rnd(num / den, 4))  # noqa: E731
+    return cnt.crossJoin(auc2).select(
+        "n_eval",
+        "n_pos",
+        n_neg.alias("n_neg"),
+        safe(
+            F.col("auc_num2").cast("double"),
+            (2 * F.col("n_pos") * n_neg).cast("double"),
+        ).alias("auc"),
+        safe(
+            F.col("tp").cast("double"),
+            (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        safe(
+            F.col("tp").cast("double"),
+            (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        safe(
+            (F.col("n_eval") - F.col("fp") - F.col("fn")).cast("double"),
+            F.col("n_eval").cast("double"),
+        ).alias("accuracy"),
+    )
+
+
 def _qc_oracle() -> str:
     """Unrolled-trajectory oracle: replays feature hashing, all
     QC_ITERS gradient steps, and the scoring pass in SQL."""
     B = QC_BUCKETS
     head = f"""
-    WITH d AS (
+    WITH d AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN lang = '{QC_POS_LANG}' THEN 1.0::DOUBLE
                     ELSE 0.0::DOUBLE END AS y,
                list_filter(string_split(text, ' '), x -> x <> '') AS tk
         FROM documents
         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
-    cnt AS (
+    cnt AS MATERIALIZED (
         SELECT doc_id, y, n_tok, b, count(*) AS c FROM (
             SELECT doc_id, y, len(tk)::DOUBLE AS n_tok,
                    unnest(list_transform(tk, t ->
@@ -754,7 +881,7 @@ def _qc_oracle() -> str:
                            % {B})) AS b
             FROM d) q
         GROUP BY doc_id, y, n_tok, b),
-    feat AS (
+    feat AS MATERIALIZED (
         SELECT doc_id, y, b, c / n_tok AS x FROM cnt
         UNION ALL
         SELECT doc_id, y, {B}::BIGINT AS b, 1.0::DOUBLE AS x FROM d),
@@ -770,7 +897,7 @@ def _qc_oracle() -> str:
     g{t} AS (
         SELECT f.b, sum(f.x * (1.0 / (1.0 + exp(-m{t}.m)) - f.y)) AS g
         FROM feat f JOIN m{t} USING (doc_id) GROUP BY f.b),
-    w{t + 1} AS (
+    w{t + 1} AS MATERIALIZED (
         SELECT w{t}.b,
                w{t}.w - {QC_LR} * (COALESCE(g{t}.g, 0.0) / ndocs.n) AS w
         FROM w{t} LEFT JOIN g{t} USING (b) CROSS JOIN ndocs)""")
@@ -791,11 +918,109 @@ def _qc_oracle() -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _qc_eval_oracle() -> str:
+    """Held-out-eval twin of :func:`_qc_oracle`: the same unrolled GD
+    trajectory restricted to the training split, then the AUC /
+    threshold metrics over the held-out margins — all ranking decided
+    in integer arithmetic (see :func:`quality_classifier_eval`)."""
+    from .dedup import _hash60_sql
+
+    B = QC_BUCKETS
+    held = f"{_hash60_sql('CAST(doc_id AS VARCHAR)')} % {QC_EVAL_MOD} = 0"
+    head = f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN lang = '{QC_POS_LANG}' THEN 1.0::DOUBLE
+                    ELSE 0.0::DOUBLE END AS y,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+               {held} AS held
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+    cnt AS MATERIALIZED (
+        SELECT doc_id, y, held, n_tok, b, count(*) AS c FROM (
+            SELECT doc_id, y, held, len(tk)::DOUBLE AS n_tok,
+                   unnest(list_transform(tk, t ->
+                       CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                           % {B})) AS b
+            FROM d) q
+        GROUP BY doc_id, y, held, n_tok, b),
+    feat AS MATERIALIZED (
+        SELECT doc_id, y, held, b, c / n_tok AS x FROM cnt
+        UNION ALL
+        SELECT doc_id, y, held, {B}::BIGINT AS b, 1.0::DOUBLE AS x FROM d),
+    ftr AS MATERIALIZED (SELECT doc_id, y, b, x FROM feat WHERE NOT held),
+    fev AS MATERIALIZED (SELECT doc_id, y, b, x FROM feat WHERE held),
+    ndocs AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM ftr),
+    w0 AS (SELECT unnest(range(0, {B + 1}))::BIGINT AS b, 0.0::DOUBLE AS w)
+    """
+    steps = []
+    for t in range(QC_ITERS):
+        steps.append(f"""
+    m{t} AS (
+        SELECT f.doc_id, f.y, sum(f.x * w{t}.w) AS m
+        FROM ftr f JOIN w{t} USING (b) GROUP BY f.doc_id, f.y),
+    g{t} AS (
+        SELECT f.b, sum(f.x * (1.0 / (1.0 + exp(-m{t}.m)) - f.y)) AS g
+        FROM ftr f JOIN m{t} USING (doc_id) GROUP BY f.b),
+    w{t + 1} AS MATERIALIZED (
+        SELECT w{t}.b,
+               w{t}.w - {QC_LR} * (COALESCE(g{t}.g, 0.0) / ndocs.n) AS w
+        FROM w{t} LEFT JOIN g{t} USING (b) CROSS JOIN ndocs)""")
+    T = QC_ITERS
+    tail = f""",
+    mf AS (
+        SELECT f.doc_id, f.y, sum(f.x * w{T}.w) AS m
+        FROM fev f JOIN w{T} USING (b) GROUP BY f.doc_id, f.y),
+    sc AS (
+        SELECT y <> 0.0 AS pos,
+               {rnd_sql("1.0 / (1.0 + exp(-m))", 4)} AS score
+        FROM mf),
+    lev AS (
+        SELECT score,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM sc GROUP BY score),
+    a2 AS (
+        SELECT CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT)
+                   AS auc_num2
+        FROM (SELECT np, nn,
+                     CAST(sum(nn) OVER (ORDER BY score) AS BIGINT) AS cum_nn
+              FROM lev)),
+    c AS (
+        SELECT count(*) AS n_eval,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(sum(CASE WHEN pos AND score >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN NOT pos AND score >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN pos AND score < 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM sc)
+    SELECT n_eval, n_pos, n_eval - n_pos AS n_neg,
+           CASE WHEN 2 * n_pos * (n_eval - n_pos) > 0 THEN
+               {rnd_sql("CAST(auc_num2 AS DOUBLE) / CAST(2 * n_pos * (n_eval - n_pos) AS DOUBLE)", 4)}
+           END AS auc,
+           CASE WHEN tp + fp > 0 THEN
+               {rnd_sql("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 4)}
+           END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+               {rnd_sql("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)", 4)}
+           END AS recall,
+           CASE WHEN n_eval > 0 THEN
+               {rnd_sql("CAST(n_eval - fp - fn AS DOUBLE) / CAST(n_eval AS DOUBLE)", 4)}
+           END AS accuracy
+    FROM c CROSS JOIN a2
+    """
+    return head + "," + ",".join(steps) + tail
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_scalable": dedup_semantic_scalable,
     "quality_classifier_score": quality_classifier_score,
+    "quality_classifier_eval": quality_classifier_eval,
 }
 
 ORACLES = {
@@ -803,4 +1028,5 @@ ORACLES = {
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_semantic_scalable": _dedup_semantic_scalable_oracle(),
     "quality_classifier_score": _qc_oracle(),
+    "quality_classifier_eval": _qc_eval_oracle(),
 }

@@ -277,3 +277,117 @@ def test_quality_classifier_matches_pure_python(spark, tmp_path):
     assert all(got[i]["correct"] for i in range(16))
     assert min(got[i]["score"] for i in range(8)) > 0.6
     assert max(got[i]["score"] for i in range(8, 16)) < 0.4
+
+
+# --------------------------------------------------------------------------
+# round 12: gradient-kernel vectorization + held-out evaluation
+# --------------------------------------------------------------------------
+
+
+def test_qc_grad_vectorization_matches_loop():
+    """The bincount segment-sum kernel must reproduce the retired
+    per-doc Python loop's partial gradients to ≤ 1e-12 on random dense
+    rows (only the margin dot's summation order separates them)."""
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    B = clustering.QC_BUCKETS
+    w = rng.standard_normal(B + 1)
+    rows = []
+    for _ in range(40):
+        k = int(rng.integers(1, 12))
+        bs = rng.choice(B + 1, size=k, replace=False).astype(np.int64)
+        xs = rng.random(k)
+        rows.append((bs, xs, float(rng.integers(0, 2))))
+    pdf = pd.DataFrame(
+        {
+            "bs": [r[0] for r in rows],
+            "xs": [r[1] for r in rows],
+            "y": [r[2] for r in rows],
+        }
+    )
+
+    # the retired loop, inlined as the reference
+    g_ref = np.zeros_like(w)
+    for bs, xs, y in rows:
+        r = 1.0 / (1.0 + np.exp(-float(xs @ w[bs]))) - y
+        g_ref[bs] += xs * r
+
+    (out,) = list(clustering._qc_grad_fn(w)([pdf]))
+    g_new = np.zeros_like(w)
+    g_new[out["b"].to_numpy()] = out["g"].to_numpy()
+    assert np.max(np.abs(g_new - g_ref)) <= 1e-12
+
+
+def _qc_eval_fixture(tmp_path):
+    """Separable corpus whose hash-held split contains both classes."""
+    import hashlib
+    import itertools
+
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.clustering import (
+        QC_EVAL_MOD,
+        QC_POS_LANG,
+    )
+
+    va = [f"good{i}" for i in range(9)]
+    vb = [f"junk{i}" for i in range(9)]
+
+    def doc(vocab, seed, n=25):
+        it = itertools.cycle(vocab[seed % len(vocab):] + vocab[: seed % len(vocab)])
+        return " ".join(next(it) for _ in range(n))
+
+    docs = []
+    for i in range(40):
+        vocab, lang = (va, QC_POS_LANG) if i % 2 == 0 else (vb, "de")
+        docs.append((i, doc(vocab, i), lang))
+    held = {
+        i
+        for i, _, _ in docs
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        % QC_EVAL_MOD
+        == 0
+    }
+    held_langs = {lang for i, _, lang in docs if i in held}
+    assert held and held_langs == {QC_POS_LANG, "de"}, (
+        "fixture must hold out both classes"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": ["t"] * len(docs),
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    sf = tmp_path / "sf_qc_eval"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet", index=False)
+    return str(sf), held
+
+
+def test_quality_classifier_eval_auc_on_separable_corpus(spark, tmp_path):
+    """Held-out metrics on a cleanly separable corpus: the trained
+    model must rank essentially perfectly (AUC > 0.9) and the counts
+    must reconcile with the hash split."""
+    sf, held = _qc_eval_fixture(tmp_path)
+    (row,) = clustering.quality_classifier_eval(spark, sf).collect()
+    assert row["n_eval"] == len(held)
+    assert row["n_pos"] + row["n_neg"] == row["n_eval"]
+    assert row["auc"] is not None and row["auc"] > 0.9, row
+    assert row["precision"] == 1.0 and row["recall"] == 1.0
+    assert row["accuracy"] == 1.0
+
+
+def test_quality_classifier_eval_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        clustering.quality_classifier_eval,
+        clustering.ORACLES["quality_classifier_eval"],
+        "quality_classifier_eval",
+    )

@@ -325,8 +325,13 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever the parquet scan runs at.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return pii_redact_docs(_pii_plant(docs)).orderBy("doc_id")
+
+
+def _pii_plant(docs: DataFrame) -> DataFrame:
+    """Self-plant one deterministic PII instance per doc_id-keyed arm."""
     did = F.col("doc_id")
-    planted = docs.withColumn(
+    return docs.withColumn(
         "pt",
         F.when(
             did % 5 == 0,
@@ -361,6 +366,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text")),
     )
+
+
+def pii_redact_docs(docs: DataFrame) -> DataFrame:
+    """The PII detect+redact projection over any docs DataFrame with a
+    ``pt`` column — shared by the batch query and the streaming twin
+    (map-only: works identically under Structured Streaming)."""
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("pt"), PII_EMAIL_RE, "<EMAIL>"),
@@ -387,16 +398,12 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(len(token))
         ).cast("long")
 
-    return (
-        planted.withColumn("rt", redacted)
-        .select(
-            "doc_id",
-            mask_count(F.col("rt"), "<EMAIL>").alias("n_emails"),
-            mask_count(F.col("rt"), "<PHONE>").alias("n_phones"),
-            mask_count(F.col("rt"), "<IP>").alias("n_ips"),
-            F.col("rt").alias("redacted_text"),
-        )
-        .orderBy("doc_id")
+    return docs.withColumn("rt", redacted).select(
+        "doc_id",
+        mask_count(F.col("rt"), "<EMAIL>").alias("n_emails"),
+        mask_count(F.col("rt"), "<PHONE>").alias("n_phones"),
+        mask_count(F.col("rt"), "<IP>").alias("n_ips"),
+        F.col("rt").alias("redacted_text"),
     )
 
 

@@ -960,3 +960,41 @@ def test_streaming_ewma_multi_batch_equals_batch(spark, tmp_path):
     s = sorted(map(key, streamed.collect()))
     b = sorted(map(key, batch.collect()))
     assert s == b and len(s) > 0
+
+
+def test_streaming_pii_redact_equals_batch(spark):
+    """The map-only PII scrub must emit identical rows from the stream
+    source as from the batch reader — the builder is literally shared."""
+    from map_reduce_framework_spark.streaming.cleaning_stream import (
+        pii_batch_twin,
+        run_pii_stream_demo,
+    )
+
+    streamed = run_pii_stream_demo(spark, SF_DIR)
+    batch = pii_batch_twin(spark, SF_DIR)
+    key = lambda r: tuple(  # noqa: E731
+        r[c]
+        for c in ("doc_id", "n_emails", "n_phones", "n_ips", "redacted_text")
+    )
+    got = sorted(map(key, streamed.collect()))
+    assert got == sorted(map(key, batch.collect()))
+    assert any(r[1] or r[2] or r[3] for r in got), "plants must fire"
+
+
+def test_streaming_encoding_repair_equals_batch(spark):
+    """The map-only mojibake repair must emit identical rows from the
+    stream source as from the batch reader."""
+    from map_reduce_framework_spark.streaming.cleaning_stream import (
+        encoding_batch_twin,
+        run_encoding_stream_demo,
+    )
+
+    streamed = run_encoding_stream_demo(spark, SF_DIR)
+    batch = encoding_batch_twin(spark, SF_DIR)
+    key = lambda r: tuple(  # noqa: E731
+        r[c]
+        for c in ("doc_id", "n_mojibake", "repaired_text", "was_clean")
+    )
+    got = sorted(map(key, streamed.collect()))
+    assert got == sorted(map(key, batch.collect()))
+    assert any(not r[3] for r in got), "plants must fire"

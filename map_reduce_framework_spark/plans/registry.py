@@ -47,134 +47,139 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order.  Round-11 curation (CORRECTNESS_r10 was
-# 49/50 — every row green except interval_coalesce, red for the second
-# round with rows/schema green and hash red; the round-10 judge
-# root-caused it to an output-TYPE divergence: the oracle's island
-# column was DuckDB HUGEINT/decimal128 vs Spark int64 — the only
-# HUGEINT output column in the whole window):
-# (a) FIRST, the THIRTY-ONE r07-green rows round 10 deferred (the
-# contract pinned in round 10's registry comment and
-# test_registry_order.py: they are 4 rounds stale and MUST rotate in
-# first): join_skew_salted .. window_rank_lag, in the order written
-# below.
+# entries in insertion order.  Round-12 curation (CORRECTNESS_r11 was
+# the first fully-green 50/50 window; the round-11 verdict's #1 item is
+# the pre-planned rotation debt below):
+# (a) FIRST, the FORTY-ONE r08-green rows round 11 deferred (the
+# contract pinned in round 11's registry comment and
+# test_registry_order.py: they would be 4 rounds stale otherwise and
+# MUST rotate in first): date_arithmetic .. wordcount, exactly the
+# pinned list, in the pinned (alphabetical) order.
 # (b) queries whose ORACLE or PLAN changed, or that are NEW this round:
-# interval_coalesce (oracle island CAST to BIGINT — the verdict's #1
-# fix; engine side untouched), map_functions (oracle n_keys
-# UBIGINT→INTEGER) and record_linkage_scores (oracle score
-# DECIMAL→DOUBLE arithmetic) — both surfaced by the NEW oracle
-# output-type lint (tests/test_oracle_types.py) that now sweeps all
-# oracles via DESCRIBE and bans any type without an exact Spark twin;
-# expectations_audit (empty-table pk checks report 0 not NULL — ADVICE
-# fix, both sides); ewma_smooth_segmented (the cross-segment merge is
-# now a fan-in-16 TREE with a data-derived level count — per-task
-# state bounded at any history length; segment 0 rides the algebra as
-# the constant map (A=v, B=0), so the fixed-two-level oracle replays
-# the dynamic engine bit-exactly); dedup_suffix_spans (NEW:
-# prefix-doubling suffix ranking — exact duplicated spans >= 6 words
-# with no gram-width floor, naive-materialization oracle);
-# kn_perplexity (NEW: interpolated Kneser-Ney trigram LM, type-count
-# smoothing replayed by the oracle and pinned against a pure-Python
-# reference); dsir_sample (NEW: DSIR importance resampling, Xie et al.
-# 2023 — hashed n-gram likelihood-ratio weights + deterministic
-# Gumbel top-k; behavioral target-enrichment pytest);
-# quality_classifier_score (NEW: TRAINED hashed-feature logistic
-# regression — fixed-iteration full-batch GD with kmeans-style
-# partial-gradient collects, unrolled-trajectory oracle, pure-Python
-# GD reference pytest); contamination_embedding (NEW: the
-# embedding-axis benchmark-contamination screen — broadcast benchmark,
-# packed-int64 partial-agg argmax, planted-paraphrase pytest);
-# dedup_span_clip (NEW: the Lee et al. ExactSubstr corpus REWRITE —
-# canonical-occurrence-keeping span removal composed with the
-# prefix-doubling classes, ground-truth-materializing oracle);
-# pii_redact (NEW: ROOTS/Dolma-shape PII scrub — self-planted
-# deterministic emails/phones/IPv4s, Java∩RE2 common-subset regexes);
-# encoding_repair (NEW: ftfy-core mojibake detect + repair — literal
-# chained replaces from one shared table, length-arithmetic counts,
-# self-planted artifacts, zero regex surface).
-# (c) the alphabetically-first SIX of the 47 r08-latest greens —
-# the oldest remaining evidence on current code: ann_index_maintain ..
-# cube_agg.
-# ROUND-12 ROTATION DEBT (the remaining 41 r08-latest rows, all
+# contamination_embedding (plan change: the GC-bound JVM higher-order
+# dot -> one mapInPandas BLAS GEMM per Arrow batch with a
+# boundary-exact sequential rescue — output identical, 13.7x at the
+# 2M-vector decade, scripts/contam_emb_probe.py);
+# encoding_repair (table + counts change: the 6 hand-picked mojibake
+# entries -> the GENERATED full 117-entry cp1252 round-trip table,
+# counts now per-stage length checkpoints = replaces actually
+# performed; plants extended to cover a 3-byte artifact);
+# kn_perplexity_heldout (NEW: held-out Kneser-Ney scoring — train on
+# the ~80% hash split, score the rest through an explicit backoff
+# ladder with a 2^-20 OOV floor; n_oov column; pure-Python reference
+# + per-rung sum-to-one pytest);
+# ccnet_buckets (NEW: the CCNet capstone — per-language perplexity
+# head/middle/tail terciles by VALUE-bucketed integer cuts composed
+# with lang_id + the dedup keeplist; value-table-only window);
+# quality_classifier_eval (NEW: held-out AUC/precision/recall/accuracy
+# of the trained classifier — integer-arithmetic tie-aware
+# Mann-Whitney AUC, separable-corpus AUC>0.9 pytest).
+# Output-identical refactors NOT re-windowed (driver-sim verified
+# green at sf0.01 this round): quality_classifier_score (oracle gained
+# MATERIALIZED hints only — 134 s -> 0.1 s at sf0.001),
+# dedup_span_clip (join-column binding), pii_redact (shared-builder
+# split for the streaming twin).
+# (c) the alphabetically-first FOUR of the 40 r09-latest greens — the
+# oldest remaining evidence on current code: agg_view_maintain ..
+# ann_ivf.
+# ROUND-13 ROTATION DEBT (the remaining 36 r09-latest rows, all
 # unchanged-code shapes with prior driver greens):
-# date_arithmetic, dedup_clusters, dedup_exact,
-# dedup_exact_normalized, dedup_index_maintain, dedup_simhash,
-# distinct_keys, embedding_norm_stats,
-# events_interval_join, filter_project, frame_sample_schedule,
-# funnel_analysis, graph_triangle_stats, group_having, hash_sample,
-# histogram_totalprice, join_anti, join_cross, join_outer, join_semi,
-# kmeans_embeddings, lateral_posexplode, payload_chunks,
-# percentile_summary, pivot_priority, rollup_agg, search_substring,
-# session_window_agg, set_except, set_intersect_all, stats_agg, top_k,
-# tpch_q11_important_stock, tpch_q16_supplier_part_count,
-# tpch_q20_promo_stock_suppliers, tpch_q5_local_supplier_volume,
-# tpch_q9_product_type_profit, training_manifest, unpivot_measures,
-# window_extended, wordcount.
-# They will be 4 rounds stale after round 12 — rotate them in FIRST
-# next round, same contract as the r07 debt this round honours.
+# ann_ivf_indexed,
+# ann_ivf_kmeans,
+# ann_ivf_pq,
+# ann_ivf_pq_indexed,
+# ann_lsh_bucketed,
+# array_functions,
+# asof_join,
+# dedup_containment,
+# dedup_incremental,
+# dedup_incremental_bloom,
+# dedup_incremental_indexed,
+# dedup_index_compact,
+# dedup_ngram_jaccard,
+# dedup_pipeline_keeplist,
+# dedup_semantic_scalable,
+# distribution_drift,
+# embedding_quantize_int8,
+# fuzzy_edit_pairs,
+# global_rank_quality,
+# golden_record_assembly,
+# heavy_hitters,
+# kcore_membership,
+# leakage_safe_splits,
+# mr_wordcount_facade,
+# multimodal_features,
+# null_semantics,
+# pack_sequences,
+# quality_filter_rules,
+# rolling_zscore,
+# scalar_functions,
+# source_overlap_matrix,
+# stratified_sample,
+# tfidf_topterms,
+# token_budget_plan,
+# window_range_interval,
+# zorder_locality_audit,
+# They will be 4 rounds stale after round 13 — rotate them in FIRST
+# next round, same contract as the r08 debt this round honours.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
 # DuckDB's sketches; accuracy pytests vs exact twins cover them).
 # Queries NOT listed follow in module order; every one has a green
-# r08-r10 row.
+# r08-r12 row.
 DRIVER_WINDOW = [
-    # (a) round-10 deferred r07 rows — rotated in FIRST per contract
-    # (the 31-row debt pinned in round 10's registry comment and
-    # test_registry_order.py)
-    "join_skew_salted",
-    "json_extract",
-    "mr_inverted_index_facade",
-    "multi_distinct_agg",
-    "pagerank_dup_graph",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "scd2_apply",
-    "search_dir_listing",
-    "sessionize",
-    "set_except_all",
-    "set_intersect",
-    "split_leakage_check",
-    "string_agg_sorted",
-    "top_k_per_group",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "window_rank_lag",
+    # (a) round-11 deferred r08 rows — rotated in FIRST per contract
+    "date_arithmetic",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_index_maintain",
+    "dedup_simhash",
+    "distinct_keys",
+    "embedding_norm_stats",
+    "events_interval_join",
+    "filter_project",
+    "frame_sample_schedule",
+    "funnel_analysis",
+    "graph_triangle_stats",
+    "group_having",
+    "hash_sample",
+    "histogram_totalprice",
+    "join_anti",
+    "join_cross",
+    "join_outer",
+    "join_semi",
+    "kmeans_embeddings",
+    "lateral_posexplode",
+    "payload_chunks",
+    "percentile_summary",
+    "pivot_priority",
+    "rollup_agg",
+    "search_substring",
+    "session_window_agg",
+    "set_except",
+    "set_intersect_all",
+    "stats_agg",
+    "top_k",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promo_stock_suppliers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "training_manifest",
+    "unpivot_measures",
+    "window_extended",
+    "wordcount",
     # (b) oracle/plan-changed or NEW this round
-    "interval_coalesce",
-    "map_functions",
-    "record_linkage_scores",
-    "expectations_audit",
-    "ewma_smooth_segmented",
-    "dedup_suffix_spans",
-    "kn_perplexity",
-    "dsir_sample",
-    "quality_classifier_score",
     "contamination_embedding",
-    "dedup_span_clip",
-    "pii_redact",
     "encoding_repair",
-    # (c) r08-latest greens, alphabetically first 6 (three more NEW
-    # queries above claimed the dedup_clusters / dedup_exact /
-    # date_arithmetic slots — those three join the 38-row round-12
-    # debt, making it 41; see note above)
-    "ann_index_maintain",
-    "bm25_topk",
-    "bpe_pair_stats",
-    "chunk_documents",
-    "cohort_retention",
-    "cube_agg",
+    "kn_perplexity_heldout",
+    "ccnet_buckets",
+    "quality_classifier_eval",
+    # (c) r09-latest greens, alphabetically first 4
+    "agg_view_maintain",
+    "ann_cosine_topk",
+    "ann_index_compact",
+    "ann_ivf",
 ]
 
 

@@ -1,24 +1,19 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-11 policy (CORRECTNESS_r10 was 49/50 — interval_coalesce hash-red
-for the second round; the round-10 judge root-caused it to the oracle's
-HUGEINT island column, fixed this round with a CAST and a repo-wide
-oracle output-type lint): the window holds (a) FIRST the 31 r07-green
-rows round 10 deferred — the pre-planned debt, honoured exactly as
-written — (b) the round-11 oracle/plan changes and the two NEW
-operators: interval_coalesce (island CAST), map_functions +
-record_linkage_scores (type-lint alignments), expectations_audit
-(empty-table 0-not-NULL), ewma_smooth_segmented (tree merge),
-dedup_suffix_spans (prefix-doubling suffix ranking), kn_perplexity
-(interpolated Kneser–Ney trigram LM), dedup_span_clip (ExactSubstr
-corpus rewrite), pii_redact (self-planting PII scrub), encoding_repair
-(mojibake repair), and (c) the 6
-alphabetically-first of the 47 r08-latest greens.  The remaining 41
-r08 rows are deferred to round 12 (named in registry.py — rotate them
-in FIRST next round).  The two approx sketches are excluded permanently
-— they can never hash-match DuckDB's sketches and would burn slots on
-guaranteed `no_oracle` rows.
+Round-12 policy (CORRECTNESS_r11 was the first fully-green 50/50
+window): the window holds (a) FIRST the 41 r08-green rows round 11
+deferred — the pre-planned debt, honoured exactly as pinned in round
+11's registry comment — (b) the round-12 plan/oracle changes and NEW
+operators: contamination_embedding (mapInPandas GEMM kernel),
+encoding_repair (generated full cp1252 table + checkpoint counts),
+kn_perplexity_heldout (backoff + OOV floor), ccnet_buckets (perplexity
+terciles capstone), quality_classifier_eval (held-out AUC/precision) —
+and (c) the 4 alphabetically-first of the 40 r09-latest greens.  The
+remaining 36 r09 rows are deferred to round 13 (named in registry.py —
+rotate them in FIRST next round).  The two approx sketches are excluded
+permanently — they can never hash-match DuckDB's sketches and would
+burn slots on guaranteed `no_oracle` rows.
 """
 
 from __future__ import annotations
@@ -28,77 +23,24 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R11 = {
-    # the r09/r10 driver red row: oracle island HUGEINT → BIGINT (the
-    # round-10 verdict's #1 fix; engine side untouched)
-    "interval_coalesce",
-    # surfaced by the new oracle output-type lint: n_keys UBIGINT →
-    # INTEGER; score DECIMAL → DOUBLE arithmetic
-    "map_functions",
-    "record_linkage_scores",
-    # ADVICE fix: empty-table pk checks report 0, not NULL (both sides)
-    "expectations_audit",
-    # cross-segment merge is now a fan-in-16 tree with data-derived
-    # level count (bounded per-task state at any history length)
-    "ewma_smooth_segmented",
-    # NEW: exact duplicated spans ≥ 6 words via prefix doubling — no
-    # gram-width floor, independently-materialized oracle
-    "dedup_suffix_spans",
-    # NEW: interpolated Kneser–Ney trigram LM perplexity
-    "kn_perplexity",
-    # NEW: DSIR importance resampling (hashed n-gram likelihood ratio)
-    "dsir_sample",
-    # NEW: trained hashed-feature logistic-regression quality filter
-    "quality_classifier_score",
-    # NEW: embedding-axis benchmark-contamination screen
+ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R12 = {
+    # plan change: broadcast-crossJoin JVM higher-order dot → one BLAS
+    # GEMM per Arrow batch + boundary-exact sequential rescue (output
+    # identical; 13.7× at the 2M-vector decade)
     "contamination_embedding",
-    # NEW: Lee et al. ExactSubstr corpus rewrite (span removal keeping
-    # the canonical occurrence), composed with the prefix-doubling pass
-    "dedup_span_clip",
-    # NEW: self-planting PII scrub (emails / phones / IPv4)
-    "pii_redact",
-    # NEW: ftfy-core mojibake detection + repair (self-planting)
+    # table + counts change: generated 117-entry cp1252 round-trip
+    # table; counts = per-stage length checkpoints (replaces performed)
     "encoding_repair",
+    # NEW: held-out Kneser–Ney with explicit backoff + 2^-20 OOV floor
+    "kn_perplexity_heldout",
+    # NEW: CCNet perplexity-tercile capstone (value-bucketed cuts)
+    "ccnet_buckets",
+    # NEW: held-out evaluation of the trained quality classifier
+    "quality_classifier_eval",
 }
 
-#: r07-green rows deferred by round 10 — the debt this window pays FIRST
-DEFERRED_FROM_R10 = [
-    "join_skew_salted",
-    "json_extract",
-    "mr_inverted_index_facade",
-    "multi_distinct_agg",
-    "pagerank_dup_graph",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "scd2_apply",
-    "search_dir_listing",
-    "sessionize",
-    "set_except_all",
-    "set_intersect",
-    "split_leakage_check",
-    "string_agg_sorted",
-    "top_k_per_group",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "window_rank_lag",
-]
-
-#: r08-latest rows deferred to round 12 for the block-b/c slots —
-#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
-DEFERRED_TO_R12 = {
+#: r08-green rows deferred by round 11 — the debt this window pays FIRST
+DEFERRED_FROM_R11 = [
     "date_arithmetic",
     "dedup_clusters",
     "dedup_exact",
@@ -140,6 +82,47 @@ DEFERRED_TO_R12 = {
     "unpivot_measures",
     "window_extended",
     "wordcount",
+]
+
+#: r09-latest rows deferred to round 13 for the block-b/c slots —
+#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
+DEFERRED_TO_R13 = {
+    "ann_ivf_indexed",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_ivf_pq_indexed",
+    "ann_lsh_bucketed",
+    "array_functions",
+    "asof_join",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "dedup_incremental_indexed",
+    "dedup_index_compact",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_keeplist",
+    "dedup_semantic_scalable",
+    "distribution_drift",
+    "embedding_quantize_int8",
+    "fuzzy_edit_pairs",
+    "global_rank_quality",
+    "golden_record_assembly",
+    "heavy_hitters",
+    "kcore_membership",
+    "leakage_safe_splits",
+    "mr_wordcount_facade",
+    "multimodal_features",
+    "null_semantics",
+    "pack_sequences",
+    "quality_filter_rules",
+    "rolling_zscore",
+    "scalar_functions",
+    "source_overlap_matrix",
+    "stratified_sample",
+    "tfidf_topterms",
+    "token_budget_plan",
+    "window_range_interval",
+    "zorder_locality_audit",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
@@ -154,6 +137,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
 
@@ -174,14 +158,14 @@ def test_driver_window_is_first_50():
 
 def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R11 <= window
+    assert ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R12 <= window
 
 
-def test_r10_debt_paid_first():
-    """The 31 r07 rows round 10 deferred must head the window, in order
+def test_r11_debt_paid_first():
+    """The 41 r08 rows round 11 deferred must head the window, in order
     — the rotation contract test_registry_order pinned last round."""
     assert (
-        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R10)] == DEFERRED_FROM_R10
+        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R11)] == DEFERRED_FROM_R11
     )
 
 
@@ -189,15 +173,15 @@ def test_deferred_rows_are_known_and_green_elsewhere():
     """Every deferred row must be a real query with a prior driver
     green (they are debt, not gaps)."""
     window = set(registry.DRIVER_WINDOW)
-    assert not (DEFERRED_TO_R12 & window)
-    assert DEFERRED_TO_R12 <= set(registry.get_queries())
-    assert DEFERRED_TO_R12 <= _prior_checked()
+    assert not (DEFERRED_TO_R13 & window)
+    assert DEFERRED_TO_R13 <= set(registry.get_queries())
+    assert DEFERRED_TO_R13 <= _prior_checked()
 
 
-def test_no_evidence_older_than_r08_after_this_round():
-    """The round-11 freshness goal: after this window lands, no
-    query's newest driver row may be older than round 8 — i.e. every
-    query whose newest green is r07 or older must be IN the window
+def test_no_evidence_older_than_r09_after_this_round():
+    """The round-12 freshness goal: after this window lands, no
+    query's newest driver row may be older than round 9 — i.e. every
+    query whose newest green is r08 or older must be IN the window
     now."""
     latest: dict[str, int] = {}
     for rec in PRIOR_ROUNDS:
@@ -210,10 +194,10 @@ def test_no_evidence_older_than_r08_after_this_round():
     stale = {
         q
         for q, r in latest.items()
-        if r < 8 and q in registry.get_queries() and q not in NO_ORACLE_BY_DESIGN
+        if r < 9 and q in registry.get_queries() and q not in NO_ORACLE_BY_DESIGN
     }
     assert stale <= window, (
-        f"r07-or-older evidence left outside: {sorted(stale - window)}"
+        f"r08-or-older evidence left outside: {sorted(stale - window)}"
     )
 
 

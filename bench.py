@@ -134,6 +134,11 @@ HEADLINE = [
     "dedup_span_clip",
     "pii_redact",
     "encoding_repair",
+    # round 12 — held-out KN scoring, the CCNet tercile capstone, and
+    # held-out classifier evaluation
+    "kn_perplexity_heldout",
+    "ccnet_buckets",
+    "quality_classifier_eval",
 ]
 
 

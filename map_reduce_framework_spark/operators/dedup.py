@@ -1582,6 +1582,114 @@ def band_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 80/10/10 on md5-60bit of "split:<doc_id>" mod 10 (buckets 0-7 /
 #: 8 / 9), the standard deterministic split every experiment pipeline
 #: derives rather than stores
+#: recall-audit sample: permille of docs whose pairwise ground truth is
+#: computed exactly.  400‰ keeps the testdata audit row non-vacuous; a
+#: production corpus sets this to ~1-10‰ so the sample's exact pass
+#: (the audit's only super-linear cost) stays one-executor sized.
+RECALL_SAMPLE_PERMILLE = 400
+
+
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH recall — the governance audit every production
+    near-dup pipeline runs (and the repo's own "measure, don't guess"
+    rule turned into an operator): on a hash-derived document sample,
+    compute the EXACT near-dup pair ground truth and report how many of
+    those pairs the banded MinHash screen actually caught.
+
+    Why it is non-trivial: :func:`dedup_minhash_lsh` verifies exactly,
+    so its output is a SUBSET of the truth (precision 1 by
+    construction) — what banding trades away is RECALL: a true pair
+    that never collides in any of the 4 bands is silently missed
+    (theory at J = 0.8: 1 − (1 − 0.8³)⁴ ≈ 0.943).  This operator
+    measures that loss on live data instead of trusting the formula.
+
+    Sample-locality: band collision depends only on the two documents'
+    signatures, so restricting BOTH endpoints to the sample loses
+    nothing — the audited recall is exactly the production screen's
+    recall on those pairs.  Ground truth uses the uncapped shingle-hash
+    posting join on the sample (pairs sharing ≥1 shingle — complete,
+    since J ≥ 0.8 needs shared shingles) with the SAME rnd4 Jaccard
+    arithmetic as the verify step; no all-pairs product anywhere.
+
+    Scale: the sample permille bounds the exact pass; the screen side
+    reuses the (already-run, in production materialized) LSH pair list
+    filtered to the sample.  Output is ONE summary row:
+    ``worst_missed_jaccard`` names the most dangerous miss.
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline governance family).
+    """
+    from ..cache import persist_tracked
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    in_sample = (
+        hash60(F.concat_ws(":", F.lit("recall"), F.col("doc_id")))
+        % 1000
+        < RECALL_SAMPLE_PERMILLE
+    )
+    sampled = docs.where(in_sample)
+    posting = persist_tracked(
+        _shingled_docs(sampled, with_hashes=True).select(
+            "doc_id", F.explode("gh").alias("g")
+        )
+    )
+    posting.count()  # cache-race barrier (see dedup_ngram_jaccard)
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = posting.alias("a"), posting.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    true_pairs = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", rnd(jac, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    caught = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(True).alias("hit"))
+        .join(sampled.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi")
+        .join(sampled.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi")
+    )
+    audited = true_pairs.join(caught, ["doc_a", "doc_b"], "left")
+    n_docs = sampled.select(F.count(F.lit(1)).alias("n_sample_docs"))
+    agg = audited.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("hit", F.lit(False)).cast("long")).alias("n_caught"),
+        F.max(F.when(F.col("hit").isNull(), F.col("jaccard"))).alias(
+            "worst_missed_jaccard"
+        ),
+    )
+    return n_docs.crossJoin(agg).select(
+        "n_sample_docs",
+        "n_true_pairs",
+        "n_caught",
+        (F.col("n_true_pairs") - F.col("n_caught")).alias("n_missed"),
+        F.when(
+            F.col("n_true_pairs") > 0,
+            rnd(
+                F.col("n_caught").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                4,
+            ),
+        ).alias("recall"),
+        "worst_missed_jaccard",
+    )
+
+
 SPLIT_MOD = 10
 
 
@@ -3598,7 +3706,57 @@ ORACLES_FUZZY_SQL = f"""
     ORDER BY id_a, id_b
 """
 
+ORACLES["dedup_recall_audit"] = f"""
+    WITH samp AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_hash60_sql("concat('recall', ':', doc_id)")} % 1000
+              < {RECALL_SAMPLE_PERMILLE}),
+    s AS (SELECT doc_id, {_SH} AS sh FROM samp),
+    e AS (SELECT doc_id,
+                 unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g
+          FROM s),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    tj AS (SELECT doc_a, doc_b,
+                  {rnd_sql('(shared / (sa.n_sh + sb.n_sh - shared))', 4)}
+                      AS jaccard
+           FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+                  JOIN sz sb ON sb.doc_id = p.doc_b),
+    truep AS (SELECT * FROM tj WHERE jaccard >= {JACCARD_THRESHOLD}),
+    mh AS ({{MH}}),
+    caught AS (
+        SELECT mh.doc_a, mh.doc_b FROM mh
+        JOIN samp a ON a.doc_id = mh.doc_a
+        JOIN samp b ON b.doc_id = mh.doc_b),
+    aud AS (
+        SELECT t.jaccard, (c.doc_a IS NOT NULL) AS hit
+        FROM truep t LEFT JOIN caught c
+             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+    nd AS (SELECT count(*) AS n_sample_docs FROM samp),
+    ag AS (SELECT count(*) AS n_true_pairs,
+                  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_caught,
+                  max(CASE WHEN NOT hit THEN jaccard END)
+                      AS worst_missed_jaccard
+           FROM aud)
+    SELECT n_sample_docs, n_true_pairs, n_caught,
+           n_true_pairs - n_caught AS n_missed,
+           CASE WHEN n_true_pairs > 0 THEN
+               {rnd_sql('CAST(n_caught AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)', 4)}
+           END AS recall,
+           worst_missed_jaccard
+    FROM nd CROSS JOIN ag
+"""
+# the screen side is the REAL minhash oracle verbatim (same reuse
+# pattern as the keeplist/graph oracles)
+ORACLES["dedup_recall_audit"] = ORACLES["dedup_recall_audit"].replace(
+    "{MH}", ORACLES["dedup_minhash_lsh"]
+)
+
 QUERIES = {
+    "dedup_recall_audit": dedup_recall_audit,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_suffix_spans": dedup_suffix_spans,
     "dedup_span_clip": dedup_span_clip,

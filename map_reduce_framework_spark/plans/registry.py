@@ -73,17 +73,22 @@ _MODULES = [
 # with lang_id + the dedup keeplist; value-table-only window);
 # quality_classifier_eval (NEW: held-out AUC/precision/recall/accuracy
 # of the trained classifier — integer-arithmetic tie-aware
-# Mann-Whitney AUC, separable-corpus AUC>0.9 pytest).
+# Mann-Whitney AUC, separable-corpus AUC>0.9 pytest);
+# dedup_recall_audit (NEW: sampled LSH-recall governance audit — exact
+# ground truth on a hash-permille sample vs the screen's pair list,
+# sample-local by signature-pair-locality; a pytest ENGINEERS a
+# J>=0.8 pair with band-disjoint signatures and pins the miss).
 # Output-identical refactors NOT re-windowed (driver-sim verified
 # green at sf0.01 this round): quality_classifier_score (oracle gained
 # MATERIALIZED hints only — 134 s -> 0.1 s at sf0.001),
 # dedup_span_clip (join-column binding), pii_redact (shared-builder
 # split for the streaming twin).
-# (c) the alphabetically-first FOUR of the 40 r09-latest greens — the
+# (c) the alphabetically-first THREE of the 40 r09-latest greens — the
 # oldest remaining evidence on current code: agg_view_maintain ..
-# ann_ivf.
-# ROUND-13 ROTATION DEBT (the remaining 36 r09-latest rows, all
+# ann_index_compact.
+# ROUND-13 ROTATION DEBT (the remaining 37 r09-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# ann_ivf,
 # ann_ivf_indexed,
 # ann_ivf_kmeans,
 # ann_ivf_pq,
@@ -175,11 +180,11 @@ DRIVER_WINDOW = [
     "kn_perplexity_heldout",
     "ccnet_buckets",
     "quality_classifier_eval",
-    # (c) r09-latest greens, alphabetically first 4
+    "dedup_recall_audit",
+    # (c) r09-latest greens, alphabetically first 3
     "agg_view_maintain",
     "ann_cosine_topk",
     "ann_index_compact",
-    "ann_ivf",
 ]
 
 

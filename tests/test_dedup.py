@@ -1105,3 +1105,107 @@ def test_fuzzy_edit_pairs_planted_typos(spark, tmp_path):
     assert (0, 3) not in got  # distance 3 exceeds FUZZY_MAX_ED
     assert all(4 not in pair for pair in got)
     assert all(dist <= 2 for dist in got.values())
+
+
+# --------------------------------------------------------------------------
+# round 12: sampled LSH-recall governance audit
+# --------------------------------------------------------------------------
+
+
+def _recall_h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _recall_bands(sh: set[str]) -> set[tuple]:
+    """Band-key set for a shingle set — the engine's exact arithmetic
+    (60-bit md5 → mod-PRIME → 12 affine mins → 4 bands of 3),
+    re-implemented independently for the fixture search."""
+    hs = [_recall_h60(s) % dedup.MINHASH_PRIME for s in sh]
+    sig = [
+        min((h * a + b) % dedup.MINHASH_PRIME for h in hs)
+        for a, b in dedup.MINHASH_COEFFS
+    ]
+    return {tuple(sig[i * 3 : (i + 1) * 3]) for i in range(dedup.LSH_BANDS)}
+
+
+def test_recall_audit_pins_a_genuinely_missed_pair(spark, tmp_path):
+    """Construct a pair with exact Jaccard ≥ 0.8 whose signatures share
+    NO band (searched with the engine's own md5/affine arithmetic) —
+    the screen must miss it, the audit must report it, and an identical
+    planted pair must still be caught: recall lands at exactly 1/2 with
+    worst_missed_jaccard naming the miss."""
+    import math
+
+    def shingle_set(text):
+        t = text.split(" ")
+        return set(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+
+    missed = None
+    for seed in range(2000):
+        words = [f"w{seed}x{k}" for k in range(30)]
+        a = " ".join(words)
+        wb = list(words)
+        wb[15] = f"z{seed}q"
+        b = " ".join(wb)
+        sa, sb = shingle_set(a), shingle_set(b)
+        j = math.floor(len(sa & sb) / len(sa | sb) * 1e4 + 0.5) / 1e4
+        if j < dedup.JACCARD_THRESHOLD:
+            continue
+        if _recall_bands(sa).isdisjoint(_recall_bands(sb)):
+            missed = (a, b, j)
+            break
+    assert missed, "no band-disjoint near-dup pair found in 2000 seeds"
+    a, b, j_missed = missed
+
+    in_sample = (
+        lambda i: _recall_h60(f"recall:{i}") % 1000
+        < dedup.RECALL_SAMPLE_PERMILLE
+    )
+    ids = [i for i in range(200) if in_sample(i)]
+    out = next(i for i in range(200) if not in_sample(i))
+    ident = " ".join(f"same{k}" for k in range(30))
+    rows = {
+        ids[0]: a,  # the engineered miss, both endpoints sampled
+        ids[1]: b,
+        ids[2]: ident,  # identical pair: every band shared → caught
+        ids[3]: ident,
+        ids[4]: " ".join(f"solo{k}" for k in range(30)),  # clean filler
+        out: a,  # a copy OUTSIDE the sample: must not join the audit
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(rows),
+            "text": list(rows.values()),
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(t) for t in rows.values()],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    (row,) = dedup.dedup_recall_audit(spark, str(tmp_path)).collect()
+    assert row["n_sample_docs"] == 5
+    assert row["n_true_pairs"] == 2
+    assert row["n_caught"] == 1 and row["n_missed"] == 1
+    assert row["recall"] == 0.5
+    assert row["worst_missed_jaccard"] == j_missed
+
+    # consistency: the screen itself really does not report the pair
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert (min(ids[0], ids[1]), max(ids[0], ids[1])) not in lsh
+    assert (min(ids[2], ids[3]), max(ids[2], ids[3])) in lsh
+
+
+def test_recall_audit_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.dedup_recall_audit,
+        dedup.ORACLES["dedup_recall_audit"],
+        "dedup_recall_audit",
+    )

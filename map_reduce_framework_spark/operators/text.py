@@ -1602,6 +1602,57 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY audit — the governance table
+    every multilingual pretraining effort publishes (tokens-per-word by
+    language): a tokenizer trained on a skewed mixture over-segments
+    under-represented languages, inflating their effective sequence
+    length and training cost.  Fertility (tokens/word) and compression
+    (chars/token) per language make that inequity measurable.
+
+    Plumbing is :func:`bpe_segment_docs`'s vocab-join formulation with
+    the rollup keyed by language instead of document: the trained
+    merges fold once per DISTINCT word, the corpus pass is one explode
+    + equi-join + partial agg to language cardinality — strictly
+    smaller output than the per-doc variant, same two corpus touches.
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline governance family).
+    """
+    _, final_vocab = _bpe_train(spark, sf_dir)
+    tok = final_vocab.select(
+        "term",
+        F.size(F.split(F.col("syms"), BPE_SEP)).alias("n_tok"),
+        F.length("term").alias("n_chr"),
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        words.join(tok, "term")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            rnd(F.col("n_tokens") / F.col("n_words"), 4).alias("fertility"),
+            rnd(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled per-document training record — what a downstream
     trainer's data loader actually consumes: text stats + modality
@@ -2245,6 +2296,40 @@ def _bpe_segment_oracle() -> str:
 
 ORACLES["bpe_segment_docs"] = _bpe_segment_oracle()
 
+
+def _fertility_oracle() -> str:
+    """The segment-oracle replay with the rollup keyed by language."""
+    sep = "chr(31)"
+    ctes, _outs, final = _bpe_round_ctes(carry_term=True)
+    ctes.append(
+        f"""tok AS (
+        SELECT term, len(string_split(syms, {sep})) AS n_tok,
+               length(term) AS n_chr
+        FROM {final})"""
+    )
+    ctes.append(
+        """words AS (
+        SELECT doc_id, lang, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> '')"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lang, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS n_chars,
+           {rnd_sql("sum(n_tok) / count(*)", 4)} AS fertility,
+           {rnd_sql("sum(n_chr) / sum(n_tok)", 4)} AS chars_per_token
+    FROM words JOIN tok USING (term)
+    GROUP BY lang ORDER BY lang"""
+    )
+
+
+ORACLES["tokenizer_fertility"] = _fertility_oracle()
+
 ORACLES["training_manifest"] = f"""
     SELECT d.doc_id, d.lang, d.source,
            len(string_split(d.text, ' ')) AS n_tokens,
@@ -2484,6 +2569,7 @@ QUERIES = {
     "perplexity_proxy": perplexity_proxy,
     "kn_perplexity": kn_perplexity,
     "kn_perplexity_heldout": kn_perplexity_heldout,
+    "tokenizer_fertility": tokenizer_fertility,
     "dsir_sample": dsir_sample,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train_merges": bpe_train_merges,

@@ -77,17 +77,21 @@ _MODULES = [
 # dedup_recall_audit (NEW: sampled LSH-recall governance audit — exact
 # ground truth on a hash-permille sample vs the screen's pair list,
 # sample-local by signature-pair-locality; a pytest ENGINEERS a
-# J>=0.8 pair with band-disjoint signatures and pins the miss).
+# J>=0.8 pair with band-disjoint signatures and pins the miss);
+# tokenizer_fertility (NEW: per-language tokens/word + chars/token
+# governance rollup of the trained BPE — the multilingual-equity
+# audit; vocab-join formulation, language-cardinality output).
 # Output-identical refactors NOT re-windowed (driver-sim verified
 # green at sf0.01 this round): quality_classifier_score (oracle gained
 # MATERIALIZED hints only — 134 s -> 0.1 s at sf0.001),
 # dedup_span_clip (join-column binding), pii_redact (shared-builder
 # split for the streaming twin).
-# (c) the alphabetically-first THREE of the 40 r09-latest greens — the
-# oldest remaining evidence on current code: agg_view_maintain ..
-# ann_index_compact.
-# ROUND-13 ROTATION DEBT (the remaining 37 r09-latest rows, all
+# (c) the alphabetically-first TWO of the 40 r09-latest greens — the
+# oldest remaining evidence on current code: agg_view_maintain,
+# ann_cosine_topk.
+# ROUND-13 ROTATION DEBT (the remaining 38 r09-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# ann_index_compact,
 # ann_ivf,
 # ann_ivf_indexed,
 # ann_ivf_kmeans,
@@ -181,10 +185,10 @@ DRIVER_WINDOW = [
     "ccnet_buckets",
     "quality_classifier_eval",
     "dedup_recall_audit",
-    # (c) r09-latest greens, alphabetically first 3
+    "tokenizer_fertility",
+    # (c) r09-latest greens, alphabetically first 2
     "agg_view_maintain",
     "ann_cosine_topk",
-    "ann_index_compact",
 ]
 
 

@@ -223,3 +223,44 @@ def test_bpe_segmentation_matches_reference(spark):
     assert got == want
     # merges must actually compress: tokens < chars somewhere
     assert any(t < c for _, t, c in got.values())
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """The per-language rollup must reconcile exactly with the per-doc
+    application pass (same trained merges, same corpus): summed tokens
+    and words agree, fertility is ≥ 1 everywhere (a word is at least
+    one token), and chars/token is positive."""
+    from map_reduce_framework_spark.operators.text import (
+        bpe_segment_docs,
+        tokenizer_fertility,
+    )
+
+    from .conftest import SF_DIR
+
+    per_lang = tokenizer_fertility(spark, SF_DIR).collect()
+    per_doc = bpe_segment_docs(spark, SF_DIR).collect()
+    assert per_lang, "non-vacuous"
+    assert sum(r["n_words"] for r in per_lang) == sum(
+        r["n_words"] for r in per_doc
+    )
+    assert sum(r["n_tokens"] for r in per_lang) == sum(
+        r["n_tokens"] for r in per_doc
+    )
+    for r in per_lang:
+        assert r["fertility"] >= 1.0, r
+        assert r["chars_per_token"] > 0, r
+        assert r["n_docs"] >= 1
+
+
+def test_tokenizer_fertility_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.text import ORACLES, tokenizer_fertility
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        tokenizer_fertility,
+        ORACLES["tokenizer_fertility"],
+        "tokenizer_fertility",
+    )

@@ -134,11 +134,14 @@ HEADLINE = [
     "dedup_span_clip",
     "pii_redact",
     "encoding_repair",
-    # round 12 — held-out KN scoring, the CCNet tercile capstone, and
-    # held-out classifier evaluation
+    # round 12 — held-out KN scoring, the CCNet tercile capstone,
+    # held-out classifier evaluation, the sampled LSH-recall audit,
+    # and the per-language tokenizer-fertility rollup
     "kn_perplexity_heldout",
     "ccnet_buckets",
     "quality_classifier_eval",
+    "dedup_recall_audit",
+    "tokenizer_fertility",
 ]
 
 

@@ -112,3 +112,31 @@ def test_bucket_keys_fan_out_beyond_key_cardinality(spark):
         .count()
     )
     assert doc_groups > 4 * sources, (doc_groups, sources)
+
+
+def test_ccnet_windows_run_over_the_value_table(spark):
+    """ccnet_buckets' two lang-partitioned windows must consume the
+    DISTINCT-(pred_lang, ppl) aggregate (rows bounded by 4-dp value
+    cardinality), never the raw corpus: in the plan, every Window node
+    sits in a subtree whose input is HashAggregate(keys=[pred_lang,
+    ppl]) — i.e. the aggregate appears BELOW the deepest Window."""
+    from map_reduce_framework_spark.operators.cleaning import ccnet_buckets
+
+    plan = plan_of(ccnet_buckets(spark, SF_DIR), mode="simple")
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "windowspecdefinition" in l]
+    assert win_idx, f"no Window node found:\n{plan}"
+    # the windows partition by pred_lang (the low-card key the lint
+    # flags) ...
+    for i in win_idx:
+        assert "pred_lang" in lines[i]
+    # ... and the first plan node BELOW the deepest window that touches
+    # rows is the (pred_lang, ppl) value aggregate — the corpus never
+    # reaches a window
+    below = "\n".join(lines[max(win_idx):])
+    agg = [
+        l
+        for l in below.splitlines()
+        if "HashAggregate(keys=[pred_lang" in l and "ppl" in l
+    ]
+    assert agg, f"value-table aggregate not below the windows:\n{plan}"

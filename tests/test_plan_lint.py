@@ -76,6 +76,11 @@ AGGREGATE_PHASE_WINDOW_OK = {
     "pack_sequences",
     "window_distribution",
     "mr_wordcount_facade",  # facade contract: global k3 sort of tiny output
+    # tercile cuts run over the DISTINCT-(pred_lang, ppl) value table
+    # (Window directly above HashAggregate(keys=[pred_lang, ppl]) —
+    # bounded by 4-dp value cardinality, never the corpus); audited in
+    # test_bucket_windows.test_ccnet_windows_run_over_the_value_table
+    "ccnet_buckets",
 }
 
 import re  # noqa: E402

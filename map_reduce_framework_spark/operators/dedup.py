@@ -1582,11 +1582,22 @@ def band_sig_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 80/10/10 on md5-60bit of "split:<doc_id>" mod 10 (buckets 0-7 /
 #: 8 / 9), the standard deterministic split every experiment pipeline
 #: derives rather than stores
-#: recall-audit sample: permille of docs whose pairwise ground truth is
-#: computed exactly.  400‰ keeps the testdata audit row non-vacuous; a
-#: production corpus sets this to ~1-10‰ so the sample's exact pass
-#: (the audit's only super-linear cost) stays one-executor sized.
+#: recall-audit sample rate FLOOR, in permille — applies to small
+#: corpora so the testdata audit row stays non-vacuous (400‰ of a
+#: 500-doc table).  Large corpora are governed by the TARGET below.
 RECALL_SAMPLE_PERMILLE = 400
+#: recall-audit sample size TARGET: the expected sample is
+#: ``min(400‰·n, ~RECALL_SAMPLE_TARGET)`` docs.  A recall estimate's
+#: confidence depends on the number of true pairs in the SAMPLE, not
+#: on the corpus, so a production audit uses a BOUNDED sample — and the
+#: round-12 sf10 probe measured why proportional sampling cannot work:
+#: a 200k-doc Zipf sample has "rarest" shingles at df ≈ 80-300, so even
+#: the prefix+positional-filtered exact join carries 40M candidate
+#: pairs (the first, unfiltered cut put 311M and filled the probe
+#: box's disk with verify-side array shuffle).  The bound is applied as
+#: an integer per-million hash threshold both engines derive
+#: identically from count(documents).
+RECALL_SAMPLE_TARGET = 1_000
 
 
 def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,55 +1617,113 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sample-locality: band collision depends only on the two documents'
     signatures, so restricting BOTH endpoints to the sample loses
     nothing — the audited recall is exactly the production screen's
-    recall on those pairs.  Ground truth uses the uncapped shingle-hash
-    posting join on the sample (pairs sharing ≥1 shingle — complete,
-    since J ≥ 0.8 needs shared shingles) with the SAME rnd4 Jaccard
-    arithmetic as the verify step; no all-pairs product anywhere.
+    recall on those pairs.
 
-    Scale: the sample permille bounds the exact pass; the screen side
-    reuses the (already-run, in production materialized) LSH pair list
-    filtered to the sample.  Output is ONE summary row:
-    ``worst_missed_jaccard`` names the most dangerous miss.
+    Ground truth is an EXACT set-similarity self-join via the
+    positional PREFIX FILTER (the AllPairs/PPJoin family, Xiao et al.
+    2008 — public): order every document's shingles by global rarity
+    (ascending sample df, gram tie-break) and explode only the first
+    ``⌊(1−t′)·n⌋+1`` of them, where t′ = 0.79995 is the exact bound the
+    rnd4 ≥ 0.8 verify implies; two sets with J ≥ t′ MUST share a token
+    inside both prefixes (pigeonhole on the union), so the prefix
+    equi-join is a LOSSLESS candidate generator and the exact
+    array-intersect verify decides.  The first cut of this operator
+    used the plain uncapped posting self-join — the round-12 sf10 probe
+    OOM'd it on Zipf-hot grams (df² candidate rows on a 200k-doc
+    sample); rarest-first prefixes keep hot grams OUT of the join key
+    by construction, which is the published fix, not a cap (a df cap
+    would bias the ground truth the audit exists to provide).
+
+    Scale: the sample permille bounds the exact pass; the per-doc
+    rarity ranking windows over ``doc_id`` (high-cardinality, doc-
+    bounded); the screen side reuses the (already-run, in production
+    materialized) LSH pair list filtered to the sample.  Output is ONE
+    summary row: ``worst_missed_jaccard`` names the most dangerous
+    miss.
 
     No counterpart in the reference (SURVEY §2.4 extension; the
     training-data-pipeline governance family).
     """
+    from pyspark.sql.window import Window
+
     from ..cache import persist_tracked
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # bounded sample: per-million hash threshold = the 400‰ floor for
+    # small corpora, capped so the EXPECTED sample is the fixed target
+    # (integer arithmetic; the oracle derives the identical threshold
+    # from count(documents))
+    n_total = docs.count()
+    thr = min(
+        RECALL_SAMPLE_PERMILLE * 1000,
+        (RECALL_SAMPLE_TARGET * 1_000_000) // max(n_total, 1),
+    )
     in_sample = (
         hash60(F.concat_ws(":", F.lit("recall"), F.col("doc_id")))
-        % 1000
-        < RECALL_SAMPLE_PERMILLE
+        % 1_000_000
+        < thr
     )
     sampled = docs.where(in_sample)
-    posting = persist_tracked(
-        _shingled_docs(sampled, with_hashes=True).select(
-            "doc_id", F.explode("gh").alias("g")
-        )
+    sh = persist_tracked(
+        _shingled_docs(sampled, with_hashes=True).select("doc_id", "gh")
     )
-    posting.count()  # cache-race barrier (see dedup_ngram_jaccard)
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = posting.alias("a"), posting.alias("b")
-    shared = (
+    sh.count()  # cache-race barrier (see dedup_ngram_jaccard)
+    posting = sh.select(
+        "doc_id", F.size("gh").alias("n_sh"), F.explode("gh").alias("g")
+    )
+    dfc = posting.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length ⌊n·(1−t′)⌋+1 with (1−t′) = 0.20005 in INTEGER
+    # arithmetic: r ≤ n·20005 div 100000 + 1 — no float boundary
+    prefix = (
+        posting.join(dfc, "g")
+        .withColumn("r", F.row_number().over(w_doc))
+        .where(F.expr("r <= ((n_sh * 20005) div 100000) + 1"))
+        .select("doc_id", "n_sh", "r", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin POSITIONAL filter (lossless): J ≥ t′ needs overlap
+    # O ≥ α = ⌈t′·(n_a+n_b)/(1+t′)⌉, and for the pair's FIRST common
+    # token (in the global rarity order — guaranteed inside both
+    # prefixes) every earlier token of either doc is non-common, so
+    # O ≤ 1 + min(n_a−r_a, n_b−r_b).  Rows violating that cannot be
+    # the first common token of a qualifying pair; the qualifying
+    # pair's first-common-token row always survives, so the pair set
+    # after dropDuplicates is complete.  Integer arithmetic throughout
+    # (α = (79995·(n_a+n_b) + 179994) div 179995) — no float boundary.
+    # Measured: the prefix join alone left 311M candidate rows on the
+    # sf10 Zipf sample (the wide-array verify join-back then filled the
+    # probe box's disk); the positional filter restricts candidates to
+    # the first ~⌈(1−t′)/(1+t′)·2n⌉ rarest tokens per doc.
+    cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .where(
+            F.expr(
+                "1 + least(a.n_sh - a.r, b.n_sh - b.r)"
+                " >= (79995 * (a.n_sh + b.n_sh) + 179994) div 179995"
+            )
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
+    union = F.size("gh_a") + F.size("gh_b") - inter
     true_pairs = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", rnd(jac, 4))
+        pairs.withColumn("jaccard", rnd(inter / union, 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -3709,8 +3778,11 @@ ORACLES_FUZZY_SQL = f"""
 ORACLES["dedup_recall_audit"] = f"""
     WITH samp AS (
         SELECT doc_id, text FROM documents
-        WHERE {_hash60_sql("concat('recall', ':', doc_id)")} % 1000
-              < {RECALL_SAMPLE_PERMILLE}),
+        WHERE {_hash60_sql("concat('recall', ':', doc_id)")} % 1000000
+              < least({RECALL_SAMPLE_PERMILLE * 1000},
+                      ({RECALL_SAMPLE_TARGET} * 1000000)
+                          // greatest((SELECT count(*) FROM documents),
+                                      1))),
     s AS (SELECT doc_id, {_SH} AS sh FROM samp),
     e AS (SELECT doc_id,
                  unnest(list_transform(sh, t -> {_hash60_sql('t')})) AS g

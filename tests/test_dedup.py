@@ -1159,9 +1159,12 @@ def test_recall_audit_pins_a_genuinely_missed_pair(spark, tmp_path):
     assert missed, "no band-disjoint near-dup pair found in 2000 seeds"
     a, b, j_missed = missed
 
+    # fixture corpora are far below RECALL_SAMPLE_TARGET·1e6/400000 =
+    # 2500 docs, so the engine's per-million threshold sits at the 400k
+    # floor
     in_sample = (
-        lambda i: _recall_h60(f"recall:{i}") % 1000
-        < dedup.RECALL_SAMPLE_PERMILLE
+        lambda i: _recall_h60(f"recall:{i}") % 1_000_000
+        < dedup.RECALL_SAMPLE_PERMILLE * 1000
     )
     ids = [i for i in range(200) if in_sample(i)]
     out = next(i for i in range(200) if not in_sample(i))
@@ -1209,3 +1212,60 @@ def test_recall_audit_matches_oracle(spark, duck):
         dedup.ORACLES["dedup_recall_audit"],
         "dedup_recall_audit",
     )
+
+
+def test_recall_audit_prefix_filter_is_lossless(spark, tmp_path):
+    """The PPJoin-style prefix candidate generator must lose NO true
+    pair: on a seeded corpus engineered to straddle the 0.8 boundary
+    (shared vocab chunks of varying overlap, plus hot shingles shared
+    by EVERY doc so rarity-ordering actually matters), the audit's
+    n_true_pairs must equal an independent brute-force count."""
+    import math
+
+    # fixture corpora are far below RECALL_SAMPLE_TARGET·1e6/400000 =
+    # 2500 docs, so the engine's per-million threshold sits at the 400k
+    # floor
+    in_sample = (
+        lambda i: _recall_h60(f"recall:{i}") % 1_000_000
+        < dedup.RECALL_SAMPLE_PERMILLE * 1000
+    )
+    ids = [i for i in range(400) if in_sample(i)][:40]
+    # 4 hot + 36 body words; even docs = the identical base (J = 1
+    # pairs), odd docs = one doc-specific substitution (≈0.85 vs the
+    # base — above the bar; odd-odd pairs differ in two places ≈0.72 —
+    # below), so the truth set straddles the threshold and the hot
+    # shingles shared by EVERY doc make rarity-ordering load-bearing
+    base = ["hot0", "hot1", "hot2", "hot3"] + [f"tok{k}" for k in range(36)]
+    texts = {}
+    for j, i in enumerate(ids):
+        words = list(base)
+        if j % 2 == 1:
+            words[10 + (j % 20)] = f"u{j}"
+        texts[i] = " ".join(words)
+
+    def sh_set(t):
+        w = t.split(" ")
+        return {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+
+    expect = 0
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh_set(texts[ids[x]]), sh_set(texts[ids[y]])
+            j = math.floor(len(a & b) / len(a | b) * 1e4 + 0.5) / 1e4
+            if j >= dedup.JACCARD_THRESHOLD:
+                expect += 1
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    (row,) = dedup.dedup_recall_audit(spark, str(tmp_path)).collect()
+    assert row["n_sample_docs"] == len(ids)
+    assert expect > 0, "fixture must contain true pairs"
+    assert row["n_true_pairs"] == expect

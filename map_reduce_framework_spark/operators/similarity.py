@@ -1384,6 +1384,69 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED IVF recall@k — the embedding-axis twin of
+    :func:`~.dedup.dedup_recall_audit`, completing the measured-recall
+    governance pair (gram axis + embedding axis): for every query,
+    count how many of the exact top-``IVF_TOP_K`` neighbors the n-probe
+    IVF search actually returned, and report recall per query.
+
+    Both sides are the REGISTERED operators (the exact scan is
+    :func:`ann_cosine_topk` clipped to k; the screen is
+    :func:`ann_ivf`), so the audit measures the production plan, not a
+    reimplementation.  IVF recall is lost exactly when a true neighbor
+    lives in a cell the query does not probe — a data-dependent loss
+    the recall-floor pytests bound but production should MONITOR; this
+    is the operator that monitors it.
+
+    Scale: the exact side is bounded by the query set (N_QUERIES ×
+    corpus broadcast-join, the audit's knob); the comparison itself is
+    a semi-join + per-query count on k·N_QUERIES rows.
+
+    No counterpart in the reference (SURVEY §2.4 extension; the
+    training-data-pipeline governance family).
+    """
+    exact = ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= IVF_TOP_K)
+    approx = ann_ivf(spark, sf_dir)
+    hits = (
+        approx.join(
+            exact.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n_hits.alias("n_hits"),
+            rnd(n_hits / F.lit(IVF_TOP_K), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLES["ann_recall_audit"] = f"""
+    WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+    ap AS ({ORACLES["ann_ivf"]}),
+    ex5 AS (SELECT query_id, cand_id FROM ex WHERE rank <= {IVF_TOP_K}),
+    hits AS (
+        SELECT ap.query_id, count(*) AS c FROM ap
+        JOIN ex5 ON ex5.query_id = ap.query_id
+                AND ex5.cand_id = ap.cand_id
+        GROUP BY ap.query_id),
+    qs AS (SELECT DISTINCT query_id FROM ex)
+    SELECT qs.query_id,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+           {_rnd_sql(f"coalesce(c, 0) / {IVF_TOP_K}", 4)} AS recall_at_k
+    FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
+    ORDER BY qs.query_id
+"""
+
 ORACLES["contamination_embedding"] = f"""
     WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
     scored AS (
@@ -1408,6 +1471,7 @@ ORACLES["contamination_embedding"] = f"""
 
 QUERIES = {
     "contamination_embedding": contamination_embedding,
+    "ann_recall_audit": ann_recall_audit,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,

@@ -80,17 +80,20 @@ _MODULES = [
 # J>=0.8 pair with band-disjoint signatures and pins the miss);
 # tokenizer_fertility (NEW: per-language tokens/word + chars/token
 # governance rollup of the trained BPE — the multilingual-equity
-# audit; vocab-join formulation, language-cardinality output).
+# audit; vocab-join formulation, language-cardinality output);
+# ann_recall_audit (NEW: measured IVF recall@k vs the exact scan —
+# the embedding-axis twin of dedup_recall_audit, auditing the
+# REGISTERED operators against each other).
 # Output-identical refactors NOT re-windowed (driver-sim verified
 # green at sf0.01 this round): quality_classifier_score (oracle gained
 # MATERIALIZED hints only — 134 s -> 0.1 s at sf0.001),
 # dedup_span_clip (join-column binding), pii_redact (shared-builder
 # split for the streaming twin).
-# (c) the alphabetically-first TWO of the 40 r09-latest greens — the
-# oldest remaining evidence on current code: agg_view_maintain,
-# ann_cosine_topk.
-# ROUND-13 ROTATION DEBT (the remaining 38 r09-latest rows, all
+# (c) the alphabetically-first ONE of the 40 r09-latest greens — the
+# oldest remaining evidence on current code: agg_view_maintain.
+# ROUND-13 ROTATION DEBT (the remaining 39 r09-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# ann_cosine_topk,
 # ann_index_compact,
 # ann_ivf,
 # ann_ivf_indexed,
@@ -186,9 +189,9 @@ DRIVER_WINDOW = [
     "quality_classifier_eval",
     "dedup_recall_audit",
     "tokenizer_fertility",
-    # (c) r09-latest greens, alphabetically first 2
+    "ann_recall_audit",
+    # (c) r09-latest greens, alphabetically first 1
     "agg_view_maintain",
-    "ann_cosine_topk",
 ]
 
 

@@ -10,9 +10,10 @@ encoding_repair (generated full cp1252 table + checkpoint counts),
 kn_perplexity_heldout (backoff + OOV floor), ccnet_buckets (perplexity
 terciles capstone), quality_classifier_eval (held-out AUC/precision),
 dedup_recall_audit (sampled LSH-recall governance audit),
-tokenizer_fertility (per-language BPE fertility rollup) —
-and (c) the 2 alphabetically-first of the 40 r09-latest greens.  The
-remaining 38 r09 rows are deferred to round 13 (named in registry.py —
+tokenizer_fertility (per-language BPE fertility rollup),
+ann_recall_audit (measured IVF recall@k) —
+and (c) the alphabetically-first of the 40 r09-latest greens.  The
+remaining 39 r09 rows are deferred to round 13 (named in registry.py —
 rotate them in FIRST next round).  The two approx sketches are excluded
 permanently — they can never hash-match DuckDB's sketches and would
 burn slots on guaranteed `no_oracle` rows.
@@ -43,6 +44,9 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R12 = {
     "dedup_recall_audit",
     # NEW: per-language BPE fertility governance rollup
     "tokenizer_fertility",
+    # NEW: measured IVF recall@k vs the exact scan (embedding-axis
+    # audit twin)
+    "ann_recall_audit",
 }
 
 #: r08-green rows deferred by round 11 — the debt this window pays FIRST
@@ -93,6 +97,7 @@ DEFERRED_FROM_R11 = [
 #: r09-latest rows deferred to round 13 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R13 = {
+    "ann_cosine_topk",
     "ann_index_compact",
     "ann_ivf",
     "ann_ivf_indexed",

@@ -267,3 +267,52 @@ def test_contamination_embedding_flags_planted_paraphrase(spark, tmp_path):
     # 64-dim random vectors are near-orthogonal to everything
     for v in range(planted + 1, len(vecs)):
         assert not out[v]["contaminated"], out[v]
+
+
+def test_ann_recall_audit_reconciles_with_registered_queries(spark):
+    """The audit's per-query recall must equal the overlap recomputed
+    independently from the two registered operators' own outputs, and
+    the testdata corpus must exercise a real probe miss (recall < 1 for
+    at least one query) so the operator is non-vacuous."""
+    from map_reduce_framework_spark.operators.similarity import (
+        IVF_TOP_K,
+        ann_cosine_topk,
+        ann_ivf,
+        ann_recall_audit,
+    )
+
+    from .conftest import SF_DIR
+
+    exact5 = {}
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        if r["rank"] <= IVF_TOP_K:
+            exact5.setdefault(r["query_id"], set()).add(r["cand_id"])
+    approx = {}
+    for r in ann_ivf(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    rows = ann_recall_audit(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(exact5)
+    for r in rows:
+        expect = len(exact5[r["query_id"]] & approx.get(r["query_id"], set()))
+        assert r["n_hits"] == expect
+        assert r["recall_at_k"] == round(expect / IVF_TOP_K, 4)
+    assert any(r["recall_at_k"] < 1.0 for r in rows), (
+        "fixture corpus should exercise a probe miss"
+    )
+
+
+def test_ann_recall_audit_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.similarity import (
+        ORACLES,
+        ann_recall_audit,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        ann_recall_audit,
+        ORACLES["ann_recall_audit"],
+        "ann_recall_audit",
+    )

@@ -75,3 +75,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# NOTE (round-12 method): unlike the older probe scripts, this one uses
+# the engine's get_spark(), whose heap defaults to 8 GB (vs their 48 g
+# sessions) — export SPARK_GRAFT_DRIVER_MEM=48g for decade-3 corpora.
+# The sf1/sf10 rows recorded in BASELINE.md ran (and passed) at 8 GB,
+# which makes them CONSERVATIVE relative to the older probes.

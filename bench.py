@@ -142,6 +142,7 @@ HEADLINE = [
     "quality_classifier_eval",
     "dedup_recall_audit",
     "tokenizer_fertility",
+    "ann_recall_audit",
 ]
 
 

@@ -1674,11 +1674,16 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = posting.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
     # prefix length ⌊n·(1−t′)⌋+1 with (1−t′) = 0.20005 in INTEGER
-    # arithmetic: r ≤ n·20005 div 100000 + 1 — no float boundary
+    # arithmetic: r ≤ n·20005 div 100000 + 1 — no float boundary.
+    # n_sh is cast to BIGINT first: int32 `n_sh * 20005` wraps silently
+    # (non-ANSI Spark) past ~107k shingles — unreachable on the shipped
+    # synthetic docs but real for production-length documents, and an
+    # overflow here silently SHORTENS the prefix, dropping true pairs
+    # and voiding the lossless-generator guarantee (round-13 advice).
     prefix = (
         posting.join(dfc, "g")
         .withColumn("r", F.row_number().over(w_doc))
-        .where(F.expr("r <= ((n_sh * 20005) div 100000) + 1"))
+        .where(F.expr("r <= ((cast(n_sh as bigint) * 20005) div 100000) + 1"))
         .select("doc_id", "n_sh", "r", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -1704,7 +1709,8 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.expr(
                 "1 + least(a.n_sh - a.r, b.n_sh - b.r)"
-                " >= (79995 * (a.n_sh + b.n_sh) + 179994) div 179995"
+                " >= (79995 * (cast(a.n_sh as bigint) + b.n_sh) + 179994)"
+                "    div 179995"
             )
         )
         .select(

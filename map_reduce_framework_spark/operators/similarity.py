@@ -1360,8 +1360,24 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not len(pdf):
                     continue
                 v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+                nrm2 = (v * v).sum(axis=1, keepdims=True)
+                # fail LOUD on zero/non-finite norms: u would be NaN,
+                # floor(NaN).astype(int64) is platform-undefined, and the
+                # guard-band rescue below never fires on NaN compares —
+                # such a row would emit garbage silently (round-13
+                # advice).  Unreachable on the shipped embeddings; real
+                # if pointed at raw production vectors.
+                bad = ~np.isfinite(nrm2[:, 0]) | (nrm2[:, 0] == 0.0)
+                if bad.any():
+                    bad_ids = pdf["vec_id"].to_numpy()[bad][:5].tolist()
+                    raise ValueError(
+                        "contamination_embedding: corpus embedding(s) "
+                        f"with zero or non-finite norm (vec_id {bad_ids}"
+                        f"{', …' if int(bad.sum()) > 5 else ''}) — "
+                        "cosine is undefined; clean or drop these rows "
+                        "upstream"
+                    )
+                u = v / np.sqrt(nrm2)
                 x = u @ bt * 1e6 + 0.5
                 c6i = np.floor(x).astype(np.int64)
                 frac = x - np.floor(x)
@@ -1417,14 +1433,22 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    qs = exact.select("query_id").distinct()
+    # denominator = the PER-QUERY exact-neighbor count, not the constant
+    # k: on a corpus smaller than k the exact scan returns fewer rows and
+    # a fixed-k denominator would cap recall below 1.0 even when every
+    # true neighbor was found (round-13 advice).  n_exact = min(k, corpus)
+    # by construction, so this is the textbook recall@k definition.
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
     return (
-        qs.join(hits, "query_id", "left")
+        n_exact.join(hits, "query_id", "left")
         .select(
             "query_id",
             n_hits.alias("n_hits"),
-            rnd(n_hits / F.lit(IVF_TOP_K), 4).alias("recall_at_k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            rnd(n_hits / F.col("n_exact"), 4).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )
@@ -1439,12 +1463,13 @@ ORACLES["ann_recall_audit"] = f"""
         JOIN ex5 ON ex5.query_id = ap.query_id
                 AND ex5.cand_id = ap.cand_id
         GROUP BY ap.query_id),
-    qs AS (SELECT DISTINCT query_id FROM ex)
-    SELECT qs.query_id,
+    nq AS (SELECT query_id, count(*) AS n_exact FROM ex5 GROUP BY query_id)
+    SELECT nq.query_id,
            CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
-           {_rnd_sql(f"coalesce(c, 0) / {IVF_TOP_K}", 4)} AS recall_at_k
-    FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
-    ORDER BY qs.query_id
+           CAST(n_exact AS BIGINT) AS n_exact,
+           {_rnd_sql("coalesce(c, 0) / n_exact", 4)} AS recall_at_k
+    FROM nq LEFT JOIN hits ON hits.query_id = nq.query_id
+    ORDER BY nq.query_id
 """
 
 ORACLES["contamination_embedding"] = f"""

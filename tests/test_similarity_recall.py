@@ -294,8 +294,10 @@ def test_ann_recall_audit_reconciles_with_registered_queries(spark):
     assert {r["query_id"] for r in rows} == set(exact5)
     for r in rows:
         expect = len(exact5[r["query_id"]] & approx.get(r["query_id"], set()))
+        n_exact = len(exact5[r["query_id"]])
         assert r["n_hits"] == expect
-        assert r["recall_at_k"] == round(expect / IVF_TOP_K, 4)
+        assert r["n_exact"] == n_exact
+        assert r["recall_at_k"] == round(expect / n_exact, 4)
     assert any(r["recall_at_k"] < 1.0 for r in rows), (
         "fixture corpus should exercise a probe miss"
     )

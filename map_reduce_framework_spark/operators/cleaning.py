@@ -486,10 +486,10 @@ def encoding_repair_docs(docs: DataFrame) -> DataFrame:
     twin (map-only: works identically under Structured Streaming).
 
     Repair = the chained literal replaces of :data:`MOJIBAKE_TABLE` in
-    table order, staged as two checkpointed columns (all 3-char
-    artifacts, then all 2-char).  Counting is length arithmetic on the
-    STAGE CHECKPOINTS: a 3-char artifact repair drops exactly 2 chars
-    and a 2-char repair drops 1, so
+    table order, staged (all 3-char artifacts, then all 2-char).
+    Counting is length arithmetic on the STAGE CHECKPOINTS: a 3-char
+    artifact repair drops exactly 2 chars and a 2-char repair drops 1,
+    so
 
     ``n_mojibake = (len(pt) − len(t3)) / 2 + (len(t3) − len(rt))``
 
@@ -497,27 +497,71 @@ def encoding_repair_docs(docs: DataFrame) -> DataFrame:
     per the round-11 advice, counts can no longer diverge from the
     chained repair when one replacement abuts or synthesizes a later
     entry's match (the count moves with it, by construction).
+
+    Execution (round-13 rewrite): the 117 chained replaces used to be
+    117 nested Catalyst ``StringReplace`` expressions — 117 full string
+    passes per row, too deep for one codegen method, and the measured
+    top-quartile cost of a "scan-bound" pass (round-12 verdict).  The
+    semantics are UNCHANGED but now run as ONE Arrow ``mapInPandas``
+    kernel per batch: the batch's strings are joined on a ``\\x00``
+    sentinel into a single Python string and each table entry runs as
+    one C-speed ``str.replace`` guarded by an ``in`` pre-check, so the
+    (typical) absent entries cost one fast substring reject over the
+    batch instead of a per-row expression eval.  Joint-string chaining
+    is exactly per-row chaining: no artifact or fix contains ``\\x00``,
+    so no match can span or synthesize a row boundary (a text that
+    itself contains ``\\x00`` falls back to per-row replaces).  Python
+    ``str.replace`` and SQL ``replace`` agree bit-for-bit on literal
+    patterns (leftmost, non-overlapping, all occurrences), and both
+    ``len`` and ``F.length`` count codepoints, so the oracle is
+    untouched.
     """
-    chain3 = F.col("pt")
-    for art, fix in MOJIBAKE_TABLE:
-        if len(art) == 3:
-            chain3 = F.replace(chain3, F.lit(art), F.lit(fix))
-    chain2 = F.col("t3")
-    for art, fix in MOJIBAKE_TABLE:
-        if len(art) == 2:
-            chain2 = F.replace(chain2, F.lit(art), F.lit(fix))
-    n_moji = (
-        (F.length("pt") - F.length("t3")) / 2 + (F.length("t3") - F.length("rt"))
-    ).cast("long")
-    return (
-        docs.withColumn("t3", chain3)
-        .withColumn("rt", chain2)
-        .select(
-            "doc_id",
-            n_moji.alias("n_mojibake"),
-            F.col("rt").alias("repaired_text"),
-            (n_moji == 0).alias("was_clean"),
-        )
+    t3_entries = [(a, f) for a, f in MOJIBAKE_TABLE if len(a) == 3]
+    t2_entries = [(a, f) for a, f in MOJIBAKE_TABLE if len(a) == 2]
+
+    def repair_batches(batches):
+        import pandas as pd
+
+        def chain(texts, entries):
+            if any("\x00" in t for t in texts):  # sentinel collision
+                out = []
+                for t in texts:
+                    for art, fix in entries:
+                        if art in t:
+                            t = t.replace(art, fix)
+                    out.append(t)
+                return out
+            joint = "\x00".join(texts)
+            for art, fix in entries:
+                if art in joint:
+                    joint = joint.replace(art, fix)
+            return joint.split("\x00")
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["pt"].tolist()
+            n0 = [len(t) for t in texts]
+            mid = chain(texts, t3_entries)
+            n3 = [len(t) for t in mid]
+            out = chain(mid, t2_entries)
+            n2 = [len(t) for t in out]
+            # each 3-char repair drops exactly 2 chars, each 2-char
+            # repair drops 1 — (a−b) is even per row, so // is exact
+            n_moji = [(a - b) // 2 + (b - c) for a, b, c in zip(n0, n3, n2)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_mojibake": pd.array(n_moji, dtype="int64"),
+                    "repaired_text": out,
+                    "was_clean": [m == 0 for m in n_moji],
+                }
+            )
+
+    return docs.select("doc_id", "pt").mapInPandas(
+        repair_batches,
+        "doc_id long, n_mojibake long, repaired_text string,"
+        " was_clean boolean",
     )
 
 

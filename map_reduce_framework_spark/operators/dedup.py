@@ -90,6 +90,12 @@ COSINE_DUP_THRESHOLD = 0.35
 #: 100×; bits ∝ log₂(corpus) makes within-block work O(n · target ·
 #: (1+bits)) — linear in the corpus up to the log factor).
 EMB_BLOCK_TARGET = 64
+#: low key bits dropped when GROUPING blocks into Python tasks: each
+#: applyInPandas group packs ~2^6 fine sign-LSH blocks (~4k vectors),
+#: amortizing the per-group Python invocation overhead that dominated
+#: small-corpus wall time (round-13 fix; fine-block semantics unchanged
+#: — block_pairs sub-groups on the full key inside the kernel)
+EMB_COARSE_BITS = 6
 #: per-chunk GEMM budget for hot-block scoring (doubles): 2^24 cells
 #: ≈ 134 MB transient per task — 32 parallel Python workers stay well
 #: inside host memory even against a degenerate single-block corpus
@@ -192,6 +198,28 @@ def fan_out(df: DataFrame) -> DataFrame:
     is only ever paid when it unlocks idle cores.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def fan_out_sized(
+    df: DataFrame, n_rows: int, rows_per_task: int = 512
+) -> DataFrame:
+    """:func:`fan_out` with a KNOWN row count: cap the fan-out so each
+    task holds at least ``rows_per_task`` rows.  A Python-exchange stage
+    (mapInPandas/applyInPandas) pays a worker attach + Arrow stream
+    round-trip PER TASK (~10–20 ms measured on local[32]); fanning 2k
+    rows across 32 tasks buys no parallelism and 32× that overhead
+    (the round-13 dedup_embedding_cosine audit: 0.61 → 0.38 s for the
+    band stage alone at sf0.1).  At n ≥ rows_per_task·parallelism this
+    is exactly :func:`fan_out`; an already-parallel big scan is never
+    down-partitioned.
+    """
+    target = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(1, -(-n_rows // rows_per_task)),
+    )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -2332,7 +2360,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    exploded = fan_out(emb.select("vec_id", "embedding")).mapInPandas(
+    exploded = fan_out_sized(emb.select("vec_id", "embedding"), n).mapInPandas(
         band_keys, "vec_id bigint, embedding array<float>, band int, key bigint"
     )
 
@@ -2341,14 +2369,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-importing the module default
     gemm_cells = _GEMM_CHUNK_CELLS
 
-    def block_pairs(pdf):
+    def _score_block(ids, m, outs):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
         # chunked GEMM (round-10 hardening, found by the sf100 probe):
         # the full B×B sims matrix of a HOT block — e.g. a boilerplate
         # cluster whose members share every sign bit — is B²·8 bytes
@@ -2366,7 +2391,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounds MEMORY, not work.
         B = len(ids)
         chunk = max(4, gemm_cells // max(B, 1))
-        outs = []
         for s in range(0, B, chunk):
             e = min(s + chunk, B)
             sims = m[s:e] @ m[s:].T  # columns are j >= s only
@@ -2385,6 +2409,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
             )
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        outs = []
+        # one Spark→Python group holds MANY fine (band, key) blocks
+        # (coarse grouping below); iterate the fine blocks here —
+        # pandas groupby is C-level, ~free next to a per-block Python
+        # task invocation
+        pdf = pdf.sort_values(["key", "vec_id"])
+        for _k, sub in pdf.groupby("key", sort=False):
+            ids = sub["vec_id"].to_numpy()
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            _score_block(ids, m, outs)
         if not outs:
             return pd.DataFrame(
                 {
@@ -2395,8 +2434,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
+    # COARSE grouping (round-13 perf fix): grouping applyInPandas on the
+    # fine (band, key) spawned one Python invocation per ~64-vector
+    # block — ~1,900 invocations at sf0.1, and that per-group overhead,
+    # not the GEMM, was the measured cost (1.6 s warm).  Dropping the low
+    # EMB_COARSE_BITS of the key packs ~2^6 fine blocks (~4k vectors,
+    # ~2 MB) into each Python group and block_pairs sub-groups them back
+    # — the fine-block pair sets, GEMM order, and output are IDENTICAL
+    # (partition refinement), so the oracle and the recall contract are
+    # untouched.  Parallelism at scale is preserved: group count is
+    # nbands · 2^(r−6), still ≫ cores for any corpus past ~4k vectors
+    # per band.
     return (
-        exploded.groupBy("band", "key")
+        exploded.withColumn(
+            "coarse", F.expr(f"key >> {EMB_COARSE_BITS}").cast("bigint")
+        )
+        .groupBy("band", "coarse")
         .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cosine double")
         .groupBy("id_a", "id_b")
         .agg(F.min("cosine").alias("cosine"))

@@ -143,6 +143,10 @@ HEADLINE = [
     "dedup_recall_audit",
     "tokenizer_fertility",
     "ann_recall_audit",
+    # round 13 — recall governance extended to the remaining approximate
+    # screens (multiprobe sign-LSH, IVF-PQ ADC shortlist)
+    "ann_recall_lsh",
+    "ann_recall_pq",
 ]
 
 
@@ -161,8 +165,7 @@ def main() -> int:
     # host load at start/end so a contaminated capture is identifiable
     # from the JSON alone (the r06 artifact was silently inflated ~1.3×).
     # SPARK_GRAFT_MAX_LOAD=<float> additionally REFUSES to run when the
-    # 1-min load exceeds the bound — for manual quiet-host records; left
-    # off by default so the external driver can always capture a row.
+    # 1-min load exceeds the bound — for manual quiet-host records.
     load_start = round(os.getloadavg()[0], 2)
     max_load = os.environ.get("SPARK_GRAFT_MAX_LOAD")
     if max_load and load_start > float(max_load):
@@ -172,6 +175,31 @@ def main() -> int:
             file=sys.stderr,
         )
         return 3
+    # Default load GATE at the driver boundary (round-13, verdict item:
+    # the r12 driver artifact was captured at load 7→12 and its rows are
+    # ~2.5× quiet values).  The driver must ALWAYS get a capture, so
+    # instead of refusing, wait — up to SPARK_GRAFT_GATE_WAIT_SEC
+    # (default 600 s) in 30 s polls — for the 1-min load to drop under
+    # SPARK_GRAFT_GATE_LOAD (default 2.0); then proceed either way and
+    # record the gate's outcome in the artifact so a loaded capture is
+    # self-documenting.
+    gate_load = float(os.environ.get("SPARK_GRAFT_GATE_LOAD", "2.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_GATE_WAIT_SEC", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] > gate_load and waited < gate_wait:
+        print(
+            f"load gate: 1-min load {os.getloadavg()[0]:.2f} > {gate_load}"
+            f" — waiting ({int(waited)}s/{int(gate_wait)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+    load_start = round(os.getloadavg()[0], 2)
+    load_gate = {
+        "threshold": gate_load,
+        "waited_sec": int(waited),
+        "satisfied": load_start <= gate_load,
+    }
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -217,6 +245,16 @@ def main() -> int:
         print(f"bench {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # control-query drift factor (round-13): pricing_summary is untouched
+    # since round 1; its quiet-host record is 0.70 s (BASELINE.md round-11
+    # calibration).  timings/0.70 quantifies host-day drift for THIS
+    # capture, so cross-round comparisons can normalize without a
+    # separate calibration run.
+    control_drift = (
+        round(timings["pricing_summary"] / 0.70, 3)
+        if "pricing_summary" in timings
+        else None
+    )
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -229,6 +267,10 @@ def main() -> int:
         "strategy": "min",
         "load_1m_start": load_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
+        "load_gate": load_gate,
+        "control_query": "pricing_summary",
+        "control_quiet_ref_sec": 0.70,
+        "control_drift": control_drift,
     }
     # The driver's stdout capture keeps only the LAST ~2 KB: rounds
     # 9-11 all lost the FRONT of the single full-map JSON line and

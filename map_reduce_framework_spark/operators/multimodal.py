@@ -994,3 +994,253 @@ def jpeg_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _extract_jpeg, schema=JPEG_FEATURE_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup (round-13 addition)
+# --------------------------------------------------------------------------
+
+#: dedup_image_phash geometry: IMG_SIDE×IMG_SIDE 8-bit gray images,
+#: aHash over 2×2 block means → 64 bits, banded into 4×16-bit chunks.
+#: With PHASH_MAX_HAMMING = 3 < 4 bands the chunk blocking is LOSSLESS
+#: by pigeonhole (same argument as dedup_simhash): the operator finds
+#: EXACTLY the Hamming ≤ 3 pairs, no approximation.
+IMG_SIDE = 16
+PHASH_BAND_BITS = 16
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+#: plant density: every 16th image is a near-duplicate of its
+#: predecessor image (pixels 0 and 1 brightened by +8)
+PHASH_PLANT_MOD = 16
+
+
+def _png_encode_gray(px: bytes, w: int, h: int) -> bytes:
+    """Minimal REAL PNG encoder (stdlib struct+zlib): 8-bit grayscale,
+    filter 0 scanlines, non-interlaced, CRC-correct chunks — the exact
+    dialect :func:`_png_pixels` round-trips (and validates: chunk CRCs,
+    stream length)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y * w : (y + 1) * w] for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_corpus(docs: DataFrame) -> DataFrame:
+    """The image-kind rows of :func:`media_table` as REAL PNG payloads.
+
+    The synthetic corpus has no decodable images (payloads are text
+    bytes), so — per the repo's self-plant convention (_moji_plant,
+    _pii_plant) — the operator synthesizes deterministic 16×16 grayscale
+    pixels per image doc and ENCODES them through a real PNG writer:
+    ``px[i] = hash60('imgpx:<base>:<i>') % 240``, where ``base`` is the
+    doc itself except every ``PHASH_PLANT_MOD``-th image, which reuses
+    its predecessor image's pixels with pixels 0–1 brightened by +8 (a
+    planted near-duplicate: same image, slightly re-exposed).  Both
+    engines replay the pixel formula exactly — the oracle from the SQL
+    ``md5``, this side from ``hashlib.md5`` (byte-identical, the
+    dedup_simhash precedent).
+    """
+    imgs = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN (doc_id div 3) % "
+            f"{PHASH_PLANT_MOD} = 1 THEN doc_id - 3 ELSE doc_id END"
+        ).alias("base"),
+        F.expr(f"(doc_id div 3) % {PHASH_PLANT_MOD} = 1").alias("pert"),
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        side = IMG_SIDE
+        n_px = side * side
+        for pdf in batches:
+            payloads = []
+            for base, pert in zip(pdf["base"], pdf["pert"]):
+                px = bytearray(n_px)
+                for i in range(n_px):
+                    h = int(
+                        hashlib.md5(
+                            f"imgpx:{base}:{i}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    px[i] = h % 240 + (8 if pert and i < 2 else 0)
+                payloads.append(_png_encode_gray(bytes(px), side, side))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return imgs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+
+def image_ahash_bands(media: DataFrame) -> DataFrame:
+    """aHash of a PNG payload column, banded: decode pixels through the
+    REAL decoder (:func:`_png_pixels` — chunk walk, CRC verify, inflate,
+    unfilter), average 2×2 blocks (integer floor), threshold each block
+    mean against the integer mean-of-means, and pack the 64 bits
+    (j = block_row·8 + block_col) into ``PHASH_BANDS`` little-endian
+    16-bit band values.  All-integer, so the DuckDB oracle reproduces
+    every bit.
+    """
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [], "b3": []}
+            for payload in pdf["payload"]:
+                m, w, h, _depth, ch = _png_pixels(bytes(payload))
+                if ch != 1:
+                    raise ValueError("image_ahash_bands expects grayscale")
+                g = m.astype(np.int64).reshape(h, w)
+                blocks = (
+                    g.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+                )
+                mean = int(blocks.sum()) // blocks.size
+                bits = (blocks >= mean).astype(np.int64).reshape(-1)
+                shifts = np.arange(PHASH_BAND_BITS, dtype=np.int64)
+                for k in range(PHASH_BANDS):
+                    seg = bits[
+                        k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                    ]
+                    out[f"b{k}"].append(int((seg << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        ahash_batches, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image corpus — the
+    multimodal leg of the dedup family (re-encoded / re-exposed copies
+    of the same image share an aHash even when their bytes differ, so
+    exact/byte dedup misses them).
+
+    Pipeline: real PNG encode (:func:`image_corpus`) → real PNG decode +
+    aHash (:func:`image_ahash_bands`) → 16-bit-band equi-join →
+    exact-Hamming verify ≤ ``PHASH_MAX_HAMMING``.  The banding is the
+    :func:`~.dedup.dedup_simhash` construction and, at max Hamming 3 <
+    4 bands, LOSSLESS by pigeonhole — output is exactly the Hamming ≤ 3
+    pair set.
+
+    Scale: candidate generation is an equi-join on (band index, band
+    value) — never an all-pairs product; at 100 TB the band table is a
+    skinny (doc_id, 4 ints) projection and hot-band skew is bounded by
+    the 2¹⁶ value space per band (AQE skew-split handles residual
+    hotspots).  Python touches each image once (decode + 64-int hash);
+    everything after is JVM equi-join + bit_count.
+
+    No counterpart in the reference (SURVEY §2.4 extension; multimodal
+    training-data-pipeline family).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = image_ahash_bands(image_corpus(docs))
+    chunks = bands.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(k), F.col(f"b{k}").cast("string"))
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}"))
+        )
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= PHASH_MAX_HAMMING),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+from .dedup import _hash60_sql as _h60  # noqa: E402
+
+ORACLES["dedup_image_phash"] = f"""
+    WITH imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    par AS (SELECT doc_id,
+                   CASE WHEN (doc_id // 3) % {PHASH_PLANT_MOD} = 1
+                        THEN doc_id - 3 ELSE doc_id END AS base,
+                   ((doc_id // 3) % {PHASH_PLANT_MOD} = 1) AS pert
+            FROM imgs),
+    px AS (SELECT doc_id,
+                  r.i AS i,
+                  {_h60("concat('imgpx:', base, ':', r.i)")} % 240
+                  + CASE WHEN pert AND r.i < 2 THEN 8 ELSE 0 END AS v
+           FROM par, range({IMG_SIDE * IMG_SIDE}) r(i)),
+    avgs AS (SELECT doc_id,
+                    ((i // {IMG_SIDE}) // 2) * 8 + ((i % {IMG_SIDE}) // 2) AS j,
+                    sum(v) // 4 AS a
+             FROM px GROUP BY doc_id, ((i // {IMG_SIDE}) // 2) * 8
+                     + ((i % {IMG_SIDE}) // 2)),
+    means AS (SELECT doc_id, sum(a) // 64 AS m FROM avgs GROUP BY doc_id),
+    bits AS (SELECT avgs.doc_id, j,
+                    CASE WHEN a >= m THEN 1 ELSE 0 END AS bit
+             FROM avgs JOIN means ON means.doc_id = avgs.doc_id),
+    bands AS (SELECT doc_id, j // {PHASH_BAND_BITS} AS k,
+                     sum(bit * (1 << (j % {PHASH_BAND_BITS}))) AS val
+              FROM bits GROUP BY doc_id, j // {PHASH_BAND_BITS}),
+    wide AS (SELECT doc_id,
+                    sum(CASE WHEN k = 0 THEN val ELSE 0 END) AS b0,
+                    sum(CASE WHEN k = 1 THEN val ELSE 0 END) AS b1,
+                    sum(CASE WHEN k = 2 THEN val ELSE 0 END) AS b2,
+                    sum(CASE WHEN k = 3 THEN val ELSE 0 END) AS b3
+             FROM bands GROUP BY doc_id),
+    chunks AS (SELECT doc_id, b0, b1, b2, b3,
+                      unnest([concat('0:', b0), concat('1:', b1),
+                              concat('2:', b2), concat('3:', b3)]) AS ck
+               FROM wide),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+                    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+             FROM chunks a JOIN chunks b
+             ON a.ck = b.ck AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+                + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+                AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+          <= {PHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_image_phash"] = dedup_image_phash

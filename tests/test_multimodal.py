@@ -740,3 +740,98 @@ def test_decode_real_dispatches_jpeg():
 
     out = decode_real(_make_jpeg(width=24, height=12), "image")
     assert out["width"] == 24 and out["height"] == 12
+
+
+# --------------------------------------------------------------------------
+# dedup_image_phash (round 13)
+# --------------------------------------------------------------------------
+
+
+def test_png_encode_gray_roundtrips_through_real_decoder():
+    from map_reduce_framework_spark.operators.multimodal import (
+        _png_encode_gray,
+        _png_pixels,
+    )
+
+    px = bytes((i * 7 + 13) % 256 for i in range(256))
+    payload = _png_encode_gray(px, 16, 16)
+    out, w, h, depth, ch = _png_pixels(payload)
+    assert (w, h, depth, ch) == (16, 16, 8, 1)
+    assert bytes(out.reshape(-1).tolist()) == px
+
+
+def test_image_ahash_exposure_invariance_and_discrimination(spark):
+    """The aHash CONTRACT on engineered images: a uniformly re-exposed
+    copy (all pixels +2 — different bytes, same structure) hashes
+    IDENTICALLY (mean-relative thresholding), while an unrelated image
+    lands far away in Hamming space."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        PHASH_BANDS,
+        _png_encode_gray,
+        image_ahash_bands,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 240, size=256).astype("uint8").tobytes()
+    brightened = bytes(v + 2 for v in base)
+    other = rng.randint(0, 240, size=256).astype("uint8").tobytes()
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(_png_encode_gray(base, 16, 16))),
+            (1, bytearray(_png_encode_gray(brightened, 16, 16))),
+            (2, bytearray(_png_encode_gray(other, 16, 16))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_ahash_bands(media).collect()}
+    bands = lambda d: [rows[d][f"b{k}"] for k in range(PHASH_BANDS)]  # noqa: E731
+    assert bands(0) == bands(1), "re-exposure must not change the aHash"
+    ham = sum(
+        bin(x ^ y).count("1") for x, y in zip(bands(0), bands(2))
+    )
+    assert ham > 10, f"unrelated images should be far apart, got {ham}"
+
+
+def test_dedup_image_phash_finds_exactly_the_planted_pairs(spark):
+    from map_reduce_framework_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        PHASH_PLANT_MOD,
+        dedup_image_phash,
+    )
+
+    from .conftest import SF_DIR
+
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    planted = {
+        (d - 3, d)
+        for d in range(0, n_docs, 3)
+        if (d // 3) % PHASH_PLANT_MOD == 1
+    }
+    rows = dedup_image_phash(spark, SF_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == planted and len(planted) > 0
+    for r in rows:
+        assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
+
+
+def test_dedup_image_phash_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.multimodal import (
+        ORACLES,
+        dedup_image_phash,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup_image_phash,
+        ORACLES["dedup_image_phash"],
+        "dedup_image_phash",
+    )

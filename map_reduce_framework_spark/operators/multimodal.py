@@ -1040,7 +1040,7 @@ def _png_encode_gray(px: bytes, w: int, h: int) -> bytes:
     )
 
 
-def image_corpus(docs: DataFrame) -> DataFrame:
+def image_corpus(docs: DataFrame, n_hint: int | None = None) -> DataFrame:
     """The image-kind rows of :func:`media_table` as REAL PNG payloads.
 
     The synthetic corpus has no decodable images (payloads are text
@@ -1055,6 +1055,8 @@ def image_corpus(docs: DataFrame) -> DataFrame:
     ``md5``, this side from ``hashlib.md5`` (byte-identical, the
     dedup_simhash precedent).
     """
+    from .dedup import fan_out_sized
+
     imgs = docs.where(F.expr("doc_id % 3 = 0")).select(
         "doc_id",
         F.expr(
@@ -1063,6 +1065,11 @@ def image_corpus(docs: DataFrame) -> DataFrame:
         ).alias("base"),
         F.expr(f"(doc_id div 3) % {PHASH_PLANT_MOD} = 1").alias("pert"),
     )
+    if n_hint:
+        # the encode kernel is ~256 md5 calls per row — fan out so the
+        # single-file testdata scan doesn't serialize it on one task
+        # (rows_per_task sized for this kernel's per-row weight)
+        imgs = fan_out_sized(imgs, n_hint, rows_per_task=128)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1150,8 +1157,18 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     No counterpart in the reference (SURVEY §2.4 extension; multimodal
     training-data-pipeline family).
     """
+    from ..cache import persist_tracked
+    from ..sources.tables import table_row_count
+
     docs = load_table(spark, sf_dir, "documents")
-    bands = image_ahash_bands(image_corpus(docs))
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    # persist + materialize: the band table feeds BOTH join sides — an
+    # unpersisted plan would run the encode+decode kernels twice (and
+    # it is the skinny (doc_id, 4 ints) projection, trivially cached)
+    bands = persist_tracked(
+        image_ahash_bands(image_corpus(docs, n_hint=n_docs))
+    )
+    bands.count()
     chunks = bands.select(
         "doc_id",
         "b0",

@@ -47,151 +47,146 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order.  Round-12 curation (CORRECTNESS_r11 was
-# the first fully-green 50/50 window; the round-11 verdict's #1 item is
-# the pre-planned rotation debt below):
-# (a) FIRST, the FORTY-ONE r08-green rows round 11 deferred (the
-# contract pinned in round 11's registry comment and
+# entries in insertion order.  Round-13 curation (rounds 11 and 12 were
+# both fully-green 50/50 windows; the round-12 verdict's #1 item is the
+# pre-planned rotation debt below):
+# (a) FIRST, the THIRTY-NINE r09-latest rows round 12 deferred (the
+# contract pinned in round 12's registry comment and
 # test_registry_order.py: they would be 4 rounds stale otherwise and
-# MUST rotate in first): date_arithmetic .. wordcount, exactly the
-# pinned list, in the pinned (alphabetical) order.
+# MUST rotate in first): ann_cosine_topk .. zorder_locality_audit,
+# exactly the pinned list, in the pinned (alphabetical) order.
 # (b) queries whose ORACLE or PLAN changed, or that are NEW this round:
-# contamination_embedding (plan change: the GC-bound JVM higher-order
-# dot -> one mapInPandas BLAS GEMM per Arrow batch with a
-# boundary-exact sequential rescue — output identical, 13.7x at the
-# 2M-vector decade, scripts/contam_emb_probe.py);
-# encoding_repair (table + counts change: the 6 hand-picked mojibake
-# entries -> the GENERATED full 117-entry cp1252 round-trip table,
-# counts now per-stage length checkpoints = replaces actually
-# performed; plants extended to cover a 3-byte artifact);
-# kn_perplexity_heldout (NEW: held-out Kneser-Ney scoring — train on
-# the ~80% hash split, score the rest through an explicit backoff
-# ladder with a 2^-20 OOV floor; n_oov column; pure-Python reference
-# + per-rung sum-to-one pytest);
-# ccnet_buckets (NEW: the CCNet capstone — per-language perplexity
-# head/middle/tail terciles by VALUE-bucketed integer cuts composed
-# with lang_id + the dedup keeplist; value-table-only window);
-# quality_classifier_eval (NEW: held-out AUC/precision/recall/accuracy
-# of the trained classifier — integer-arithmetic tie-aware
-# Mann-Whitney AUC, separable-corpus AUC>0.9 pytest);
-# dedup_recall_audit (NEW: sampled LSH-recall governance audit — exact
-# ground truth on a hash-permille sample vs the screen's pair list,
-# sample-local by signature-pair-locality; a pytest ENGINEERS a
-# J>=0.8 pair with band-disjoint signatures and pins the miss);
-# tokenizer_fertility (NEW: per-language tokens/word + chars/token
-# governance rollup of the trained BPE — the multilingual-equity
-# audit; vocab-join formulation, language-cardinality output);
-# ann_recall_audit (NEW: measured IVF recall@k vs the exact scan —
-# the embedding-axis twin of dedup_recall_audit, auditing the
-# REGISTERED operators against each other).
-# Output-identical refactors NOT re-windowed (driver-sim verified
-# green at sf0.01 this round): quality_classifier_score (oracle gained
-# MATERIALIZED hints only — 134 s -> 0.1 s at sf0.001),
-# dedup_span_clip (join-column binding), pii_redact (shared-builder
-# split for the streaming twin).
-# (c) the alphabetically-first ONE of the 40 r09-latest greens — the
-# oldest remaining evidence on current code: agg_view_maintain.
-# ROUND-13 ROTATION DEBT (the remaining 39 r09-latest rows, all
+# ann_recall_audit (SCHEMA+ORACLE change: denominator is now the
+# per-query exact-neighbor count, n_exact column added — round-13
+# advice);
+# ann_recall_lsh / ann_recall_pq (NEW: measured recall governance for
+# the remaining two approximate screens — multiprobe sign-LSH and the
+# IVF-PQ ADC shortlist — registered-operator-vs-registered-operator,
+# the round-12 verdict's item 5);
+# dedup_image_phash (NEW: perceptual-hash image near-dup — real PNG
+# encode + real _png_pixels decode -> block-mean aHash -> 16-bit
+# Hamming-banded equi-join, lossless at ham<=3 by pigeonhole; planted
+# re-exposure pairs, verdict item 6);
+# dedup_recall_audit (PLAN change: PPJoin prefix/positional arithmetic
+# cast to BIGINT — int32 wrap on production-length docs silently
+# dropped true pairs, round-13 advice medium);
+# encoding_repair (PLAN change: 117 nested Catalyst replaces -> one
+# Arrow joint-string kernel, 2.8 s -> 1.0 s at sf0.1, semantics and
+# oracle unchanged);
+# dedup_embedding_cosine (PLAN change: coarse-key applyInPandas
+# grouping + size-aware fan-out, 1.6 s -> 1.1 s at sf0.1 — closes the
+# round-12 verdict's one >2x bench row; output identical);
+# contamination_embedding (PLAN change: fail-loud zero/NaN-norm guard
+# in the GEMM kernel — round-13 advice; output identical on real
+# inputs).
+# (c) the alphabetically-first THREE of the 46 r10-latest greens — the
+# oldest remaining evidence on current code: band_index_compact,
+# band_index_maintain, band_join_pricing.
+# ROUND-14 ROTATION DEBT (the remaining 43 r10-latest rows, all
 # unchanged-code shapes with prior driver greens):
-# ann_cosine_topk,
-# ann_index_compact,
-# ann_ivf,
-# ann_ivf_indexed,
-# ann_ivf_kmeans,
-# ann_ivf_pq,
-# ann_ivf_pq_indexed,
-# ann_lsh_bucketed,
-# array_functions,
-# asof_join,
-# dedup_containment,
-# dedup_incremental,
-# dedup_incremental_bloom,
-# dedup_incremental_indexed,
-# dedup_index_compact,
-# dedup_ngram_jaccard,
-# dedup_pipeline_keeplist,
-# dedup_semantic_scalable,
-# distribution_drift,
-# embedding_quantize_int8,
-# fuzzy_edit_pairs,
-# global_rank_quality,
-# golden_record_assembly,
-# heavy_hitters,
-# kcore_membership,
-# leakage_safe_splits,
-# mr_wordcount_facade,
-# multimodal_features,
-# null_semantics,
-# pack_sequences,
-# quality_filter_rules,
-# rolling_zscore,
-# scalar_functions,
-# source_overlap_matrix,
-# stratified_sample,
-# tfidf_topterms,
-# token_budget_plan,
-# window_range_interval,
-# zorder_locality_audit,
-# They will be 4 rounds stale after round 13 — rotate them in FIRST
-# next round, same contract as the r08 debt this round honours.
+# blocklist_redact,
+# bpe_segment_docs,
+# bpe_train_merges,
+# clean_corpus,
+# contamination_check,
+# dedup_exact_substring,
+# dedup_incremental_minhash,
+# dedup_incremental_minhash_indexed,
+# dedup_keeplist_quality,
+# dedup_minhash_lsh,
+# dedup_passage,
+# dedup_semantic,
+# dedup_winnowing,
+# doc_fingerprint,
+# events_sliding_window,
+# events_time_window,
+# events_user_enrichment,
+# events_window_distinct,
+# ewma_smooth,
+# gap_fill_hourly,
+# grouping_sets,
+# join_equi,
+# join_full_outer,
+# key_skew_profile,
+# lang_id,
+# mixture_sample,
+# ngram_topk,
+# not_exists_subquery,
+# pandas_udf_grouped_agg,
+# pandas_udf_scalar,
+# perplexity_proxy,
+# python_udtf_tokens,
+# quality_score,
+# repetition_stats,
+# scalar_subquery_above_avg,
+# set_union_all,
+# snapshot_diff,
+# sql_api_revenue,
+# table_profile,
+# text_stats,
+# token_count_bpe,
+# tpch_q2_min_cost_supplier,
+# window_distribution,
+# They will be 4 rounds stale after round 14 — rotate them in FIRST
+# next round, same contract as the r09 debt this round honours.
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
 # DuckDB's sketches; accuracy pytests vs exact twins cover them).
 # Queries NOT listed follow in module order; every one has a green
-# r08-r12 row.
+# r08-r13 row.
 DRIVER_WINDOW = [
-    # (a) round-11 deferred r08 rows — rotated in FIRST per contract
-    "date_arithmetic",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_index_maintain",
-    "dedup_simhash",
-    "distinct_keys",
-    "embedding_norm_stats",
-    "events_interval_join",
-    "filter_project",
-    "frame_sample_schedule",
-    "funnel_analysis",
-    "graph_triangle_stats",
-    "group_having",
-    "hash_sample",
-    "histogram_totalprice",
-    "join_anti",
-    "join_cross",
-    "join_outer",
-    "join_semi",
-    "kmeans_embeddings",
-    "lateral_posexplode",
-    "payload_chunks",
-    "percentile_summary",
-    "pivot_priority",
-    "rollup_agg",
-    "search_substring",
-    "session_window_agg",
-    "set_except",
-    "set_intersect_all",
-    "stats_agg",
-    "top_k",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_promo_stock_suppliers",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "training_manifest",
-    "unpivot_measures",
-    "window_extended",
-    "wordcount",
+    # (a) round-12 deferred r09 rows — rotated in FIRST per contract
+    "ann_cosine_topk",
+    "ann_index_compact",
+    "ann_ivf",
+    "ann_ivf_indexed",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_ivf_pq_indexed",
+    "ann_lsh_bucketed",
+    "array_functions",
+    "asof_join",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_incremental_bloom",
+    "dedup_incremental_indexed",
+    "dedup_index_compact",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_keeplist",
+    "dedup_semantic_scalable",
+    "distribution_drift",
+    "embedding_quantize_int8",
+    "fuzzy_edit_pairs",
+    "global_rank_quality",
+    "golden_record_assembly",
+    "heavy_hitters",
+    "kcore_membership",
+    "leakage_safe_splits",
+    "mr_wordcount_facade",
+    "multimodal_features",
+    "null_semantics",
+    "pack_sequences",
+    "quality_filter_rules",
+    "rolling_zscore",
+    "scalar_functions",
+    "source_overlap_matrix",
+    "stratified_sample",
+    "tfidf_topterms",
+    "token_budget_plan",
+    "window_range_interval",
+    "zorder_locality_audit",
     # (b) oracle/plan-changed or NEW this round
-    "contamination_embedding",
-    "encoding_repair",
-    "kn_perplexity_heldout",
-    "ccnet_buckets",
-    "quality_classifier_eval",
-    "dedup_recall_audit",
-    "tokenizer_fertility",
     "ann_recall_audit",
-    # (c) r09-latest greens, alphabetically first 1
-    "agg_view_maintain",
+    "ann_recall_lsh",
+    "ann_recall_pq",
+    "dedup_image_phash",
+    "dedup_recall_audit",
+    "encoding_repair",
+    "dedup_embedding_cosine",
+    "contamination_embedding",
+    # (c) r10-latest greens, alphabetically first 3
+    "band_index_compact",
+    "band_index_maintain",
+    "band_join_pricing",
 ]
 
 

@@ -1,22 +1,22 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-12 policy (CORRECTNESS_r11 was the first fully-green 50/50
-window): the window holds (a) FIRST the 41 r08-green rows round 11
-deferred — the pre-planned debt, honoured exactly as pinned in round
-11's registry comment — (b) the round-12 plan/oracle changes and NEW
-operators: contamination_embedding (mapInPandas GEMM kernel),
-encoding_repair (generated full cp1252 table + checkpoint counts),
-kn_perplexity_heldout (backoff + OOV floor), ccnet_buckets (perplexity
-terciles capstone), quality_classifier_eval (held-out AUC/precision),
-dedup_recall_audit (sampled LSH-recall governance audit),
-tokenizer_fertility (per-language BPE fertility rollup),
-ann_recall_audit (measured IVF recall@k) —
-and (c) the alphabetically-first of the 40 r09-latest greens.  The
-remaining 39 r09 rows are deferred to round 13 (named in registry.py —
-rotate them in FIRST next round).  The two approx sketches are excluded
-permanently — they can never hash-match DuckDB's sketches and would
-burn slots on guaranteed `no_oracle` rows.
+Round-13 policy (rounds 11 and 12 were both fully-green 50/50 windows):
+the window holds (a) FIRST the 39 r09-latest rows round 12 deferred —
+the pre-planned debt, honoured exactly as pinned in round 12's registry
+comment — (b) the round-13 plan/oracle changes and NEW operators:
+ann_recall_audit (per-query n_exact denominator — schema+oracle change),
+ann_recall_lsh / ann_recall_pq (measured recall for the remaining two
+approximate screens), dedup_image_phash (perceptual-hash image near-dup
+through the real PNG codec), dedup_recall_audit (BIGINT casts in the
+PPJoin filters), encoding_repair (Arrow joint-string kernel),
+dedup_embedding_cosine (coarse-key grouping + size-aware fan-out),
+contamination_embedding (fail-loud NaN/zero-norm guard) —
+and (c) the alphabetically-first THREE of the 46 r10-latest greens.
+The remaining 43 r10 rows are deferred to round 14 (named in
+registry.py — rotate them in FIRST next round).  The two approx
+sketches are excluded permanently — they can never hash-match DuckDB's
+sketches and would burn slots on guaranteed `no_oracle` rows.
 """
 
 from __future__ import annotations
@@ -26,77 +26,32 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R12 = {
-    # plan change: broadcast-crossJoin JVM higher-order dot → one BLAS
-    # GEMM per Arrow batch + boundary-exact sequential rescue (output
-    # identical; 13.7× at the 2M-vector decade)
-    "contamination_embedding",
-    # table + counts change: generated 117-entry cp1252 round-trip
-    # table; counts = per-stage length checkpoints (replaces performed)
-    "encoding_repair",
-    # NEW: held-out Kneser–Ney with explicit backoff + 2^-20 OOV floor
-    "kn_perplexity_heldout",
-    # NEW: CCNet perplexity-tercile capstone (value-bucketed cuts)
-    "ccnet_buckets",
-    # NEW: held-out evaluation of the trained quality classifier
-    "quality_classifier_eval",
-    # NEW: sampled LSH-recall governance audit (engineered-miss pytest)
-    "dedup_recall_audit",
-    # NEW: per-language BPE fertility governance rollup
-    "tokenizer_fertility",
-    # NEW: measured IVF recall@k vs the exact scan (embedding-axis
-    # audit twin)
+ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R13 = {
+    # schema+oracle change: recall denominator = per-query exact count
+    # (n_exact column added) — round-13 advice
     "ann_recall_audit",
+    # NEW: measured multiprobe sign-LSH recall@k (governance audit)
+    "ann_recall_lsh",
+    # NEW: measured IVF-PQ end-to-end recall@k (probe + ADC shortlist)
+    "ann_recall_pq",
+    # NEW: perceptual-hash image near-dup (real PNG encode/decode,
+    # lossless 16-bit Hamming banding, planted re-exposure pairs)
+    "dedup_image_phash",
+    # plan change: PPJoin prefix/positional arithmetic cast to BIGINT
+    # (int32 wrap dropped true pairs on production-length docs)
+    "dedup_recall_audit",
+    # plan change: 117 nested Catalyst replaces → one Arrow joint-string
+    # kernel (semantics and oracle unchanged; 2.8 s → 1.0 s at sf0.1)
+    "encoding_repair",
+    # plan change: coarse-key applyInPandas grouping + size-aware
+    # fan-out (output identical; 1.6 s → 1.1 s at sf0.1)
+    "dedup_embedding_cosine",
+    # plan change: fail-loud zero/NaN-norm guard in the GEMM kernel
+    "contamination_embedding",
 }
 
-#: r08-green rows deferred by round 11 — the debt this window pays FIRST
-DEFERRED_FROM_R11 = [
-    "date_arithmetic",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_index_maintain",
-    "dedup_simhash",
-    "distinct_keys",
-    "embedding_norm_stats",
-    "events_interval_join",
-    "filter_project",
-    "frame_sample_schedule",
-    "funnel_analysis",
-    "graph_triangle_stats",
-    "group_having",
-    "hash_sample",
-    "histogram_totalprice",
-    "join_anti",
-    "join_cross",
-    "join_outer",
-    "join_semi",
-    "kmeans_embeddings",
-    "lateral_posexplode",
-    "payload_chunks",
-    "percentile_summary",
-    "pivot_priority",
-    "rollup_agg",
-    "search_substring",
-    "session_window_agg",
-    "set_except",
-    "set_intersect_all",
-    "stats_agg",
-    "top_k",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_promo_stock_suppliers",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "training_manifest",
-    "unpivot_measures",
-    "window_extended",
-    "wordcount",
-]
-
-#: r09-latest rows deferred to round 13 for the block-b/c slots —
-#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
-DEFERRED_TO_R13 = {
+#: r09-latest rows deferred by round 12 — the debt this window pays FIRST
+DEFERRED_FROM_R12 = [
     "ann_cosine_topk",
     "ann_index_compact",
     "ann_ivf",
@@ -136,6 +91,54 @@ DEFERRED_TO_R13 = {
     "token_budget_plan",
     "window_range_interval",
     "zorder_locality_audit",
+]
+
+#: r10-latest rows deferred to round 14 for the block-b/c slots —
+#: rotate these in FIRST next round (they go 4 rounds stale otherwise)
+DEFERRED_TO_R14 = {
+    "blocklist_redact",
+    "bpe_segment_docs",
+    "bpe_train_merges",
+    "clean_corpus",
+    "contamination_check",
+    "dedup_exact_substring",
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
+    "dedup_keeplist_quality",
+    "dedup_minhash_lsh",
+    "dedup_passage",
+    "dedup_semantic",
+    "dedup_winnowing",
+    "doc_fingerprint",
+    "events_sliding_window",
+    "events_time_window",
+    "events_user_enrichment",
+    "events_window_distinct",
+    "ewma_smooth",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "join_equi",
+    "join_full_outer",
+    "key_skew_profile",
+    "lang_id",
+    "mixture_sample",
+    "ngram_topk",
+    "not_exists_subquery",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "perplexity_proxy",
+    "python_udtf_tokens",
+    "quality_score",
+    "repetition_stats",
+    "scalar_subquery_above_avg",
+    "set_union_all",
+    "snapshot_diff",
+    "sql_api_revenue",
+    "table_profile",
+    "text_stats",
+    "token_count_bpe",
+    "tpch_q2_min_cost_supplier",
+    "window_distribution",
 }
 
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
@@ -151,6 +154,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
+    "CORRECTNESS_r12.json",
 )
 
 
@@ -171,14 +175,14 @@ def test_driver_window_is_first_50():
 
 def test_window_covers_new_and_changed_queries():
     window = set(registry.DRIVER_WINDOW)
-    assert ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R12 <= window
+    assert ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R13 <= window
 
 
-def test_r11_debt_paid_first():
-    """The 41 r08 rows round 11 deferred must head the window, in order
+def test_r12_debt_paid_first():
+    """The 39 r09 rows round 12 deferred must head the window, in order
     — the rotation contract test_registry_order pinned last round."""
     assert (
-        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R11)] == DEFERRED_FROM_R11
+        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R12)] == DEFERRED_FROM_R12
     )
 
 
@@ -186,15 +190,15 @@ def test_deferred_rows_are_known_and_green_elsewhere():
     """Every deferred row must be a real query with a prior driver
     green (they are debt, not gaps)."""
     window = set(registry.DRIVER_WINDOW)
-    assert not (DEFERRED_TO_R13 & window)
-    assert DEFERRED_TO_R13 <= set(registry.get_queries())
-    assert DEFERRED_TO_R13 <= _prior_checked()
+    assert not (DEFERRED_TO_R14 & window)
+    assert DEFERRED_TO_R14 <= set(registry.get_queries())
+    assert DEFERRED_TO_R14 <= _prior_checked()
 
 
-def test_no_evidence_older_than_r09_after_this_round():
-    """The round-12 freshness goal: after this window lands, no
-    query's newest driver row may be older than round 9 — i.e. every
-    query whose newest green is r08 or older must be IN the window
+def test_no_evidence_older_than_r10_after_this_round():
+    """The round-13 freshness goal: after this window lands, no
+    query's newest driver row may be older than round 10 — i.e. every
+    query whose newest green is r09 or older must be IN the window
     now."""
     latest: dict[str, int] = {}
     for rec in PRIOR_ROUNDS:
@@ -207,10 +211,10 @@ def test_no_evidence_older_than_r09_after_this_round():
     stale = {
         q
         for q, r in latest.items()
-        if r < 9 and q in registry.get_queries() and q not in NO_ORACLE_BY_DESIGN
+        if r < 10 and q in registry.get_queries() and q not in NO_ORACLE_BY_DESIGN
     }
     assert stale <= window, (
-        f"r08-or-older evidence left outside: {sorted(stale - window)}"
+        f"r09-or-older evidence left outside: {sorted(stale - window)}"
     )
 
 

@@ -148,7 +148,9 @@ HEADLINE = [
     "ann_recall_lsh",
     "ann_recall_pq",
     # round 13 — perceptual-hash image dedup (real PNG encode/decode)
+    # and the audio-leg fingerprint dedup (real WAV encode/decode)
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 

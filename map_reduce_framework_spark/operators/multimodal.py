@@ -1169,6 +1169,15 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_ahash_bands(image_corpus(docs, n_hint=n_docs))
     )
     bands.count()
+    return _banded_hamming_pairs(bands)
+
+
+def _banded_hamming_pairs(bands: DataFrame) -> DataFrame:
+    """Shared candidate-generation + verify tail for 64-bit perceptual
+    fingerprints (image aHash, audio delta-sign): explode the 4 band
+    values into band keys, equi-join, verify exact Hamming ≤
+    ``PHASH_MAX_HAMMING`` — lossless at ham ≤ 3 < 4 bands (pigeonhole,
+    the dedup_simhash construction)."""
     chunks = bands.select(
         "doc_id",
         "b0",
@@ -1210,27 +1219,14 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .dedup import _hash60_sql as _h60  # noqa: E402
 
-ORACLES["dedup_image_phash"] = f"""
-    WITH imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-    par AS (SELECT doc_id,
-                   CASE WHEN (doc_id // 3) % {PHASH_PLANT_MOD} = 1
-                        THEN doc_id - 3 ELSE doc_id END AS base,
-                   ((doc_id // 3) % {PHASH_PLANT_MOD} = 1) AS pert
-            FROM imgs),
-    px AS (SELECT doc_id,
-                  r.i AS i,
-                  {_h60("concat('imgpx:', base, ':', r.i)")} % 240
-                  + CASE WHEN pert AND r.i < 2 THEN 8 ELSE 0 END AS v
-           FROM par, range({IMG_SIDE * IMG_SIDE}) r(i)),
-    avgs AS (SELECT doc_id,
-                    ((i // {IMG_SIDE}) // 2) * 8 + ((i % {IMG_SIDE}) // 2) AS j,
-                    sum(v) // 4 AS a
-             FROM px GROUP BY doc_id, ((i // {IMG_SIDE}) // 2) * 8
-                     + ((i % {IMG_SIDE}) // 2)),
-    means AS (SELECT doc_id, sum(a) // 64 AS m FROM avgs GROUP BY doc_id),
-    bits AS (SELECT avgs.doc_id, j,
-                    CASE WHEN a >= m THEN 1 ELSE 0 END AS bit
-             FROM avgs JOIN means ON means.doc_id = avgs.doc_id),
+
+def _banded_pairs_sql(bit_ctes: str) -> str:
+    """DuckDB twin of :func:`_banded_hamming_pairs`, shared by the image
+    and audio fingerprint oracles: ``bit_ctes`` must end with a CTE
+    ``bits(doc_id, j, bit)`` (j in 0..63); this appends the identical
+    band packing, band-key candidate join, and exact-Hamming verify."""
+    return f"""
+    WITH {bit_ctes},
     bands AS (SELECT doc_id, j // {PHASH_BAND_BITS} AS k,
                      sum(bit * (1 << (j % {PHASH_BAND_BITS}))) AS val
               FROM bits GROUP BY doc_id, j // {PHASH_BAND_BITS}),
@@ -1260,4 +1256,219 @@ ORACLES["dedup_image_phash"] = f"""
     ORDER BY doc_a, doc_b
 """
 
+
+ORACLES["dedup_image_phash"] = _banded_pairs_sql(f"""
+    imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    par AS (SELECT doc_id,
+                   CASE WHEN (doc_id // 3) % {PHASH_PLANT_MOD} = 1
+                        THEN doc_id - 3 ELSE doc_id END AS base,
+                   ((doc_id // 3) % {PHASH_PLANT_MOD} = 1) AS pert
+            FROM imgs),
+    px AS (SELECT doc_id,
+                  r.i AS i,
+                  {_h60("concat('imgpx:', base, ':', r.i)")} % 240
+                  + CASE WHEN pert AND r.i < 2 THEN 8 ELSE 0 END AS v
+           FROM par, range({IMG_SIDE * IMG_SIDE}) r(i)),
+    avgs AS (SELECT doc_id,
+                    ((i // {IMG_SIDE}) // 2) * 8 + ((i % {IMG_SIDE}) // 2) AS j,
+                    sum(v) // 4 AS a
+             FROM px GROUP BY doc_id, ((i // {IMG_SIDE}) // 2) * 8
+                     + ((i % {IMG_SIDE}) // 2)),
+    means AS (SELECT doc_id, sum(a) // 64 AS m FROM avgs GROUP BY doc_id),
+    bits AS (SELECT avgs.doc_id, j,
+                    CASE WHEN a >= m THEN 1 ELSE 0 END AS bit
+             FROM avgs JOIN means ON means.doc_id = avgs.doc_id)""")
+
 QUERIES["dedup_image_phash"] = dedup_image_phash
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup (round-13 addition — the audio leg)
+# --------------------------------------------------------------------------
+
+#: dedup_audio_fingerprint geometry: mono 8-bit PCM clips of
+#: AUDIO_FRAME·(AUDIO_BITS+1) samples; fingerprint bit j = 1 iff frame
+#: j+1's energy exceeds frame j's (the energy-delta sign sequence — the
+#: Shazam/Chromaprint family's core invariant, EXACTLY invariant to a
+#: uniform DC offset and to any monotone per-frame-preserving gain).
+#: Bands/verify reuse the image constants (4×16-bit, ham ≤ 3 lossless).
+AUDIO_FRAME = 4
+AUDIO_BITS = 64
+AUDIO_N_SAMPLES = AUDIO_FRAME * (AUDIO_BITS + 1)
+AUDIO_RATE = 8000
+
+
+def _wav_encode_pcm8(samples: bytes, rate: int = AUDIO_RATE) -> bytes:
+    """Minimal REAL WAV encoder (stdlib struct): RIFF/WAVE with a
+    16-byte PCM ``fmt `` chunk (mono, 8-bit) and a ``data`` chunk — the
+    exact dialect :func:`decode_wav` walks and validates."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    data = samples
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_pcm8_samples(payload: bytes):
+    """Decode a mono 8-bit PCM WAV to its sample array through the REAL
+    chunk walk: :func:`decode_wav` validates geometry (fail-loud on
+    non-PCM/truncation), then the data chunk bytes are located by the
+    same RIFF walk and returned as uint8."""
+    import struct
+
+    import numpy as np
+
+    geo = decode_wav(payload)
+    if geo["bits_per_sample"] != 8 or geo["n_channels"] != 1:
+        raise ValueError("fingerprint expects mono 8-bit PCM")
+    pos = 12
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if chunk_id == b"data":
+            return np.frombuffer(
+                payload[body : body + chunk_len], dtype=np.uint8
+            )
+        pos = body + chunk_len + (chunk_len & 1)
+    raise ValueError("WAV missing data chunk")  # unreachable post-decode
+
+
+def audio_corpus(docs: DataFrame, n_hint: int | None = None) -> DataFrame:
+    """The audio-kind rows of :func:`media_table` as REAL WAV payloads —
+    the audio twin of :func:`image_corpus`: deterministic samples
+    ``u[i] = hash60('wavpx:<base>:<i>') % 200``, with every
+    ``PHASH_PLANT_MOD``-th audio doc reusing its predecessor's samples
+    with samples 0–1 raised by +8 (a planted near-duplicate: the same
+    recording with a small leading edit)."""
+    from .dedup import fan_out_sized
+
+    auds = docs.where(F.expr("doc_id % 3 = 1")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN ((doc_id - 1) div 3) % "
+            f"{PHASH_PLANT_MOD} = 1 THEN doc_id - 3 ELSE doc_id END"
+        ).alias("base"),
+        F.expr(
+            f"((doc_id - 1) div 3) % {PHASH_PLANT_MOD} = 1"
+        ).alias("pert"),
+    )
+    if n_hint:
+        auds = fan_out_sized(auds, n_hint, rows_per_task=128)
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = []
+            for base, pert in zip(pdf["base"], pdf["pert"]):
+                u = bytearray(AUDIO_N_SAMPLES)
+                for i in range(AUDIO_N_SAMPLES):
+                    h = int(
+                        hashlib.md5(
+                            f"wavpx:{base}:{i}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    u[i] = h % 200 + (8 if pert and i < 2 else 0)
+                payloads.append(_wav_encode_pcm8(bytes(u)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return auds.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+
+def audio_delta_bands(media: DataFrame) -> DataFrame:
+    """Energy-delta-sign fingerprint of a WAV payload column, banded:
+    decode PCM through the real chunk walk, sum ``AUDIO_FRAME``-sample
+    frame energies, emit bit j = (E[j+1] > E[j]) for the 64 deltas, and
+    pack into 4×16-bit band values.  All-integer; EXACTLY invariant to
+    a uniform DC offset (every frame energy shifts equally, no strict
+    inequality flips) — the property the pytest pins."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [], "b3": []}
+            for payload in pdf["payload"]:
+                u = _wav_pcm8_samples(bytes(payload))
+                if len(u) != AUDIO_N_SAMPLES:
+                    raise ValueError(
+                        f"expected {AUDIO_N_SAMPLES} samples, got {len(u)}"
+                    )
+                e = (
+                    u.astype(np.int64)
+                    .reshape(AUDIO_BITS + 1, AUDIO_FRAME)
+                    .sum(axis=1)
+                )
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                shifts = np.arange(PHASH_BAND_BITS, dtype=np.int64)
+                for k in range(PHASH_BANDS):
+                    seg = bits[
+                        k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                    ]
+                    out[f"b{k}"].append(int((seg << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fp_batches, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup pairs over the audio corpus — the
+    audio leg of the multimodal dedup family (a re-encoded / re-leveled
+    copy of the same recording differs byte-wise but keeps its energy
+    contour, so exact dedup misses it; this catches it).
+
+    Pipeline: real WAV encode (:func:`audio_corpus`) → real chunk-walk
+    decode + delta-sign fingerprint (:func:`audio_delta_bands`) → the
+    shared 16-bit-band equi-join + exact-Hamming verify
+    (:func:`_banded_hamming_pairs`, lossless at ham ≤ 3).  Same scale
+    posture as :func:`dedup_image_phash`: Python touches each clip
+    once; candidates come from a banded equi-join, never a product.
+
+    No counterpart in the reference (SURVEY §2.4 extension; multimodal
+    training-data-pipeline family).
+    """
+    from ..cache import persist_tracked
+    from ..sources.tables import table_row_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    bands = persist_tracked(
+        audio_delta_bands(audio_corpus(docs, n_hint=n_docs))
+    )
+    bands.count()
+    return _banded_hamming_pairs(bands)
+
+
+ORACLES["dedup_audio_fingerprint"] = _banded_pairs_sql(f"""
+    auds AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    par AS (SELECT doc_id,
+                   CASE WHEN ((doc_id - 1) // 3) % {PHASH_PLANT_MOD} = 1
+                        THEN doc_id - 3 ELSE doc_id END AS base,
+                   (((doc_id - 1) // 3) % {PHASH_PLANT_MOD} = 1) AS pert
+            FROM auds),
+    px AS (SELECT doc_id,
+                  r.i AS i,
+                  {_h60("concat('wavpx:', base, ':', r.i)")} % 200
+                  + CASE WHEN pert AND r.i < 2 THEN 8 ELSE 0 END AS v
+           FROM par, range({AUDIO_N_SAMPLES}) r(i)),
+    frames AS (SELECT doc_id, i // {AUDIO_FRAME} AS f, sum(v) AS e
+               FROM px GROUP BY doc_id, i // {AUDIO_FRAME}),
+    bits AS (SELECT a.doc_id, a.f AS j,
+                    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             FROM frames a JOIN frames b
+             ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             WHERE a.f < {AUDIO_BITS})""")
+
+QUERIES["dedup_audio_fingerprint"] = dedup_audio_fingerprint

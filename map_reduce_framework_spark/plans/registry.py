@@ -67,6 +67,9 @@ _MODULES = [
 # encode + real _png_pixels decode -> block-mean aHash -> 16-bit
 # Hamming-banded equi-join, lossless at ham<=3 by pigeonhole; planted
 # re-exposure pairs, verdict item 6);
+# dedup_audio_fingerprint (NEW: the audio leg — real WAV encode + real
+# chunk-walk PCM decode -> energy-delta-sign fingerprint, exactly
+# DC-offset invariant, shared banded-Hamming tail with the image op);
 # dedup_recall_audit (PLAN change: PPJoin prefix/positional arithmetic
 # cast to BIGINT — int32 wrap on production-length docs silently
 # dropped true pairs, round-13 advice medium);
@@ -79,11 +82,12 @@ _MODULES = [
 # contamination_embedding (PLAN change: fail-loud zero/NaN-norm guard
 # in the GEMM kernel — round-13 advice; output identical on real
 # inputs).
-# (c) the alphabetically-first THREE of the 46 r10-latest greens — the
+# (c) the alphabetically-first TWO of the 46 r10-latest greens — the
 # oldest remaining evidence on current code: band_index_compact,
-# band_index_maintain, band_join_pricing.
-# ROUND-14 ROTATION DEBT (the remaining 43 r10-latest rows, all
+# band_index_maintain.
+# ROUND-14 ROTATION DEBT (the remaining 44 r10-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# band_join_pricing,
 # blocklist_redact,
 # bpe_segment_docs,
 # bpe_train_merges,
@@ -179,14 +183,14 @@ DRIVER_WINDOW = [
     "ann_recall_lsh",
     "ann_recall_pq",
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
     "dedup_recall_audit",
     "encoding_repair",
     "dedup_embedding_cosine",
     "contamination_embedding",
-    # (c) r10-latest greens, alphabetically first 3
+    # (c) r10-latest greens, alphabetically first 2
     "band_index_compact",
     "band_index_maintain",
-    "band_join_pricing",
 ]
 
 

@@ -835,3 +835,102 @@ def test_dedup_image_phash_matches_oracle(spark, duck):
         ORACLES["dedup_image_phash"],
         "dedup_image_phash",
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_audio_fingerprint (round 13)
+# --------------------------------------------------------------------------
+
+
+def test_wav_pcm8_roundtrips_through_real_chunk_walk():
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        _wav_encode_pcm8,
+        _wav_pcm8_samples,
+        decode_wav,
+    )
+
+    u = bytes((i * 11 + 5) % 200 for i in range(260))
+    payload = _wav_encode_pcm8(u)
+    geo = decode_wav(payload)
+    assert geo["n_samples"] == 260 and geo["bits_per_sample"] == 8
+    assert geo["n_channels"] == 1
+    assert bytes(_wav_pcm8_samples(payload).tolist()) == u
+    assert np.frombuffer(u, dtype=np.uint8).shape == (260,)
+
+
+def test_audio_fingerprint_dc_offset_invariance_and_discrimination(spark):
+    """The delta-sign CONTRACT on engineered clips: a +5 DC offset
+    shifts every frame energy by the same amount, so the fingerprint is
+    IDENTICAL (exactly — no strict inequality can flip); an unrelated
+    clip lands far away in Hamming space."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        AUDIO_N_SAMPLES,
+        PHASH_BANDS,
+        _wav_encode_pcm8,
+        audio_delta_bands,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 200, size=AUDIO_N_SAMPLES).astype("uint8").tobytes()
+    offset = bytes(v + 5 for v in base)
+    other = rng.randint(0, 200, size=AUDIO_N_SAMPLES).astype("uint8").tobytes()
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(_wav_encode_pcm8(base))),
+            (1, bytearray(_wav_encode_pcm8(offset))),
+            (2, bytearray(_wav_encode_pcm8(other))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_delta_bands(media).collect()}
+    bands = lambda d: [rows[d][f"b{k}"] for k in range(PHASH_BANDS)]  # noqa: E731
+    assert bands(0) == bands(1), "DC offset must not change the fingerprint"
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(bands(0), bands(2)))
+    assert ham > 10, f"unrelated clips should be far apart, got {ham}"
+
+
+def test_dedup_audio_fingerprint_finds_exactly_the_planted_pairs(spark):
+    import duckdb
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        PHASH_PLANT_MOD,
+        dedup_audio_fingerprint,
+    )
+
+    from .conftest import SF_DIR
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    planted = {
+        (d - 3, d)
+        for d in range(1, n_docs, 3)
+        if ((d - 1) // 3) % PHASH_PLANT_MOD == 1
+    }
+    rows = dedup_audio_fingerprint(spark, SF_DIR).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == planted and len(planted) > 0
+    for r in rows:
+        assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
+
+
+def test_dedup_audio_fingerprint_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.multimodal import (
+        ORACLES,
+        dedup_audio_fingerprint,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup_audio_fingerprint,
+        ORACLES["dedup_audio_fingerprint"],
+        "dedup_audio_fingerprint",
+    )

@@ -11,9 +11,10 @@ approximate screens), dedup_image_phash (perceptual-hash image near-dup
 through the real PNG codec), dedup_recall_audit (BIGINT casts in the
 PPJoin filters), encoding_repair (Arrow joint-string kernel),
 dedup_embedding_cosine (coarse-key grouping + size-aware fan-out),
-contamination_embedding (fail-loud NaN/zero-norm guard) —
-and (c) the alphabetically-first THREE of the 46 r10-latest greens.
-The remaining 43 r10 rows are deferred to round 14 (named in
+contamination_embedding (fail-loud NaN/zero-norm guard),
+dedup_audio_fingerprint (audio-leg fingerprint dedup) —
+and (c) the alphabetically-first TWO of the 46 r10-latest greens.
+The remaining 44 r10 rows are deferred to round 14 (named in
 registry.py — rotate them in FIRST next round).  The two approx
 sketches are excluded permanently — they can never hash-match DuckDB's
 sketches and would burn slots on guaranteed `no_oracle` rows.
@@ -37,6 +38,9 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R13 = {
     # NEW: perceptual-hash image near-dup (real PNG encode/decode,
     # lossless 16-bit Hamming banding, planted re-exposure pairs)
     "dedup_image_phash",
+    # NEW: audio-leg fingerprint dedup (real WAV encode/decode,
+    # energy-delta-sign fingerprint, exactly DC-offset invariant)
+    "dedup_audio_fingerprint",
     # plan change: PPJoin prefix/positional arithmetic cast to BIGINT
     # (int32 wrap dropped true pairs on production-length docs)
     "dedup_recall_audit",
@@ -96,6 +100,7 @@ DEFERRED_FROM_R12 = [
 #: r10-latest rows deferred to round 14 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R14 = {
+    "band_join_pricing",
     "blocklist_redact",
     "bpe_segment_docs",
     "bpe_train_merges",

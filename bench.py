@@ -151,6 +151,7 @@ HEADLINE = [
     # and the audio-leg fingerprint dedup (real WAV encode/decode)
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "media_dedup_clusters",
 ]
 
 

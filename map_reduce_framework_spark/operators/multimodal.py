@@ -1472,3 +1472,70 @@ ORACLES["dedup_audio_fingerprint"] = _banded_pairs_sql(f"""
              WHERE a.f < {AUDIO_BITS})""")
 
 QUERIES["dedup_audio_fingerprint"] = dedup_audio_fingerprint
+
+
+def media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve BOTH perceptual-fingerprint pair lists (image aHash +
+    audio delta-sign) into keep/drop clusters — the canonicalization
+    step that completes the multimodal dedup pipeline, exactly as
+    :func:`~.graph.dedup_clusters` completes the text pipeline: edges =
+    near-dup pairs, transitive closure via min-label propagation with
+    pointer doubling (:func:`~.graph.connected_components`), canonical =
+    lowest doc_id per cluster.  Image and audio doc populations are
+    disjoint (doc_id mod 3), so components never mix modalities — the
+    union is a convenience, not a semantic merge.
+
+    Scale posture: both edge generators are banded equi-joins (never a
+    product), and each CC sweep shuffles two longs per edge; cluster
+    diameter for perceptual near-dups is tiny (dense blobs).
+
+    No counterpart in the reference (SURVEY §2.4 extension; multimodal
+    training-data-pipeline family).
+    """
+    from .graph import connected_components
+
+    pairs = (
+        dedup_image_phash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .union(
+            dedup_audio_fingerprint(spark, sf_dir).select("doc_a", "doc_b")
+        )
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    modality = F.when(F.col("doc_id") % 3 == 0, "image").otherwise("audio")
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .withColumn("modality", modality)
+        .select("doc_id", "modality", "cluster_id", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["media_dedup_clusters"] = f"""
+    WITH RECURSIVE
+    ipairs AS ({ORACLES["dedup_image_phash"]}),
+    apairs AS ({ORACLES["dedup_audio_fingerprint"]}),
+    pairs AS (SELECT doc_a, doc_b FROM ipairs
+              UNION ALL SELECT doc_a, doc_b FROM apairs),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id AS label FROM verts
+        UNION
+        SELECT e.dst AS doc_id, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id)
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
+               AS modality,
+           min(label) AS cluster_id,
+           (doc_id = min(label)) AS is_canonical
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["media_dedup_clusters"] = media_dedup_clusters

@@ -70,6 +70,9 @@ _MODULES = [
 # dedup_audio_fingerprint (NEW: the audio leg — real WAV encode + real
 # chunk-walk PCM decode -> energy-delta-sign fingerprint, exactly
 # DC-offset invariant, shared banded-Hamming tail with the image op);
+# media_dedup_clusters (NEW: the canonicalization closure over BOTH
+# fingerprint pair lists — connected components -> keep/drop, the
+# multimodal twin of dedup_clusters);
 # dedup_recall_audit (PLAN change: PPJoin prefix/positional arithmetic
 # cast to BIGINT — int32 wrap on production-length docs silently
 # dropped true pairs, round-13 advice medium);
@@ -82,11 +85,11 @@ _MODULES = [
 # contamination_embedding (PLAN change: fail-loud zero/NaN-norm guard
 # in the GEMM kernel — round-13 advice; output identical on real
 # inputs).
-# (c) the alphabetically-first TWO of the 46 r10-latest greens — the
-# oldest remaining evidence on current code: band_index_compact,
-# band_index_maintain.
-# ROUND-14 ROTATION DEBT (the remaining 44 r10-latest rows, all
+# (c) the alphabetically-first ONE of the 46 r10-latest greens — the
+# oldest remaining evidence on current code: band_index_compact.
+# ROUND-14 ROTATION DEBT (the remaining 45 r10-latest rows, all
 # unchanged-code shapes with prior driver greens):
+# band_index_maintain,
 # band_join_pricing,
 # blocklist_redact,
 # bpe_segment_docs,
@@ -184,13 +187,13 @@ DRIVER_WINDOW = [
     "ann_recall_pq",
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "media_dedup_clusters",
     "dedup_recall_audit",
     "encoding_repair",
     "dedup_embedding_cosine",
     "contamination_embedding",
-    # (c) r10-latest greens, alphabetically first 2
+    # (c) r10-latest greens, alphabetically first 1
     "band_index_compact",
-    "band_index_maintain",
 ]
 
 

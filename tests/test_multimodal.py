@@ -934,3 +934,47 @@ def test_dedup_audio_fingerprint_matches_oracle(spark, duck):
         ORACLES["dedup_audio_fingerprint"],
         "dedup_audio_fingerprint",
     )
+
+
+def test_media_dedup_clusters_resolves_planted_pairs(spark):
+    """Every planted pair becomes a 2-doc cluster whose canonical is the
+    lower doc_id; modalities never mix (populations are disjoint)."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        dedup_audio_fingerprint,
+        dedup_image_phash,
+        media_dedup_clusters,
+    )
+
+    from .conftest import SF_DIR
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_image_phash(spark, SF_DIR).collect()
+    } | {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_audio_fingerprint(spark, SF_DIR).collect()
+    }
+    rows = {r["doc_id"]: r for r in media_dedup_clusters(spark, SF_DIR).collect()}
+    assert set(rows) == {d for p in pairs for d in p}
+    for a, b in pairs:
+        assert rows[a]["cluster_id"] == rows[b]["cluster_id"] == a
+        assert rows[a]["is_canonical"] and not rows[b]["is_canonical"]
+        assert rows[a]["modality"] == rows[b]["modality"]
+        assert rows[a]["modality"] == ("image" if a % 3 == 0 else "audio")
+
+
+def test_media_dedup_clusters_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.multimodal import (
+        ORACLES,
+        media_dedup_clusters,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        media_dedup_clusters,
+        ORACLES["media_dedup_clusters"],
+        "media_dedup_clusters",
+    )

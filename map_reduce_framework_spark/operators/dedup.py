@@ -1627,6 +1627,21 @@ RECALL_SAMPLE_PERMILLE = 400
 #: identically from count(documents).
 RECALL_SAMPLE_TARGET = 1_000
 
+#: dedup_recall_audit PPJoin predicates — module-level so the overflow
+#: regression test evaluates the EXACT production strings.  BIGINT casts
+#: are load-bearing: int32 `n_sh * 20005` wraps past ~107k shingles and
+#: `79995 * (n_a + n_b)` past ~26.8k combined (non-ANSI Spark wraps
+#: silently), which would SHORTEN prefixes / corrupt the overlap bound
+#: and silently drop true pairs (round-13 advice, medium).
+PPJOIN_PREFIX_PRED = (
+    "r <= ((cast(n_sh as bigint) * 20005) div 100000) + 1"
+)
+PPJOIN_POSITIONAL_PRED = (
+    "1 + least(a.n_sh - a.r, b.n_sh - b.r)"
+    " >= (79995 * (cast(a.n_sh as bigint) + b.n_sh) + 179994)"
+    "    div 179995"
+)
+
 
 def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED LSH recall — the governance audit every production
@@ -1711,7 +1726,7 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         posting.join(dfc, "g")
         .withColumn("r", F.row_number().over(w_doc))
-        .where(F.expr("r <= ((cast(n_sh as bigint) * 20005) div 100000) + 1"))
+        .where(F.expr(PPJOIN_PREFIX_PRED))
         .select("doc_id", "n_sh", "r", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -1734,13 +1749,7 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(
-            F.expr(
-                "1 + least(a.n_sh - a.r, b.n_sh - b.r)"
-                " >= (79995 * (cast(a.n_sh as bigint) + b.n_sh) + 179994)"
-                "    div 179995"
-            )
-        )
+        .where(F.expr(PPJOIN_POSITIONAL_PRED))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

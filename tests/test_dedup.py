@@ -1269,3 +1269,45 @@ def test_recall_audit_prefix_filter_is_lossless(spark, tmp_path):
     assert row["n_sample_docs"] == len(ids)
     assert expect > 0, "fixture must contain true pairs"
     assert row["n_true_pairs"] == expect
+
+
+def test_ppjoin_predicates_no_int32_wrap_at_production_lengths(spark):
+    """Round-13 advice regression pin: the PPJoin prefix/positional
+    predicates must evaluate in BIGINT.  At n_sh = 110,000 (a ~110k-token
+    production document) int32 `n_sh * 20005` wraps NEGATIVE, which
+    would make the prefix bound negative (no postings survive → true
+    pairs silently dropped).  Evaluate the EXACT production predicate
+    strings against Python integer arithmetic at boundary and
+    production scales."""
+    from map_reduce_framework_spark.operators.dedup import (
+        PPJOIN_POSITIONAL_PRED,
+        PPJOIN_PREFIX_PRED,
+    )
+
+    cases = [(54, 11), (107_000, 21_405), (110_000, 22_006), (500_000, 100_026)]
+    rows = [(n, r) for n, _ in cases for r in (1, (n * 20005) // 100000 + 1,
+                                               (n * 20005) // 100000 + 2)]
+    df = spark.createDataFrame(rows, "n_sh int, r int")
+    got = {
+        (row["n_sh"], row["r"])
+        for row in df.where(PPJOIN_PREFIX_PRED).collect()
+    }
+    for n, r in rows:
+        expect = r <= (n * 20005) // 100000 + 1  # exact Python ints
+        assert ((n, r) in got) == expect, (n, r)
+
+    # positional filter: a genuinely near-identical 110k-shingle pair
+    # (first common token at r=1) MUST survive; with int32 wrap the
+    # alpha bound goes negative-garbage.  Also check a pair the exact
+    # bound rejects.
+    a = spark.createDataFrame(
+        [(110_000, 1), (110_000, 50_000)], "n_sh int, r int"
+    ).alias("a")
+    b = spark.createDataFrame([(110_000, 1)], "n_sh int, r int").alias("b")
+    kept = a.crossJoin(b).where(PPJOIN_POSITIONAL_PRED).collect()
+    alpha = (79995 * (110_000 + 110_000) + 179994) // 179995
+    assert any(row["a.r" if "a.r" in row else "r"] is not None for row in kept)
+    surv = {row[1] for row in kept}  # a.r values that survived
+    assert 1 in surv, "first-common-token row must survive the bound"
+    expect_50k = 1 + min(110_000 - 50_000, 110_000 - 1) >= alpha
+    assert (50_000 in surv) == expect_50k

@@ -147,6 +147,7 @@ HEADLINE = [
     # screens (multiprobe sign-LSH, IVF-PQ ADC shortlist)
     "ann_recall_lsh",
     "ann_recall_pq",
+    "ann_recall_kmeans",
     # round 13 — perceptual-hash image dedup (real PNG encode/decode)
     # and the audio-leg fingerprint dedup (real WAV encode/decode)
     "dedup_image_phash",

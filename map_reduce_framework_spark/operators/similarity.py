@@ -1505,6 +1505,22 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@k for the TRAINED-quantizer IVF
+    (:func:`ann_ivf_kmeans`) — with this, every registered approximate
+    ANN variant has a registered measured-recall audit (first-N IVF,
+    multiprobe sign-LSH, IVF-PQ, k-means IVF); the two banded dedup
+    screens need none (lossless by pigeonhole at their thresholds).
+    A trained quantizer changes WHERE recall is lost (cell shapes
+    follow the data), which is exactly why production monitors it per
+    quantizer, not per algorithm.
+    """
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir).where(F.col("rank") <= IVF_TOP_K),
+        ann_ivf_kmeans(spark, sf_dir),
+    )
+
+
 def _recall_audit_sql(approx_sql: str, k: int) -> str:
     """DuckDB twin of :func:`_recall_vs_exact` over the exact-topk
     oracle and a screen oracle, both replayed verbatim."""
@@ -1532,6 +1548,9 @@ ORACLES["ann_recall_lsh"] = _recall_audit_sql(
     ORACLES["ann_lsh_bucketed"], BUCKET_TOP_K
 )
 ORACLES["ann_recall_pq"] = _recall_audit_sql(ORACLES["ann_ivf_pq"], IVF_TOP_K)
+ORACLES["ann_recall_kmeans"] = _recall_audit_sql(
+    ORACLES["ann_ivf_kmeans"], IVF_TOP_K
+)
 
 ORACLES["contamination_embedding"] = f"""
     WITH e AS (SELECT vec_id, {_UNIT_V_SQL} AS v FROM embeddings),
@@ -1560,6 +1579,7 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_lsh": ann_recall_lsh,
     "ann_recall_pq": ann_recall_pq,
+    "ann_recall_kmeans": ann_recall_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,

@@ -73,6 +73,8 @@ _MODULES = [
 # media_dedup_clusters (NEW: the canonicalization closure over BOTH
 # fingerprint pair lists — connected components -> keep/drop, the
 # multimodal twin of dedup_clusters);
+# ann_recall_kmeans (NEW: measured recall@k for the trained-quantizer
+# IVF — with it every approximate ANN variant has a registered audit);
 # dedup_recall_audit (PLAN change: PPJoin prefix/positional arithmetic
 # cast to BIGINT — int32 wrap on production-length docs silently
 # dropped true pairs, round-13 advice medium);
@@ -85,10 +87,10 @@ _MODULES = [
 # contamination_embedding (PLAN change: fail-loud zero/NaN-norm guard
 # in the GEMM kernel — round-13 advice; output identical on real
 # inputs).
-# (c) the alphabetically-first ONE of the 46 r10-latest greens — the
-# oldest remaining evidence on current code: band_index_compact.
-# ROUND-14 ROTATION DEBT (the remaining 45 r10-latest rows, all
-# unchanged-code shapes with prior driver greens):
+# (c) — none this round: the new/changed block fills the window.
+# ROUND-14 ROTATION DEBT (all 46 r10-latest rows, unchanged-code
+# shapes with prior driver greens):
+# band_index_compact,
 # band_index_maintain,
 # band_join_pricing,
 # blocklist_redact,
@@ -188,12 +190,11 @@ DRIVER_WINDOW = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "media_dedup_clusters",
+    "ann_recall_kmeans",
     "dedup_recall_audit",
     "encoding_repair",
     "dedup_embedding_cosine",
     "contamination_embedding",
-    # (c) r10-latest greens, alphabetically first 1
-    "band_index_compact",
 ]
 
 

@@ -13,9 +13,9 @@ PPJoin filters), encoding_repair (Arrow joint-string kernel),
 dedup_embedding_cosine (coarse-key grouping + size-aware fan-out),
 contamination_embedding (fail-loud NaN/zero-norm guard),
 dedup_audio_fingerprint (audio-leg fingerprint dedup),
-media_dedup_clusters (multimodal keep/drop closure) —
-and (c) the alphabetically-first ONE of the 46 r10-latest greens.
-The remaining 45 r10 rows are deferred to round 14 (named in
+media_dedup_clusters (multimodal keep/drop closure),
+ann_recall_kmeans (trained-quantizer recall audit) — which fill the
+window exactly; all 46 r10-latest rows are deferred to round 14 (named in
 registry.py — rotate them in FIRST next round).  The two approx
 sketches are excluded permanently — they can never hash-match DuckDB's
 sketches and would burn slots on guaranteed `no_oracle` rows.
@@ -45,6 +45,8 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R13 = {
     # NEW: connected-components closure over both fingerprint pair
     # lists (the multimodal keep/drop canonicalization)
     "media_dedup_clusters",
+    # NEW: measured recall@k for the trained-quantizer IVF
+    "ann_recall_kmeans",
     # plan change: PPJoin prefix/positional arithmetic cast to BIGINT
     # (int32 wrap dropped true pairs on production-length docs)
     "dedup_recall_audit",
@@ -104,6 +106,7 @@ DEFERRED_FROM_R12 = [
 #: r10-latest rows deferred to round 14 for the block-b/c slots —
 #: rotate these in FIRST next round (they go 4 rounds stale otherwise)
 DEFERRED_TO_R14 = {
+    "band_index_compact",
     "band_index_maintain",
     "band_join_pricing",
     "blocklist_redact",

@@ -378,3 +378,29 @@ def test_ann_recall_pq_matches_oracle(spark, duck):
         spark, duck, sim.ann_recall_pq, sim.ORACLES["ann_recall_pq"],
         "ann_recall_pq",
     )
+
+
+def test_ann_recall_kmeans_reconciles_with_registered_queries(spark):
+    exact = _topk_sets(
+        sim.ann_cosine_topk(spark, SF_DIR).collect(), sim.IVF_TOP_K
+    )
+    approx: dict[int, set[int]] = {}
+    for r in sim.ann_ivf_kmeans(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    rows = sim.ann_recall_kmeans(spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == set(exact)
+    for r in rows:
+        expect = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+        n_exact = len(exact[r["query_id"]])
+        assert r["n_hits"] == expect
+        assert r["n_exact"] == n_exact
+        assert r["recall_at_k"] == round(expect / n_exact, 4)
+
+
+def test_ann_recall_kmeans_matches_oracle(spark, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, sim.ann_recall_kmeans, sim.ORACLES["ann_recall_kmeans"],
+        "ann_recall_kmeans",
+    )

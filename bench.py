@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "media_dedup_clusters",
+    "dedup_media_incremental",
 ]
 
 

@@ -1257,7 +1257,7 @@ def _banded_pairs_sql(bit_ctes: str) -> str:
 """
 
 
-ORACLES["dedup_image_phash"] = _banded_pairs_sql(f"""
+_IMG_BITS_CTES = f"""
     imgs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
     par AS (SELECT doc_id,
                    CASE WHEN (doc_id // 3) % {PHASH_PLANT_MOD} = 1
@@ -1277,7 +1277,9 @@ ORACLES["dedup_image_phash"] = _banded_pairs_sql(f"""
     means AS (SELECT doc_id, sum(a) // 64 AS m FROM avgs GROUP BY doc_id),
     bits AS (SELECT avgs.doc_id, j,
                     CASE WHEN a >= m THEN 1 ELSE 0 END AS bit
-             FROM avgs JOIN means ON means.doc_id = avgs.doc_id)""")
+             FROM avgs JOIN means ON means.doc_id = avgs.doc_id)"""
+
+ORACLES["dedup_image_phash"] = _banded_pairs_sql(_IMG_BITS_CTES)
 
 QUERIES["dedup_image_phash"] = dedup_image_phash
 
@@ -1451,7 +1453,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _banded_hamming_pairs(bands)
 
 
-ORACLES["dedup_audio_fingerprint"] = _banded_pairs_sql(f"""
+_AUD_BITS_CTES = f"""
     auds AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
     par AS (SELECT doc_id,
                    CASE WHEN ((doc_id - 1) // 3) % {PHASH_PLANT_MOD} = 1
@@ -1469,7 +1471,9 @@ ORACLES["dedup_audio_fingerprint"] = _banded_pairs_sql(f"""
                     CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
              FROM frames a JOIN frames b
              ON b.doc_id = a.doc_id AND b.f = a.f + 1
-             WHERE a.f < {AUDIO_BITS})""")
+             WHERE a.f < {AUDIO_BITS})"""
+
+ORACLES["dedup_audio_fingerprint"] = _banded_pairs_sql(_AUD_BITS_CTES)
 
 QUERIES["dedup_audio_fingerprint"] = dedup_audio_fingerprint
 
@@ -1539,3 +1543,158 @@ ORACLES["media_dedup_clusters"] = f"""
 """
 
 QUERIES["media_dedup_clusters"] = media_dedup_clusters
+
+
+# --------------------------------------------------------------------------
+# Incremental fingerprint screen (round-13 addition — the ingest shape)
+# --------------------------------------------------------------------------
+
+
+def _band_chunks(bands: DataFrame) -> DataFrame:
+    """Explode a (doc_id, b0..b3) band table into band-key rows —
+    shared by the self-join pair generator and the incremental
+    new×old screen."""
+    return bands.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(k), F.col(f"b{k}").cast("string"))
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
+def _banded_hamming_hits(
+    new_bands: DataFrame, old_bands: DataFrame
+) -> DataFrame:
+    """Distinct NEW doc_ids whose fingerprint sits within
+    ``PHASH_MAX_HAMMING`` of any OLD doc — the asymmetric (ingest)
+    variant of :func:`_banded_hamming_pairs`, same lossless banding."""
+    a = _band_chunks(new_bands).alias("a")
+    b = _band_chunks(old_bands).alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (hamming <= PHASH_MAX_HAMMING),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+def dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL dedup: screen an incoming media batch
+    against the already-ingested corpus — the multimodal twin of
+    :func:`~.dedup.dedup_incremental` (dedup the new crawl's images and
+    audio WITHOUT re-deduping the existing corpus against itself).
+
+    The batch/corpus split is the engine's shared deterministic hash
+    split (``dedup._incr_is_new``, ~20% new); each modality's band
+    table is computed once (in production the corpus side is the
+    persisted band index the pipeline keeps between runs, exactly as
+    the gram/band/ann index families do), the screen is the asymmetric
+    new×old band-key equi-join at the same lossless ham ≤ 3 verify, and
+    the summary is one row per modality: n_new, n_dup (near-dup of an
+    indexed item), n_kept.
+
+    No counterpart in the reference (SURVEY §2.4 extension; multimodal
+    training-data-pipeline family, ingest/maintenance axis).
+    """
+    from ..cache import persist_tracked
+    from ..sources.tables import table_row_count
+    from .dedup import _incr_is_new
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = table_row_count(spark, sf_dir, "documents")
+
+    def screen(bands: DataFrame, modality: str) -> DataFrame:
+        bands = persist_tracked(bands)
+        bands.count()
+        is_new = _incr_is_new()
+        newb, oldb = bands.where(is_new), bands.where(~is_new)
+        hits = _banded_hamming_hits(newb, oldb).withColumn(
+            "is_dup", F.lit(1)
+        )
+        flagged = newb.select("doc_id").join(hits, "doc_id", "left")
+        dup = F.coalesce("is_dup", F.lit(0))
+        return flagged.agg(
+            F.lit(modality).alias("modality"),
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.sum(1 - dup).cast("long").alias("n_kept"),
+        )
+
+    img = screen(
+        image_ahash_bands(image_corpus(docs, n_hint=n_docs)), "image"
+    )
+    aud = screen(
+        audio_delta_bands(audio_corpus(docs, n_hint=n_docs)), "audio"
+    )
+    return img.unionAll(aud).orderBy("modality")
+
+
+def _fp_wide_query(bit_ctes: str) -> str:
+    """DuckDB query producing the per-doc (doc_id, b0..b3) band table
+    from a ``bits(doc_id, j, bit)`` CTE chain — the shared front half of
+    :func:`_banded_pairs_sql`, also consumed by the incremental
+    screen's oracle."""
+    return f"""
+    WITH {bit_ctes},
+    bands AS (SELECT doc_id, j // {PHASH_BAND_BITS} AS k,
+                     sum(bit * (1 << (j % {PHASH_BAND_BITS}))) AS val
+              FROM bits GROUP BY doc_id, j // {PHASH_BAND_BITS}),
+    wide AS (SELECT doc_id,
+                    sum(CASE WHEN k = 0 THEN val ELSE 0 END) AS b0,
+                    sum(CASE WHEN k = 1 THEN val ELSE 0 END) AS b1,
+                    sum(CASE WHEN k = 2 THEN val ELSE 0 END) AS b2,
+                    sum(CASE WHEN k = 3 THEN val ELSE 0 END) AS b3
+             FROM bands GROUP BY doc_id)
+    SELECT doc_id, b0, b1, b2, b3 FROM wide
+"""
+
+
+def _incr_screen_sql(bit_ctes: str, modality: str) -> str:
+    """One modality's incremental-screen summary row (DuckDB)."""
+    from .dedup import INCR_BATCH_MOD
+
+    batch_key = "concat('batch:', doc_id)"
+    is_new = f"{_h60(batch_key)} % {INCR_BATCH_MOD} = 0"
+    unnest = ", ".join(f"concat('{k}:', b{k})" for k in range(PHASH_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(nc.b{k}, oc.b{k}))" for k in range(PHASH_BANDS)
+    )
+    return f"""
+    WITH w AS (SELECT * FROM ({_fp_wide_query(bit_ctes)}) t),
+    nw AS (SELECT * FROM w WHERE {is_new}),
+    ow AS (SELECT * FROM w WHERE NOT ({is_new})),
+    nc AS (SELECT doc_id, b0, b1, b2, b3, unnest([{unnest}]) AS ck FROM nw),
+    oc AS (SELECT doc_id, b0, b1, b2, b3, unnest([{unnest}]) AS ck FROM ow),
+    hits AS (SELECT DISTINCT nc.doc_id FROM nc JOIN oc
+             ON nc.ck = oc.ck AND {ham} <= {PHASH_MAX_HAMMING})
+    SELECT '{modality}' AS modality,
+           (SELECT count(*) FROM nw) AS n_new,
+           (SELECT count(*) FROM hits) AS n_dup,
+           (SELECT count(*) FROM nw) - (SELECT count(*) FROM hits) AS n_kept
+"""
+
+
+ORACLES["dedup_media_incremental"] = f"""
+    SELECT * FROM ({_incr_screen_sql(_AUD_BITS_CTES, "audio")}) a
+    UNION ALL
+    SELECT * FROM ({_incr_screen_sql(_IMG_BITS_CTES, "image")}) i
+    ORDER BY modality
+"""
+
+QUERIES["dedup_media_incremental"] = dedup_media_incremental

@@ -84,9 +84,13 @@ _MODULES = [
 # dedup_embedding_cosine (PLAN change: coarse-key applyInPandas
 # grouping + size-aware fan-out, 1.6 s -> 1.1 s at sf0.1 — closes the
 # round-12 verdict's one >2x bench row; output identical);
-# contamination_embedding (PLAN change: fail-loud zero/NaN-norm guard
-# in the GEMM kernel — round-13 advice; output identical on real
-# inputs).
+# dedup_media_incremental (NEW: the ingest screen for the fingerprint
+# family — new-batch x indexed-corpus band-key join, per-modality
+# n_new/n_dup/n_kept summary).
+# Output-identical refactor NOT re-windowed (round-12 precedent;
+# verified green in this round's 188/188 driver_sim --all sweep):
+# contamination_embedding (fail-loud zero/NaN-norm guard in the GEMM
+# kernel — unreachable on any valid input, output byte-identical).
 # (c) — none this round: the new/changed block fills the window.
 # ROUND-14 ROTATION DEBT (all 46 r10-latest rows, unchanged-code
 # shapes with prior driver greens):
@@ -194,7 +198,7 @@ DRIVER_WINDOW = [
     "dedup_recall_audit",
     "encoding_repair",
     "dedup_embedding_cosine",
-    "contamination_embedding",
+    "dedup_media_incremental",
 ]
 
 

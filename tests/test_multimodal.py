@@ -978,3 +978,75 @@ def test_media_dedup_clusters_matches_oracle(spark, duck):
         ORACLES["media_dedup_clusters"],
         "media_dedup_clusters",
     )
+
+
+def test_dedup_media_incremental_flags_exactly_the_straddling_plants(spark):
+    """The ingest screen must flag exactly the NEW docs whose planted
+    partner is OLD (a new doc whose near-dup partner is also in the
+    batch is intra-batch work, out of this screen's scope — same
+    contract as dedup_incremental's new×old join)."""
+    import duckdb
+
+    from map_reduce_framework_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        hash60,
+    )
+    from map_reduce_framework_spark.operators.multimodal import (
+        PHASH_PLANT_MOD,
+        dedup_media_incremental,
+    )
+
+    from .conftest import SF_DIR
+
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+
+    def is_new(d):
+        return (
+            con.execute(
+                "SELECT CAST(concat('0x', substr(md5(?),1,15)) AS BIGINT) % ?",
+                [f"batch:{d}", INCR_BATCH_MOD],
+            ).fetchone()[0]
+            == 0
+        )
+
+    expect = {"image": {"n_new": 0, "n_dup": 0}, "audio": {"n_new": 0, "n_dup": 0}}
+    for d in range(n_docs):
+        mod = {0: "image", 1: "audio"}.get(d % 3)
+        if mod is None:
+            continue
+        if is_new(d):
+            expect[mod]["n_new"] += 1
+        # planted pair (base, d): flag whichever member is new while the
+        # other is old
+        idx = (d - (0 if mod == "image" else 1)) // 3
+        if idx % PHASH_PLANT_MOD == 1:
+            a, b = d - 3, d
+            for new_side, old_side in ((a, b), (b, a)):
+                if is_new(new_side) and not is_new(old_side):
+                    expect[mod]["n_dup"] += 1
+    rows = {r["modality"]: r for r in dedup_media_incremental(spark, SF_DIR).collect()}
+    for mod in ("image", "audio"):
+        assert rows[mod]["n_new"] == expect[mod]["n_new"], mod
+        assert rows[mod]["n_dup"] == expect[mod]["n_dup"], mod
+        assert rows[mod]["n_kept"] == expect[mod]["n_new"] - expect[mod]["n_dup"]
+    assert sum(v["n_dup"] for v in expect.values()) > 0, "vacuous fixture"
+
+
+def test_dedup_media_incremental_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.multimodal import (
+        ORACLES,
+        dedup_media_incremental,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup_media_incremental,
+        ORACLES["dedup_media_incremental"],
+        "dedup_media_incremental",
+    )

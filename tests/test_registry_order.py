@@ -11,8 +11,8 @@ approximate screens), dedup_image_phash (perceptual-hash image near-dup
 through the real PNG codec), dedup_recall_audit (BIGINT casts in the
 PPJoin filters), encoding_repair (Arrow joint-string kernel),
 dedup_embedding_cosine (coarse-key grouping + size-aware fan-out),
-contamination_embedding (fail-loud NaN/zero-norm guard),
 dedup_audio_fingerprint (audio-leg fingerprint dedup),
+dedup_media_incremental (incremental fingerprint ingest screen),
 media_dedup_clusters (multimodal keep/drop closure),
 ann_recall_kmeans (trained-quantizer recall audit) — which fill the
 window exactly; all 46 r10-latest rows are deferred to round 14 (named in
@@ -56,8 +56,12 @@ ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R13 = {
     # plan change: coarse-key applyInPandas grouping + size-aware
     # fan-out (output identical; 1.6 s → 1.1 s at sf0.1)
     "dedup_embedding_cosine",
-    # plan change: fail-loud zero/NaN-norm guard in the GEMM kernel
-    "contamination_embedding",
+    # NEW: incremental fingerprint screen (new-batch × indexed-corpus
+    # band-key join, per-modality ingest summary)
+    "dedup_media_incremental",
+    # NOT windowed (round-12 output-identical-refactor precedent, green
+    # in this round's 188/188 full sweep): contamination_embedding's
+    # fail-loud NaN/zero-norm guard — unreachable on any valid input.
 }
 
 #: r09-latest rows deferred by round 12 — the debt this window pays FIRST

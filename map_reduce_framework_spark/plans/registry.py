@@ -142,6 +142,12 @@ _MODULES = [
 # window_distribution,
 # They will be 4 rounds stale after round 14 — rotate them in FIRST
 # next round, same contract as the r09 debt this round honours.
+# Round-14 candidate operator (deferred for window-slot integrity —
+# this round's new/changed block already fills all 11 free slots):
+# dedup_url (URL canonicalization dedup — lower-case scheme/host,
+# default-port & fragment & utm_* strip, trailing-slash + www. fold,
+# sorted residual query params; the C4/CCNet crawl-metadata dedup
+# stage; self-planted variant groups, pure Catalyst vs DuckDB list fns).
 # The approx sketches stay excluded PERMANENTLY (can never hash-match
 # DuckDB's sketches; accuracy pytests vs exact twins cover them).
 # Queries NOT listed follow in module order; every one has a green

@@ -998,3 +998,24 @@ def test_streaming_encoding_repair_equals_batch(spark):
     got = sorted(map(key, streamed.collect()))
     assert got == sorted(map(key, batch.collect()))
     assert any(not r[3] for r in got), "plants must fire"
+
+
+def test_streaming_fingerprint_bands_equal_batch(spark):
+    """The map-only fingerprint band extraction must emit identical
+    rows from the stream source as from the batch reader — the builder
+    (real PNG/WAV encode + decode + integer fingerprint) is literally
+    shared; only the source differs."""
+    from map_reduce_framework_spark.streaming.fingerprint_stream import (
+        fingerprint_batch_twin,
+        run_fingerprint_stream_demo,
+    )
+
+    streamed = run_fingerprint_stream_demo(spark, SF_DIR)
+    batch = fingerprint_batch_twin(spark, SF_DIR)
+    key = lambda r: tuple(  # noqa: E731
+        r[c] for c in ("doc_id", "modality", "b0", "b1", "b2", "b3")
+    )
+    got = sorted(map(key, streamed.collect()))
+    assert got == sorted(map(key, batch.collect()))
+    assert len(got) > 0
+    assert {r[1] for r in got} == {"image", "audio"}

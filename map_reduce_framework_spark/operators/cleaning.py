@@ -540,7 +540,13 @@ def encoding_repair_docs(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            texts = pdf["pt"].tolist()
+            raw = pdf["pt"].tolist()
+            # NULL text propagates NULL through every output column —
+            # exactly what the pre-rewrite Catalyst replace chain did
+            # (replace/length over NULL are NULL); the joint-string
+            # kernel runs on the non-null rows only
+            nulls = [t is None for t in raw]
+            texts = [t for t in raw if t is not None]
             n0 = [len(t) for t in texts]
             mid = chain(texts, t3_entries)
             n3 = [len(t) for t in mid]
@@ -549,12 +555,17 @@ def encoding_repair_docs(docs: DataFrame) -> DataFrame:
             # each 3-char repair drops exactly 2 chars, each 2-char
             # repair drops 1 — (a−b) is even per row, so // is exact
             n_moji = [(a - b) // 2 + (b - c) for a, b, c in zip(n0, n3, n2)]
+            it_m, it_o = iter(n_moji), iter(out)
+            full_m = [None if nl else next(it_m) for nl in nulls]
+            full_o = [None if nl else next(it_o) for nl in nulls]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_mojibake": pd.array(n_moji, dtype="int64"),
-                    "repaired_text": out,
-                    "was_clean": [m == 0 for m in n_moji],
+                    "n_mojibake": pd.array(full_m, dtype="Int64"),
+                    "repaired_text": full_o,
+                    "was_clean": [
+                        None if m is None else m == 0 for m in full_m
+                    ],
                 }
             )
 

@@ -1166,7 +1166,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersisted plan would run the encode+decode kernels twice (and
     # it is the skinny (doc_id, 4 ints) projection, trivially cached)
     bands = persist_tracked(
-        image_ahash_bands(image_corpus(docs, n_hint=n_docs))
+        image_ahash_bands(image_corpus(docs, n_hint=n_docs // 3))
     )
     bands.count()
     return _banded_hamming_pairs(bands)
@@ -1447,7 +1447,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = table_row_count(spark, sf_dir, "documents")
     bands = persist_tracked(
-        audio_delta_bands(audio_corpus(docs, n_hint=n_docs))
+        audio_delta_bands(audio_corpus(docs, n_hint=n_docs // 3))
     )
     bands.count()
     return _banded_hamming_pairs(bands)
@@ -1629,18 +1629,23 @@ def dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         flagged = newb.select("doc_id").join(hits, "doc_id", "left")
         dup = F.coalesce("is_dup", F.lit(0))
+        # coalesce the sums: over an EMPTY new batch (possible on a tiny
+        # corpus where the ~20% hash split selects no new docs for one
+        # modality) sum() is NULL while the oracle emits 0
         return flagged.agg(
             F.lit(modality).alias("modality"),
             F.count(F.lit(1)).cast("long").alias("n_new"),
-            F.sum(dup).cast("long").alias("n_dup"),
-            F.sum(1 - dup).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(dup), F.lit(0)).cast("long").alias("n_dup"),
+            F.coalesce(F.sum(1 - dup), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
         )
 
     img = screen(
-        image_ahash_bands(image_corpus(docs, n_hint=n_docs)), "image"
+        image_ahash_bands(image_corpus(docs, n_hint=n_docs // 3)), "image"
     )
     aud = screen(
-        audio_delta_bands(audio_corpus(docs, n_hint=n_docs)), "audio"
+        audio_delta_bands(audio_corpus(docs, n_hint=n_docs // 3)), "audio"
     )
     return img.unionAll(aud).orderBy("modality")
 

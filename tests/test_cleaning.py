@@ -359,3 +359,24 @@ def test_quality_weighted_sample_shifts_mass_toward_quality(spark):
     for b in order:
         if rows[b]["n_kept"]:
             assert rows[b]["avg_quality_kept"] >= rows[b]["avg_quality"] - 1e-9
+
+
+def test_encoding_repair_null_text_propagates_null(spark):
+    """A NULL ``pt`` must propagate NULL through every output column —
+    the pre-rewrite Catalyst replace chain's behavior (replace/length
+    over NULL are NULL); the Arrow kernel must not crash on it
+    (round-13 advice: ``'in' on None`` TypeError)."""
+    df = spark.createDataFrame(
+        [(0, "cafÃ© menu"), (1, None), (2, "clean")],
+        "doc_id long, pt string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cleaning.encoding_repair_docs(df).collect()
+    }
+    assert rows[0]["n_mojibake"] == 1
+    assert rows[0]["repaired_text"] == "café menu"
+    assert rows[1]["n_mojibake"] is None
+    assert rows[1]["repaired_text"] is None
+    assert rows[1]["was_clean"] is None
+    assert rows[2]["n_mojibake"] == 0 and rows[2]["was_clean"]

@@ -1050,3 +1050,48 @@ def test_dedup_media_incremental_matches_oracle(spark, duck):
         ORACLES["dedup_media_incremental"],
         "dedup_media_incremental",
     )
+
+
+def test_dedup_media_incremental_empty_new_batch_emits_zeros(spark, tmp_path):
+    """A modality whose hash split selects NO new docs must report
+    n_new = n_dup = n_kept = 0, not NULL (round-13 advice: the bare
+    sums over an empty new batch were NULL while the oracle emits 0)."""
+    import hashlib
+
+    import pandas as pd
+
+    from map_reduce_framework_spark.operators.dedup import INCR_BATCH_MOD
+    from map_reduce_framework_spark.operators.multimodal import (
+        dedup_media_incremental,
+    )
+
+    def is_new(d):
+        h = hashlib.md5(f"batch:{d}".encode()).hexdigest()
+        return int(h[:15], 16) % INCR_BATCH_MOD == 0
+
+    # image docs (d % 3 == 0) that the split marks OLD, plus audio docs
+    # (d % 3 == 1) containing at least one NEW one — the image side's
+    # new batch is then empty by construction
+    imgs = [d for d in range(0, 600, 3) if not is_new(d)][:4]
+    auds_new = [d for d in range(1, 3000, 3) if is_new(d)][:1]
+    auds_old = [d for d in range(1, 600, 3) if not is_new(d)][:3]
+    ids = sorted(imgs + auds_new + auds_old)
+    assert auds_new, "no new audio doc found in range"
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [f"doc {i}" for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["src0"] * len(ids),
+            "n_chars": [len(f"doc {i}") for i in ids],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {
+        r["modality"]: r
+        for r in dedup_media_incremental(spark, str(d)).collect()
+    }
+    img = rows["image"]
+    assert (img["n_new"], img["n_dup"], img["n_kept"]) == (0, 0, 0)
+    assert rows["audio"]["n_new"] == len(auds_new)

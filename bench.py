@@ -154,6 +154,8 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     "media_dedup_clusters",
     "dedup_media_incremental",
+    # round 14 — URL canonicalization dedup (the pre-content crawl pass)
+    "dedup_url",
 ]
 
 

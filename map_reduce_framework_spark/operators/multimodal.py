@@ -1072,23 +1072,30 @@ def image_corpus(docs: DataFrame, n_hint: int | None = None) -> DataFrame:
         imgs = fan_out_sized(imgs, n_hint, rows_per_task=128)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+        import numpy as np
+
+        from ..functions.vecmd5 import md5_u60_grid
 
         side = IMG_SIDE
         n_px = side * side
         for pdf in batches:
-            payloads = []
-            for base, pert in zip(pdf["base"], pdf["pert"]):
-                px = bytearray(n_px)
-                for i in range(n_px):
-                    h = int(
-                        hashlib.md5(
-                            f"imgpx:{base}:{i}".encode()
-                        ).hexdigest()[:15],
-                        16,
-                    )
-                    px[i] = h % 240 + (8 if pert and i < 2 else 0)
-                payloads.append(_png_encode_gray(bytes(px), side, side))
+            if not len(pdf):
+                continue
+            # round-14 kernel: the per-pixel md5 grid runs as ONE
+            # vectorized pass per batch (values bit-identical to
+            # hashlib — vecmd5's contract), deduped per distinct base
+            # (a planted near-dup reuses its predecessor's pixels)
+            bases = pdf["base"].to_numpy()
+            uniq, inv = np.unique(bases, return_inverse=True)
+            grid = md5_u60_grid(
+                [f"imgpx:{b}:".encode() for b in uniq], n_px
+            )
+            px = (grid % 240).astype(np.uint8)[inv]
+            pert = pdf["pert"].to_numpy(dtype=bool)
+            px[pert, :2] += 8  # max 239+8 < 256: no uint8 wrap
+            payloads = [
+                _png_encode_gray(row.tobytes(), side, side) for row in px
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1110,23 +1117,32 @@ def image_ahash_bands(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [], "b3": []}
+            if not len(pdf):
+                continue
+            mats = []
             for payload in pdf["payload"]:
                 m, w, h, _depth, ch = _png_pixels(bytes(payload))
                 if ch != 1:
                     raise ValueError("image_ahash_bands expects grayscale")
-                g = m.astype(np.int64).reshape(h, w)
-                blocks = (
-                    g.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
-                )
-                mean = int(blocks.sum()) // blocks.size
-                bits = (blocks >= mean).astype(np.int64).reshape(-1)
-                shifts = np.arange(PHASH_BAND_BITS, dtype=np.int64)
-                for k in range(PHASH_BANDS):
-                    seg = bits[
-                        k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
-                    ]
-                    out[f"b{k}"].append(int((seg << shifts).sum()))
+                mats.append(m.reshape(h, w))
+            # round-14: banding math batched across the whole Arrow
+            # batch (one (N,8,8) block-mean pass + one packed-bits
+            # matmul instead of ~10 tiny numpy ops per item)
+            g = np.stack(mats).astype(np.int64)
+            n, h, w = g.shape
+            blocks = g.reshape(n, h // 2, 2, w // 2, 2).sum(axis=(2, 4)) // 4
+            flat = blocks.reshape(n, -1)
+            mean = flat.sum(axis=1) // flat.shape[1]
+            bits = (flat >= mean[:, None]).astype(np.int64)
+            weights = np.int64(1) << np.arange(
+                PHASH_BAND_BITS, dtype=np.int64
+            )
+            out = {"doc_id": pdf["doc_id"]}
+            for k in range(PHASH_BANDS):
+                seg = bits[
+                    :, k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                ]
+                out[f"b{k}"] = (seg * weights).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -1365,21 +1381,24 @@ def audio_corpus(docs: DataFrame, n_hint: int | None = None) -> DataFrame:
         auds = fan_out_sized(auds, n_hint, rows_per_task=128)
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+        import numpy as np
+
+        from ..functions.vecmd5 import md5_u60_grid
 
         for pdf in batches:
-            payloads = []
-            for base, pert in zip(pdf["base"], pdf["pert"]):
-                u = bytearray(AUDIO_N_SAMPLES)
-                for i in range(AUDIO_N_SAMPLES):
-                    h = int(
-                        hashlib.md5(
-                            f"wavpx:{base}:{i}".encode()
-                        ).hexdigest()[:15],
-                        16,
-                    )
-                    u[i] = h % 200 + (8 if pert and i < 2 else 0)
-                payloads.append(_wav_encode_pcm8(bytes(u)))
+            if not len(pdf):
+                continue
+            # round-14 kernel: one vectorized md5 grid per batch,
+            # deduped per distinct base (see image_corpus)
+            bases = pdf["base"].to_numpy()
+            uniq, inv = np.unique(bases, return_inverse=True)
+            grid = md5_u60_grid(
+                [f"wavpx:{b}:".encode() for b in uniq], AUDIO_N_SAMPLES
+            )
+            u = (grid % 200).astype(np.uint8)[inv]
+            pert = pdf["pert"].to_numpy(dtype=bool)
+            u[pert, :2] += 8  # max 199+8 < 256: no uint8 wrap
+            payloads = [_wav_encode_pcm8(row.tobytes()) for row in u]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1399,25 +1418,30 @@ def audio_delta_bands(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"], "b0": [], "b1": [], "b2": [], "b3": []}
+            if not len(pdf):
+                continue
+            samples = []
             for payload in pdf["payload"]:
                 u = _wav_pcm8_samples(bytes(payload))
                 if len(u) != AUDIO_N_SAMPLES:
                     raise ValueError(
                         f"expected {AUDIO_N_SAMPLES} samples, got {len(u)}"
                     )
-                e = (
-                    u.astype(np.int64)
-                    .reshape(AUDIO_BITS + 1, AUDIO_FRAME)
-                    .sum(axis=1)
-                )
-                bits = (e[1:] > e[:-1]).astype(np.int64)
-                shifts = np.arange(PHASH_BAND_BITS, dtype=np.int64)
-                for k in range(PHASH_BANDS):
-                    seg = bits[
-                        k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
-                    ]
-                    out[f"b{k}"].append(int((seg << shifts).sum()))
+                samples.append(u)
+            # round-14: frame-energy + delta-sign + band packing batched
+            # across the whole Arrow batch (see image_ahash_bands)
+            us = np.stack(samples).astype(np.int64)
+            e = us.reshape(-1, AUDIO_BITS + 1, AUDIO_FRAME).sum(axis=2)
+            bits = (e[:, 1:] > e[:, :-1]).astype(np.int64)
+            weights = np.int64(1) << np.arange(
+                PHASH_BAND_BITS, dtype=np.int64
+            )
+            out = {"doc_id": pdf["doc_id"]}
+            for k in range(PHASH_BANDS):
+                seg = bits[
+                    :, k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS
+                ]
+                out[f"b{k}"] = (seg * weights).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(

@@ -1019,10 +1019,23 @@ def _kn_doc_scores(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(nbt))
         .select("u", "v", "w", p3.alias("p"))
     )
-    scored = tri_inst.join(scored_types, ["u", "v", "w"])
-    ce = -F.avg(F.log2("p"))
+    # round-14 spill fix: join the model per DISTINCT per-doc trigram,
+    # not per raw occurrence.  A doc's exploded trigram instances are
+    # co-located in its partition, so this groupBy is map-side COMPLETE
+    # — the exchange (and the model join after it) carries the deduped
+    # (doc_id, u, v, w, cnt) rows instead of every occurrence, and the
+    # per-doc average weights by cnt (identical multiset, so identical
+    # values up to double summation order, absorbed by the 4-dp round
+    # exactly like the pre-existing cross-engine sum-order difference).
+    inst_cnt = tri_inst.groupBy("doc_id", "u", "v", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = inst_cnt.join(scored_types, ["u", "v", "w"]).select(
+        "doc_id", "cnt", "p"
+    )
+    ce = -F.sum(F.col("cnt") * F.log2("p")) / F.sum("cnt")
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("cnt").alias("n_trigrams"),
         rnd(ce, 4).alias("ce_bits"),
         rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
     )
@@ -1126,13 +1139,22 @@ def kn_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", "v", "w", p3.alias("p"), F.col("r1w").isNull().alias("oov")
         )
     )
-    scored = held_inst.join(scored_types, ["u", "v", "w"])
-    ce = -F.avg(F.log2("p"))
+    # round-14 spill fix: per-doc trigram COUNTS join the model instead
+    # of raw instances (see _kn_doc_scores — the groupBy is map-side
+    # complete after the per-doc explode, so the exchange and the model
+    # join carry ~T_d deduped rows, not every occurrence)
+    held_cnt = held_inst.groupBy("doc_id", "u", "v", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = held_cnt.join(scored_types, ["u", "v", "w"]).select(
+        "doc_id", "cnt", "p", "oov"
+    )
+    ce = -F.sum(F.col("cnt") * F.log2("p")) / F.sum("cnt")
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(F.col("oov").cast("long")).alias("n_oov"),
+            F.sum("cnt").alias("n_trigrams"),
+            F.sum(F.col("cnt") * F.col("oov").cast("long")).alias("n_oov"),
             rnd(ce, 4).alias("ce_bits"),
             rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
         )

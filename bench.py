@@ -239,31 +239,68 @@ def main() -> int:
     if unknown:
         print(f"unknown bench queries: {unknown}", file=sys.stderr)
         return 2
+    def one_pass(timings: dict[str, float]) -> None:
+        """Run every subset query ``runs_per_query`` times, folding the
+        minimum into ``timings`` (idempotent across passes)."""
+        for name in subset:
+            fn = registry.QUERIES[name]
+            best = timings.get(name, float("inf"))
+            for _ in range(runs_per_query):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                cache.release()
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            # per-query progress to STDERR so stdout stays minimal
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr)
+
+    def drift_of(timings: dict[str, float]) -> float | None:
+        # control-query drift factor (round-13): pricing_summary is
+        # untouched since round 1; its quiet-host record is 0.70 s
+        # (BASELINE.md round-11 calibration).  timings/0.70 quantifies
+        # host-day drift for THIS capture, so cross-round comparisons
+        # can normalize without a separate calibration run.
+        if "pricing_summary" not in timings:
+            return None
+        return round(timings["pricing_summary"] / 0.70, 3)
+
     timings: dict[str, float] = {}
-    for name in subset:
-        fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(runs_per_query):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            cache.release()
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        # per-query progress to STDERR so stdout stays minimal (see below)
-        print(f"bench {name}: {timings[name]}s", file=sys.stderr)
+    one_pass(timings)
+    control_drift = drift_of(timings)
+    # drift-triggered redo (round-14, verdict item 7: the r13 driver
+    # artifact shipped at drift 1.266 because load rose AFTER the load
+    # gate passed).  If the capture's control drift exceeds
+    # SPARK_GRAFT_DRIFT_REDO (default 1.15), wait for quiet again and
+    # fold in another full min-pass — a later-in-time pass de-correlates
+    # from the burst that inflated the first.  Bounded passes; the
+    # artifact records how many ran and the drift after each.
+    drift_gate = float(os.environ.get("SPARK_GRAFT_DRIFT_REDO", "1.15"))
+    max_redo = int(os.environ.get("SPARK_GRAFT_DRIFT_REDO_PASSES", "2"))
+    drift_history = [control_drift]
+    redo_passes = 0
+    while (
+        control_drift is not None
+        and control_drift > drift_gate
+        and redo_passes < max_redo
+    ):
+        print(
+            f"control drift {control_drift} > {drift_gate} — redo pass"
+            f" {redo_passes + 1}/{max_redo}",
+            file=sys.stderr,
+        )
+        waited = 0.0
+        while os.getloadavg()[0] > gate_load and waited < gate_wait:
+            time.sleep(30)
+            waited += 30
+        one_pass(timings)
+        control_drift = drift_of(timings)
+        drift_history.append(control_drift)
+        redo_passes += 1
 
     total = round(sum(timings.values()), 3)
-    # control-query drift factor (round-13): pricing_summary is untouched
-    # since round 1; its quiet-host record is 0.70 s (BASELINE.md round-11
-    # calibration).  timings/0.70 quantifies host-day drift for THIS
-    # capture, so cross-round comparisons can normalize without a
-    # separate calibration run.
-    control_drift = (
-        round(timings["pricing_summary"] / 0.70, 3)
-        if "pricing_summary" in timings
-        else None
-    )
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -280,6 +317,11 @@ def main() -> int:
         "control_query": "pricing_summary",
         "control_quiet_ref_sec": 0.70,
         "control_drift": control_drift,
+        "drift_redo": {
+            "threshold": drift_gate,
+            "passes": redo_passes,
+            "history": drift_history,
+        },
     }
     # The driver's stdout capture keeps only the LAST ~2 KB: rounds
     # 9-11 all lost the FRONT of the single full-map JSON line and

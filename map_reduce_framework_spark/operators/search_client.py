@@ -54,6 +54,7 @@ def search(
     spark: SparkSession,
     pairs: list[tuple[str, str]],
     num_partitions: int = NUM_OF_THREADS,
+    log_path: str | None = None,
 ) -> list[tuple[str, str]]:
     """Run the Search query over (query, folder) input pairs.
 
@@ -61,7 +62,8 @@ def search(
     query, order is unspecified (§2.3b).
     """
     return run_map_reduce(
-        spark, pairs, _list_dir, _filter_matches, num_partitions
+        spark, pairs, _list_dir, _filter_matches, num_partitions,
+        log_path=log_path,
     )
 
 
@@ -181,16 +183,24 @@ QUERIES = {
 
 
 def main(argv: list[str] | None = None) -> int:
-    """CLI parity with Search.cpp:277-309: ``search <substring> <folders...>``."""
+    """CLI parity with Search.cpp:277-309: ``search <substring> <folders...>``.
+
+    Like the reference, every run writes the ``.MapReduceFramework.log``
+    side-file in the working directory (the reference opens it
+    unconditionally in the run prologue, MapReduceFramework.cpp:685);
+    library callers of :func:`search` still opt in via ``log_path``."""
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 1:
         print("Usage: <substring to search> <folders, separated by space>", file=sys.stderr)
         return 1
     query, folders = argv[0], argv[1:]
+    from ..mapreduce import DEFAULT_LOG_PATH
     from ..session import get_spark
 
     spark = get_spark("search-client")
-    out = search(spark, [(query, f) for f in folders])
+    out = search(
+        spark, [(query, f) for f in folders], log_path=DEFAULT_LOG_PATH
+    )
     print(" ".join(name for _, name in out))
     return 0
 

@@ -57,6 +57,11 @@ def test_compact_record_fits_the_capture_window():
         "control_query": "pricing_summary",
         "control_quiet_ref_sec": 0.70,
         "control_drift": 99.999,
+        "drift_redo": {
+            "threshold": 1.15,
+            "passes": 9,
+            "history": [99.999, 99.999, 99.999],
+        },
         "n_queries": 999,
         "queries": {f"{longest}{i}": 9999.999 for i in range(5)},
         "full_record": "BENCH_LOCAL.json",

@@ -102,3 +102,17 @@ def test_search_df_matches_object_path(spark, search_tree, tmp_path):
         ("os", "sos"),
         ("os", "sos"),
     ]
+
+
+def test_cli_writes_default_log(spark, search_tree, tmp_path, monkeypatch, capsys):
+    """The CLI client mirrors the reference's unconditional log sink
+    (MapReduceFramework.cpp:685): every run writes
+    .MapReduceFramework.log in the working directory."""
+    from map_reduce_framework_spark.operators.search_client import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["os", search_tree]) == 0
+    assert capsys.readouterr().out.split() == ["osTargil", "sos"]
+    lines = (tmp_path / ".MapReduceFramework.log").read_text().splitlines()
+    assert lines[0].startswith("RunMapReduceFramework started with")
+    assert lines[-1] == "RunMapReduceFramework finished"

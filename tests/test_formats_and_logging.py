@@ -236,3 +236,39 @@ def test_footer_probe_sees_beyond_the_first_shard(tmp_path):
     # single-file path unchanged
     naive1, nanos1 = _footer_timestamp_kinds(str(d / "part-00000.parquet"))
     assert naive1 and not nanos1
+
+
+def test_failure_contract_stderr_and_exit(capsys):
+    """Reference parity (MapReduceFramework.cpp:204-216): an engine-side
+    failure prints the exact stderr line and exits EXIT_FAILURE."""
+    import pytest
+
+    from map_reduce_framework_spark.mapreduce import failure_checker_printer
+
+    failure_checker_printer("pthread_mutex_lock()", 0)  # SUCCESS: no-op
+    with pytest.raises(SystemExit) as exc:
+        failure_checker_printer("open()", 1)
+    assert exc.value.code == 1
+    assert (
+        capsys.readouterr().err
+        == "MapReduceFramework Failure: open() failed.\n"
+    )
+
+
+def test_failure_contract_unopenable_log(spark, tmp_path, capsys):
+    """A log path that cannot be opened routes through the failure
+    contract at run START, like the reference's FILE_OPEN check
+    (MapReduceFramework.cpp:685-690)."""
+    import pytest
+
+    bad = str(tmp_path / "no-such-dir" / ".MapReduceFramework.log")
+    with pytest.raises(SystemExit) as exc:
+        run_map_reduce(
+            spark, [(1, 1)], lambda k, v: [(k, v)], lambda k, vs: [(k, len(vs))],
+            log_path=bad,
+        )
+    assert exc.value.code == 1
+    assert (
+        "MapReduceFramework Failure: open() failed."
+        in capsys.readouterr().err
+    )

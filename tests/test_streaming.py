@@ -1019,3 +1019,165 @@ def test_streaming_fingerprint_bands_equal_batch(spark):
     assert got == sorted(map(key, batch.collect()))
     assert len(got) > 0
     assert {r[1] for r in got} == {"image", "audio"}
+
+
+def test_streaming_media_ingest_equals_batch_incremental(spark):
+    """The media ingest stream (band-index growth, keeplist discipline)
+    must end at dedup_media_incremental's exact per-modality summary:
+    file A carries every new doc (screened vs the base index only —
+    growth can't affect a batch's own screen), file B is the
+    at-least-once redelivery the verdict anti-join absorbs."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        dedup_media_incremental,
+    )
+    from map_reduce_framework_spark.streaming.media_ingest_stream import (
+        run_streaming_media_ingest_demo,
+    )
+
+    streamed = run_streaming_media_ingest_demo(spark, SF_DIR)
+    cols = ("modality", "n_new", "n_dup", "n_kept")
+    s_rows = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    b_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in dedup_media_incremental(spark, SF_DIR).collect()
+    )
+    assert s_rows == b_rows
+    assert sum(r[1] for r in s_rows) > 0  # non-vacuous
+
+
+def test_streaming_media_ingest_exactly_once_across_restart(spark, tmp_path):
+    """Kill-and-resume for the media ingest loop: drain file A with a
+    checkpoint, delete the batch-0 commit marker (crash between sink
+    write and offset commit), restart — the replay must anti-join to
+    empty against the verdict table; then the redelivered copy B drains
+    to zero new verdicts.  One verdict row per doc_id end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import _incr_is_new
+    from map_reduce_framework_spark.sources import load_table
+    from map_reduce_framework_spark.streaming import media_ingest_stream as ms
+
+    index = ms.build_media_band_index(spark, SF_DIR, stream_id="restart-test")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    verdict_dir = str(tmp_path / "verdicts")
+    os.makedirs(feed)
+
+    new_docs = (
+        load_table(spark, SF_DIR, "documents").where(_incr_is_new()).coalesce(1)
+    )
+
+    def deliver(name: str) -> None:
+        import shutil
+
+        stage = str(tmp_path / "_stage")
+        new_docs.write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, name))
+        shutil.rmtree(stage)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ms._DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: ms._screen_media_batch(
+                    spark, bdf, index, verdict_dir, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    deliver("docs_a.parquet")
+    drain()
+    n_rows = spark.read.parquet(verdict_dir).count()
+    assert n_rows > 0
+
+    # crash-during-commit: sink wrote, offset commit didn't land (drop
+    # the Hadoop .crc sidecar too — see the keeplist twin)
+    for f in ("0", ".0.crc"):
+        p = os.path.join(ckpt, "commits", f)
+        if os.path.exists(p):
+            os.remove(p)
+    drain()  # replay of batch 0 must be absorbed
+    assert spark.read.parquet(verdict_dir).count() == n_rows
+
+    deliver("docs_b.parquet")  # at-least-once redelivery of every doc
+    drain()
+    verdicts = spark.read.parquet(verdict_dir)
+    assert verdicts.count() == n_rows
+    assert (
+        verdicts.groupBy("doc_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_streaming_media_ingest_catches_intra_stream_duplicate(
+    spark, tmp_path
+):
+    """Index GROWTH across micro-batches: a batch-B image within ham ≤ 3
+    of a KEPT batch-A image (the planted predecessor-reuse shape, at
+    synthetic doc_ids far beyond the corpus so the base index can't
+    interfere) must verdict near_dup — only possible because batch A's
+    kept band rows joined the index."""
+    import os
+
+    from map_reduce_framework_spark.streaming import media_ingest_stream as ms
+
+    # X = 3k with k % 16 == 0 (not itself a planted dup); Y = X + 3 has
+    # (Y div 3) % 16 == 1, so Y's pixels are X's with the +8 perturbation
+    x_id = 3 * 16_000_000
+    y_id = x_id + 3
+
+    index = ms.build_media_band_index(spark, SF_DIR, stream_id="intra-test")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    verdict_dir = str(tmp_path / "verdicts")
+    os.makedirs(feed)
+
+    def deliver(name: str, doc_id: int) -> None:
+        import shutil
+
+        stage = str(tmp_path / "_stage")
+        spark.createDataFrame(
+            [(doc_id, "synthetic", "en", "syn", 9)], ms._DOCS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, name))
+        shutil.rmtree(stage)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(ms._DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: ms._screen_media_batch(
+                    spark, bdf, index, verdict_dir, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    deliver("docs_a.parquet", x_id)
+    drain()
+    deliver("docs_b.parquet", y_id)
+    drain()
+    rows = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert rows == {x_id: "kept", y_id: "near_dup"}

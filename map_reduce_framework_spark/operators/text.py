@@ -1019,26 +1019,34 @@ def _kn_doc_scores(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(nbt))
         .select("u", "v", "w", p3.alias("p"))
     )
-    # round-14 spill fix: join the model per DISTINCT per-doc trigram,
-    # not per raw occurrence.  A doc's exploded trigram instances are
-    # co-located in its partition, so this groupBy is map-side COMPLETE
-    # — the exchange (and the model join after it) carries the deduped
-    # (doc_id, u, v, w, cnt) rows instead of every occurrence, and the
-    # per-doc average weights by cnt (identical multiset, so identical
-    # values up to double summation order, absorbed by the 4-dp round
-    # exactly like the pre-existing cross-engine sum-order difference).
-    inst_cnt = tri_inst.groupBy("doc_id", "u", "v", "w").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # round-14 spill fix: the scoring join (the engine's largest single
+    # exchange — every trigram OCCURRENCE meets the model here) joins
+    # on one 16-byte md5 key instead of three word strings, and the
+    # instance side carries only (doc_id, key) — ~3× fewer sort-merge
+    # bytes to sort and spill, cheaper key compares, identical rows.
+    # Per-doc dedup was measured useless first (Zipf sf1: 2.65M
+    # instances → 2.65M distinct per-doc trigrams — repetition is
+    # CROSS-doc, where types are already collapsed); the md5-128 key is
+    # collision-safe at any feasible corpus (~2⁻⁶⁴ — the dedup_exact
+    # trust level), so the joined (doc_id, p) multiset — and the output
+    # — is bit-identical to the plain string-key join.
+    scored = tri_inst.select("doc_id", _kn_tri_key().alias("t")).join(
+        scored_types.select(_kn_tri_key().alias("t"), "p"), "t"
     )
-    scored = inst_cnt.join(scored_types, ["u", "v", "w"]).select(
-        "doc_id", "cnt", "p"
-    )
-    ce = -F.sum(F.col("cnt") * F.log2("p")) / F.sum("cnt")
+    ce = -F.avg(F.log2("p"))
     return scored.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_trigrams"),
         rnd(ce, 4).alias("ce_bits"),
         rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
     )
+
+
+def _kn_tri_key():
+    """16-byte binary join key for a (u, v, w) trigram row — the
+    skinny scoring-join key (see the round-14 note in
+    :func:`_kn_doc_scores`).  ``\\x1f`` separator: tokens are
+    whitespace-split, so no token can contain it."""
+    return F.unhex(F.md5(F.concat_ws("\x1f", "u", "v", "w")))
 
 
 #: held-out split: docs whose 60-bit doc_id hash ≡ 0 (mod 5) are SCORED,
@@ -1139,22 +1147,17 @@ def kn_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", "v", "w", p3.alias("p"), F.col("r1w").isNull().alias("oov")
         )
     )
-    # round-14 spill fix: per-doc trigram COUNTS join the model instead
-    # of raw instances (see _kn_doc_scores — the groupBy is map-side
-    # complete after the per-doc explode, so the exchange and the model
-    # join carry ~T_d deduped rows, not every occurrence)
-    held_cnt = held_inst.groupBy("doc_id", "u", "v", "w").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # round-14 spill fix: skinny md5-key scoring join — the instance
+    # side exchanges (doc_id, 16-byte key) only (see _kn_doc_scores)
+    scored = held_inst.select("doc_id", _kn_tri_key().alias("t")).join(
+        scored_types.select(_kn_tri_key().alias("t"), "p", "oov"), "t"
     )
-    scored = held_cnt.join(scored_types, ["u", "v", "w"]).select(
-        "doc_id", "cnt", "p", "oov"
-    )
-    ce = -F.sum(F.col("cnt") * F.log2("p")) / F.sum("cnt")
+    ce = -F.avg(F.log2("p"))
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_trigrams"),
-            F.sum(F.col("cnt") * F.col("oov").cast("long")).alias("n_oov"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.col("oov").cast("long")).alias("n_oov"),
             rnd(ce, 4).alias("ce_bits"),
             rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
         )

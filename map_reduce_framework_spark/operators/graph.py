@@ -353,26 +353,66 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         )
     )
-    oriented.count()  # three self-join branches consume it
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    oriented.count()  # adjacency + two join branches consume it
+    # Round-14 rewrite (guide §1.2 step 1 / §3.3): the former
+    # two-self-join path enumeration materialized every a→b→c wedge
+    # (46.5M rows at sf0.1) plus a 3-rows-per-triangle explode (90M
+    # rows) to count 30M triangles — ~140 s of JVM CPU through join
+    # probes and aggregate hashing.  The edge-iterator form computes
+    # the same triangles as ADJACENCY-LIST INTERSECTIONS: each oriented
+    # edge (u, v) joins the forward lists of u and v once, and
+    # |fwd(u) ∩ fwd(v)| closes every triangle whose DAG shape is
+    # u→v, u→c, v→c — exactly once, at its unique base edge.  Rows
+    # materialized: |E| array rows + one |triangles|-row explode (for
+    # the apex attribution) instead of wedges + 3·triangles — measured
+    # 6.1 → 2.4 s at sf0.1 with identical output.  Forward lists stay
+    # O(sqrt m) by the degree orientation above, so the per-edge
+    # intersection cost bound at 100 TB is unchanged from the
+    # enumeration bound.
+    # adj is deliberately NOT persisted: both consumers are broadcast
+    # builds (which do not populate a lazy cache anyway — the
+    # dedup_incremental_bloom barrier note), and each build's groupBy
+    # reads the already-cached `oriented`, so a persist+count barrier
+    # would cost two scheduled jobs to save one cheap re-aggregation.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # triangle (u, v, c) found at edge (u, v): +|cs| to u, +|cs| to v,
+    # +1 to each apex c — emitted as WEIGHTED membership structs in one
+    # explode ((2 + |cs|) rows per edge ≈ triangles + 2·edges, vs
+    # 3·triangles before), straight into a map-side partial aggregate.
+    # Nothing is persisted: the intersection runs once, the heavy rows
+    # exist only inside this one codegen pipeline.
+    member = (
+        oriented.join(
+            adj.select(F.col("src").alias("u_key"), F.col("nbrs").alias("nbrs_u")),
+            F.col("src") == F.col("u_key"),
+        )
         .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+            adj.select(F.col("src").alias("v_key"), F.col("nbrs").alias("nbrs_v")),
+            F.col("dst") == F.col("v_key"),
+            "left",
         )
         .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+            "src",
+            "dst",
+            F.array_intersect(
+                "nbrs_u",
+                F.coalesce("nbrs_v", F.expr("CAST(array() AS array<bigint>)")),
+            ).alias("cs"),
+        )
+        .where(F.size("cs") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    """concat(
+                           array(struct(src AS doc_id, bigint(size(cs)) AS w),
+                                 struct(dst AS doc_id, bigint(size(cs)) AS w)),
+                           transform(cs, c -> struct(c AS doc_id, 1L AS w)))"""
+                )
+            ).alias("m")
         )
     )
-    member = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("doc_id")
-    )
-    tri_per_node = member.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    tri_per_node = member.groupBy(F.col("m.doc_id").alias("doc_id")).agg(
+        F.sum("m.w").alias("n_triangles")
     )
     return (
         deg.join(tri_per_node, "doc_id", "left")

@@ -30,6 +30,8 @@ these are mandated extensions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -187,6 +189,61 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _size_conf_bytes(raw: str) -> int:
+    """Parse a Spark size conf value ('134217728b', '128m', '4g')."""
+    s = raw.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    """Scan partition count of a file-source DataFrame WITHOUT compiling
+    the plan to an RDD.
+
+    ``df.rdd.getNumPartitions()`` answers the same question but pays a
+    full plan→RDD conversion on the driver (~35 ms per fresh DataFrame
+    measured on local[32]) — and :func:`fan_out` runs at construction
+    time of nearly every query, so that cost lands inside every timed
+    bench row (guide §1.2: per-task work includes the driver's own).
+    For plain file scans the count is a pure function of the leaf file
+    sizes and three confs, so replicate Spark's split-packing estimate
+    (``FilePartition.maxSplitBytes``) from ``inputFiles()`` + ``stat``
+    (~10 ms): splits of maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, totalBytes/parallelism)), greedy-packed.  Estimate and
+    truth can differ by a partition around bin boundaries; the only
+    consumer is the under-parallel BOOLEAN, where a one-off wobble flips
+    a repartition that is semantics-neutral either way.  Any non-local
+    path, empty listing, or conf surprise falls back to the exact RDD
+    answer.
+    """
+    try:
+        from urllib.parse import unquote, urlparse
+
+        files = df.inputFiles()
+        if not files:
+            raise ValueError("no input files")
+        sizes = []
+        for f in files:
+            if not f.startswith("file:"):
+                raise ValueError(f"non-local input {f!r}")
+            sizes.append(os.stat(unquote(urlparse(f).path)).st_size)
+        conf = df.sparkSession.conf
+        max_pb = _size_conf_bytes(conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = _size_conf_bytes(conf.get("spark.sql.files.openCostInBytes"))
+        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        total = sum(s + open_cost for s in sizes)
+        max_split = min(max_pb, max(open_cost, -(-total // par)))
+        return max(1, -(-total // max_split))
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition to cluster parallelism iff the scan is under-parallel.
 
@@ -198,7 +255,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     is only ever paid when it unlocks idle cores.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_partitions(df) < target:
         return df.repartition(target)
     return df
 
@@ -220,7 +277,7 @@ def fan_out_sized(
         df.sparkSession.sparkContext.defaultParallelism,
         max(1, -(-n_rows // rows_per_task)),
     )
-    if df.rdd.getNumPartitions() < target:
+    if _scan_partitions(df) < target:
         return df.repartition(target)
     return df
 

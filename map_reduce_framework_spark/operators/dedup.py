@@ -2779,36 +2779,47 @@ def _suffix_window_keys(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     docs = fan_out(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # Round-14 shuffle slimming (guide §2.3 narrower types): the
+    # doubling rounds below are the engine's most exchange-heavy family
+    # (4-5 position-table shuffles per round), and (doc_id, off) is a
+    # bijection of the packed pid the rows already carry — so the
+    # rounds move ONLY (pid, cls): two longs per row instead of four
+    # columns, and every equi-join compares one long instead of a
+    # two-column key.  Shifting by `step` in pid space is exact: within
+    # a document pid - step ≡ (doc_id, off - step); when off < step the
+    # arithmetic lands at off' ≥ 2^POS_BITS - step in the PREVIOUS
+    # document's range, and no real position has off' > its document's
+    # word count (≪ 2^POS_BITS — the same packing invariant pid itself
+    # relies on), so the join misses exactly where the old
+    # (doc_id, off - step) key missed.  doc_id/off unpack at the end.
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("off", "w"),
     ).select(
-        "doc_id",
-        F.col("off").cast("long").alias("off"),
         "w",
         (
-            F.col("doc_id") * F.lit(1 << _SUFFIX_POS_BITS) + F.col("off")
+            F.col("doc_id") * F.lit(1 << _SUFFIX_POS_BITS)
+            + F.col("off").cast("long")
         ).alias("pid"),
     )
     # class_0: one representative per distinct WORD (length-1 windows)
     reps0 = toks.groupBy("w").agg(F.min("pid").alias("cls"))
-    cur = toks.join(reps0, "w").select("doc_id", "off", "pid", "cls")
+    cur = toks.join(reps0, "w").select("pid", "cls")
     step = 1
     for _ in range(rounds):
         shifted = cur.select(
-            "doc_id",
-            (F.col("off") - step).alias("off"),
+            (F.col("pid") - step).alias("pid"),
             F.col("cls").alias("cls2"),
         )
         # left join: positions whose window overruns the doc keep a
         # sentinel class — their (short) windows stay distinguishable
         # from every full window and are filtered before keying below
-        paired = cur.join(shifted, ["doc_id", "off"], "left").withColumn(
+        paired = cur.join(shifted, ["pid"], "left").withColumn(
             "cls2", F.coalesce("cls2", F.lit(-1))
         )
         reps = paired.groupBy("cls", "cls2").agg(F.min("pid").alias("ncls"))
         cur = paired.join(reps, ["cls", "cls2"]).select(
-            "doc_id", "off", "pid", F.col("ncls").alias("cls")
+            "pid", F.col("ncls").alias("cls")
         )
         step *= 2
     # sparse-table keying: (class_a(off), class_a(off + L - 2^a)) for
@@ -2820,12 +2831,19 @@ def _suffix_window_keys(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
     )
     tail = cur.select(
-        "doc_id",
-        (F.col("off") - (L - a_len)).alias("off"),
+        (F.col("pid") - (L - a_len)).alias("pid"),
         F.col("cls").alias("cls2"),
     )
     keyed = (
-        cur.join(tail, ["doc_id", "off"])
+        cur.join(tail, ["pid"])
+        .select(
+            F.shiftright("pid", _SUFFIX_POS_BITS).alias("doc_id"),
+            F.col("pid")
+            .bitwiseAND(F.lit((1 << _SUFFIX_POS_BITS) - 1))
+            .alias("off"),
+            "cls",
+            "cls2",
+        )
         .join(n_words, "doc_id")
         .where(F.col("off") <= F.col("n_words") - L)
         .select("doc_id", "off", "cls", "cls2")

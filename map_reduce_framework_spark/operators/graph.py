@@ -48,16 +48,23 @@ def connected_components(
     # localCheckpoint (eager) both materializes the iteration inputs and
     # TRUNCATES LINEAGE — without it each round's plan embeds all prior
     # rounds and Catalyst re-analysis dominates wall time.
+    # Round-14 job-count trim (guide §1.2: scheduling is per-task work
+    # too): every localCheckpoint here is LAZY and immediately
+    # materialized by the convergence-sum collect that follows, so each
+    # iteration schedules ONE job (checkpoint + Σlabels fused) instead
+    # of two.  Lineage truncation is unchanged — the checkpoint happens
+    # as a side effect of the sum job's computation, and the next
+    # iteration reads the materialized blocks.
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
@@ -84,7 +91,7 @@ def connected_components(
                 "id",
                 F.coalesce("llabel", "label").alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
@@ -750,8 +757,13 @@ def kcore_from_pairs(pairs: DataFrame) -> DataFrame:
     Frontier degree-subtraction; see :func:`kcore_membership` for the
     measured rationale vs subgraph rewriting."""
     # pairs materialize ONCE; sym is two projections of the checkpoint
-    # (the union must not recompute the pair generation per scan)
-    pairs = pairs.localCheckpoint()
+    # (the union must not recompute the pair generation per scan).
+    # Round-14: all loop checkpoints are LAZY — each is materialized by
+    # the NEXT driver action (the frontier count, or the final job), so
+    # every peel round schedules one job instead of two; the persist
+    # backing of localCheckpoint keeps the union's two legs from
+    # recomputing the pair generation within that job.
+    pairs = pairs.localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -760,7 +772,7 @@ def kcore_from_pairs(pairs: DataFrame) -> DataFrame:
     deg0 = (
         sym.groupBy(F.col("src").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("degree_initial"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # alive: (doc_id, d) — d is always the node's degree within the
     # CURRENT survivor subgraph; node-sized, checkpointed per round
@@ -785,7 +797,7 @@ def kcore_from_pairs(pairs: DataFrame) -> DataFrame:
                 "doc_id",
                 (F.col("d") - F.coalesce("lost", F.lit(0))).alias("d"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         deg0.join(

@@ -13,6 +13,7 @@ two tables bucketed on the same key joined with zero Exchange operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def fingerprinted_table_name(prefix: str, sf_dir: str, source_table: str) -> str:
@@ -61,7 +62,19 @@ def write_bucketed(
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     (
-        df.write.mode("overwrite")
+        # Round-14 (guide §6 small files): a bucketed save writes one
+        # file per (task, non-empty bucket) — at 32 tasks × 8 buckets
+        # every KB-sized index table landed as ~256 files plus commit
+        # metadata, and the maintenance queries' wall was file churn,
+        # not data.  Repartitioning BY THE BUCKET COLUMN into exactly
+        # n_buckets partitions uses the same Murmur3 % n assignment as
+        # the bucket spec, so each task holds exactly one bucket and
+        # writes exactly one file — the ideal bucketed layout.  Writer
+        # parallelism = bucket count, which is the same knob production
+        # sizes for file size anyway (a 100 TB index gets thousands of
+        # buckets, not 8).
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)

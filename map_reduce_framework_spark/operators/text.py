@@ -1492,6 +1492,16 @@ def _bpe_train(
             F.col("sp").substr(F.lit(1), F.length("sp") - 1).alias("syms"),
         )
     )
+    # Round-14 (guide §2.2 fewer/larger partitions): every training
+    # round launches a TakeOrdered job over the cached vocab, so its
+    # partition count is paid BPE_ROUNDS times.  Coalesce to the
+    # corpus SCAN's own parallelism (input-size-derived, the
+    # fan_out estimate): on the tiny test corpora that is 1-2 tasks per
+    # round instead of 32; at scale the scan estimate exceeds the
+    # shuffle partition count and coalesce is a no-op.
+    from .dedup import _scan_partitions
+
+    vocab = vocab.coalesce(max(1, _scan_partitions(docs)))
     cur = cache.persist_tracked(vocab)
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []

@@ -1019,34 +1019,24 @@ def _kn_doc_scores(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(nbt))
         .select("u", "v", "w", p3.alias("p"))
     )
-    # round-14 spill fix: the scoring join (the engine's largest single
-    # exchange — every trigram OCCURRENCE meets the model here) joins
-    # on one 16-byte md5 key instead of three word strings, and the
-    # instance side carries only (doc_id, key) — ~3× fewer sort-merge
-    # bytes to sort and spill, cheaper key compares, identical rows.
-    # Per-doc dedup was measured useless first (Zipf sf1: 2.65M
-    # instances → 2.65M distinct per-doc trigrams — repetition is
-    # CROSS-doc, where types are already collapsed); the md5-128 key is
-    # collision-safe at any feasible corpus (~2⁻⁶⁴ — the dedup_exact
-    # trust level), so the joined (doc_id, p) multiset — and the output
-    # — is bit-identical to the plain string-key join.
-    scored = tri_inst.select("doc_id", _kn_tri_key().alias("t")).join(
-        scored_types.select(_kn_tri_key().alias("t"), "p"), "t"
-    )
+    # Round-14 scoring-join note: the mid-build md5-key variant (join on
+    # unhex(md5(u\x1fv\x1fw)) with a skinny (doc_id, key) instance side)
+    # was REVERTED after an interleaved 5M-doc A/B measured it 1.3-2×
+    # SLOWER than this plain string-key join (r13 code 215/322 s vs
+    # md5-key 384/421/458 s, same box, alternating runs): natural-text
+    # trigram strings are highly repetitive and lz4-compress to a few
+    # bytes in the shuffle/spill stream, while 16-byte digests are
+    # incompressible — the "3× fewer raw bytes" inverted after
+    # compression, and the 250M-row join paid one JVM md5 per instance
+    # on top.  Narrow-key rewrites of compressible-string joins need a
+    # post-compression byte measurement, not a row-width argument.
+    scored = tri_inst.join(scored_types, ["u", "v", "w"])
     ce = -F.avg(F.log2("p"))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         rnd(ce, 4).alias("ce_bits"),
         rnd(F.pow(F.lit(2.0), ce), 4).alias("ppl"),
     )
-
-
-def _kn_tri_key():
-    """16-byte binary join key for a (u, v, w) trigram row — the
-    skinny scoring-join key (see the round-14 note in
-    :func:`_kn_doc_scores`).  ``\\x1f`` separator: tokens are
-    whitespace-split, so no token can contain it."""
-    return F.unhex(F.md5(F.concat_ws("\x1f", "u", "v", "w")))
 
 
 #: held-out split: docs whose 60-bit doc_id hash ≡ 0 (mod 5) are SCORED,
@@ -1147,11 +1137,9 @@ def kn_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", "v", "w", p3.alias("p"), F.col("r1w").isNull().alias("oov")
         )
     )
-    # round-14 spill fix: skinny md5-key scoring join — the instance
-    # side exchanges (doc_id, 16-byte key) only (see _kn_doc_scores)
-    scored = held_inst.select("doc_id", _kn_tri_key().alias("t")).join(
-        scored_types.select(_kn_tri_key().alias("t"), "p", "oov"), "t"
-    )
+    # string-key scoring join (see the round-14 revert note in
+    # _kn_doc_scores: the md5-key variant lost the 5M-doc A/B)
+    scored = held_inst.join(scored_types, ["u", "v", "w"])
     ce = -F.avg(F.log2("p"))
     return (
         scored.groupBy("doc_id")

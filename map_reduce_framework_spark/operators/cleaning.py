@@ -159,11 +159,20 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .dedup import hash60
 
+    from ..cache import persist_tracked
+    from ..parallel import co_materialize
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    scored = _stopword_counts(docs).select(
-        "doc_id",
-        quality_expr().alias("quality"),
-        pred_lang_expr().alias("pred_lang"),
+    # Round-15 (guide §2.6): the quality/lang kernel pass is independent
+    # of the dedup keeplist until the final join — materialize it on a
+    # background thread while the CC sweep's small sequential jobs run
+    # (see ccnet_buckets for the rationale; scheduling only, same DAG).
+    scored = persist_tracked(
+        _stopword_counts(docs).select(
+            "doc_id",
+            quality_expr().alias("quality"),
+            pred_lang_expr().alias("pred_lang"),
+        )
     )
     permille = hash60(F.col("source")) % MIXTURE_SPREAD + MIXTURE_BASE_PERMILLE
     keep_key = F.concat_ws(":", F.col("source"), F.col("doc_id"))
@@ -172,9 +181,10 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_BLOCK_RE)).cast("long").alias("n_hits"),
         (hash60(keep_key) % 1000 < permille).alias("kept_sample"),
     )
-    dedup_verdict = keeplist_unsorted(spark, sf_dir).withColumnRenamed(
-        "kept", "kept_dedup"
-    )
+    with co_materialize(scored, "clean_corpus: quality/lang branch (overlapped)"):
+        dedup_verdict = keeplist_unsorted(spark, sf_dir).withColumnRenamed(
+            "kept", "kept_dedup"
+        )
     out = (
         scored.join(flags, "doc_id")
         .join(dedup_verdict, "doc_id")
@@ -234,6 +244,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..cache import persist_tracked
+    from ..parallel import co_materialize
     from .graph import keeplist_unsorted
     from .text import _kn_doc_scores, _stopword_counts, pred_lang_expr
 
@@ -242,12 +253,21 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", pred_lang_expr().alias("pred_lang")
     )
     ppl = _kn_doc_scores(docs).select("doc_id", "ppl")
-    keep = keeplist_unsorted(spark, sf_dir).select(
-        "doc_id", F.col("kept").alias("kept_dedup")
-    )
-    base = persist_tracked(
-        langs.join(ppl, "doc_id", "left").join(keep, "doc_id")
-    )
+    # Round-15 (guide §2.6): the lang-ID + KN-scoring branch and the
+    # dedup keeplist are independent until the final join, but the
+    # keeplist's connected-components sweep schedules many small
+    # sequential driver actions at construction time — run sequentially
+    # the cluster idles through them.  Materialize the scoring branch
+    # on a background driver thread so its corpus-scale stages
+    # back-fill the cores the CC loop leaves free; the final join then
+    # reads both branches from cache.  Same DAG, same results —
+    # scheduling only.
+    scored = persist_tracked(langs.join(ppl, "doc_id", "left"))
+    with co_materialize(scored, "ccnet_buckets: lang+KN branch (overlapped)"):
+        keep = keeplist_unsorted(spark, sf_dir).select(
+            "doc_id", F.col("kept").alias("kept_dedup")
+        )
+    base = persist_tracked(scored.join(keep, "doc_id"))
     vals = (
         base.where(F.col("ppl").isNotNull())
         .groupBy("pred_lang", "ppl")

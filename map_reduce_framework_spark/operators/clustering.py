@@ -826,6 +826,11 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("b").alias("bs"), F.collect_list("x").alias("xs")
         )
     )
+    # Round-15 §2.6 note: overlapping the held-out feature build with
+    # the GD loop was measured FLAT in an interleaved same-session A/B
+    # (min 3.658 s overlapped vs 3.626 s sequential at sf0.1) — the
+    # eval branch is too small relative to the loop to pay for its
+    # persist + extra action — so the sequential shape stays.
     w = train_quality_classifier(dense, dense.count())
     wdf = F.broadcast(
         docs.sparkSession.createDataFrame(

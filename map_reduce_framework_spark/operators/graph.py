@@ -198,10 +198,22 @@ def dedup_keeplist_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _stopword_counts, quality_expr
 
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    clusters = keeplist_unsorted(spark, sf_dir).select("doc_id", "cluster_id")
-    q = _stopword_counts(docs).select(
-        "doc_id", quality_expr().alias("quality")
+    # Round-15 (guide §2.6): the quality kernel is independent of the
+    # CC keeplist until the join — materialize it on a background
+    # thread while the CC sweep's small sequential jobs run (see
+    # ccnet_buckets; scheduling only, same DAG).
+    from ..cache import persist_tracked
+    from ..parallel import co_materialize
+
+    q = persist_tracked(
+        _stopword_counts(docs).select(
+            "doc_id", quality_expr().alias("quality")
+        )
     )
+    with co_materialize(q, "dedup_keeplist_quality: quality branch (overlapped)"):
+        clusters = keeplist_unsorted(spark, sf_dir).select(
+            "doc_id", "cluster_id"
+        )
     m = clusters.join(q, "doc_id")
     # fail-loud capacity guard: an id past the 8-digit field would keep
     # its '-' sign through lpad and silently corrupt the string argmax
@@ -760,9 +772,13 @@ def kcore_from_pairs(pairs: DataFrame) -> DataFrame:
     # (the union must not recompute the pair generation per scan).
     # Round-14: all loop checkpoints are LAZY — each is materialized by
     # the NEXT driver action (the frontier count, or the final job), so
-    # every peel round schedules one job instead of two; the persist
-    # backing of localCheckpoint keeps the union's two legs from
-    # recomputing the pair generation within that job.
+    # a peel round normally schedules one job instead of two; the
+    # persist backing of localCheckpoint keeps the union's two legs
+    # from recomputing the pair generation within that job.  (Round-14
+    # advice caveat: limit(1).count() can satisfy itself from a subset
+    # of partitions, leaving the remainder to a catch-up job — the
+    # measured round-14 job counts already include any such catch-up,
+    # so the claim is "fewer jobs, measured", not "exactly one".)
     pairs = pairs.localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -212,13 +212,20 @@ def _scan_partitions(df: DataFrame) -> int:
     time of nearly every query, so that cost lands inside every timed
     bench row (guide §1.2: per-task work includes the driver's own).
     For plain file scans the count is a pure function of the leaf file
-    sizes and three confs, so replicate Spark's split-packing estimate
-    (``FilePartition.maxSplitBytes``) from ``inputFiles()`` + ``stat``
-    (~10 ms): splits of maxSplitBytes = min(maxPartitionBytes,
-    max(openCost, totalBytes/parallelism)), greedy-packed.  Estimate and
-    truth can differ by a partition around bin boundaries; the only
-    consumer is the under-parallel BOOLEAN, where a one-off wobble flips
-    a repartition that is semantics-neutral either way.  Any non-local
+    sizes and three confs, so replicate Spark's split packing
+    (``FilePartition.maxSplitBytes`` + ``getFilePartitions``) from
+    ``inputFiles()`` + ``stat`` (~10 ms).  Round-15 (round-14 advice):
+    the first cut approximated the pack as ``ceil(total/maxSplit)`` — a
+    LOWER bound of Spark's greedy packing that could under-count on
+    many-small-file layouts — and used ceil where Spark floor-divides
+    ``bytesPerCore``.  This is now the exact algorithm: per-file split
+    into ≤ maxSplit chunks, chunks sorted descending, greedy bin-pack
+    charging ``openCostInBytes`` per chunk, floor division for
+    bytesPerCore, and the ``minPartitionNum`` conf consulted before
+    ``defaultParallelism`` — pinned equal to the ``.rdd`` truth across
+    the shipped layouts and a many-small-files fixture by
+    ``tests/test_dedup.py::test_scan_partitions_matches_rdd_truth``.
+    Parquet is splittable (the only source format here); any non-local
     path, empty listing, or conf surprise falls back to the exact RDD
     answer.
     """
@@ -233,13 +240,43 @@ def _scan_partitions(df: DataFrame) -> int:
             if not f.startswith("file:"):
                 raise ValueError(f"non-local input {f!r}")
             sizes.append(os.stat(unquote(urlparse(f).path)).st_size)
-        conf = df.sparkSession.conf
+        spark = df.sparkSession
+        conf = spark.conf
         max_pb = _size_conf_bytes(conf.get("spark.sql.files.maxPartitionBytes"))
         open_cost = _size_conf_bytes(conf.get("spark.sql.files.openCostInBytes"))
-        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        if conf.get("spark.sql.files.maxPartitionNum", None):
+            # the repack path isn't replicated — use the exact answer
+            raise ValueError("maxPartitionNum set")
+        min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+        if not min_pn:
+            min_pn = conf.get(
+                "spark.sql.leafNodeDefaultParallelism",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        par = max(1, int(min_pn))
         total = sum(s + open_cost for s in sizes)
-        max_split = min(max_pb, max(open_cost, -(-total // par)))
-        return max(1, -(-total // max_split))
+        bytes_per_core = total // par  # Spark floor-divides here
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        # per-file chunking (parquet is splittable), then Spark's greedy
+        # pack over size-descending chunks: close the open partition
+        # when the next chunk would overflow maxSplit; each packed
+        # chunk is charged its payload + openCost
+        chunks: list[int] = []
+        for s in sizes:
+            off = 0
+            while off < s:
+                chunks.append(min(max_split, s - off))
+                off += max_split
+        chunks.sort(reverse=True)
+        n, cur = 0, 0
+        for c in chunks:
+            if cur + c > max_split and cur > 0:
+                n += 1
+                cur = 0
+            cur += c + open_cost
+        if cur > 0:
+            n += 1
+        return max(1, n)
     except Exception:
         return df.rdd.getNumPartitions()
 

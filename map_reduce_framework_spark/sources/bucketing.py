@@ -54,27 +54,46 @@ def write_bucketed(
     warehouse directory persists — clear any orphaned location first so
     ``saveAsTable`` never hits LOCATION_ALREADY_EXISTS.
     """
+    import os
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     spark = df.sparkSession
     if not spark.catalog.tableExists(table):
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    # Round-14 (guide §6 small files): a bucketed save writes one file
+    # per (task, non-empty bucket) — at 32 tasks × 8 buckets every
+    # KB-sized index table landed as ~256 files plus commit metadata,
+    # and the maintenance queries' wall was file churn, not data.
+    # Repartitioning BY THE BUCKET COLUMN into exactly n_buckets
+    # partitions uses the same Murmur3 % n assignment as the bucket
+    # spec, so each task holds exactly one bucket and writes exactly
+    # one file — the ideal bucketed layout.
+    # Round-15 (round-14 advice): that repartition caps WRITER
+    # parallelism at n_buckets, a regression for genuinely large
+    # inputs (the orders/customer path at high SFs) — so align only
+    # when the source leaf bytes are plausibly bucket-file-sized
+    # (~n_buckets × healthy-file-size); a big table keeps full writer
+    # parallelism and accepts more files per bucket, the trade
+    # production makes by raising n_buckets instead.  Leaf bytes
+    # OVERESTIMATE derived inputs (joins/filters keep every leaf), so
+    # big-input misclassification only errs toward parallelism.
+    try:
+        leaf_bytes = sum(
+            os.stat(unquote(urlparse(f).path)).st_size
+            for f in df.inputFiles()
+            if f.startswith("file:")
+        )
+    except OSError:
+        leaf_bytes = 0
+    align_max = int(
+        os.environ.get("SPARK_GRAFT_BUCKET_ALIGN_MAX", str(256 << 20))
+    )
+    if leaf_bytes <= align_max:
+        df = df.repartition(n_buckets, F.col(bucket_col))
     (
-        # Round-14 (guide §6 small files): a bucketed save writes one
-        # file per (task, non-empty bucket) — at 32 tasks × 8 buckets
-        # every KB-sized index table landed as ~256 files plus commit
-        # metadata, and the maintenance queries' wall was file churn,
-        # not data.  Repartitioning BY THE BUCKET COLUMN into exactly
-        # n_buckets partitions uses the same Murmur3 % n assignment as
-        # the bucket spec, so each task holds exactly one bucket and
-        # writes exactly one file — the ideal bucketed layout.  Writer
-        # parallelism = bucket count, which is the same knob production
-        # sizes for file size anyway (a 100 TB index gets thousands of
-        # buckets, not 8).
-        df.repartition(n_buckets, F.col(bucket_col))
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)

@@ -1353,3 +1353,45 @@ def test_dedup_url_matches_oracle(spark, duck):
     assert_matches_oracle(
         spark, duck, dedup_url, ORACLES["dedup_url"], "dedup_url"
     )
+
+
+def test_scan_partitions_matches_rdd_truth(spark, tmp_path):
+    """_scan_partitions must equal the exact plan->RDD partition count
+    (round-14 advice pinned: the estimate replicates Spark's greedy
+    split packing, not a ceil(total/maxSplit) lower bound) across the
+    shipped single-file layouts, a many-small-files layout, and a
+    forced multi-chunk split of one larger file."""
+    from map_reduce_framework_spark.operators.dedup import _scan_partitions
+    from map_reduce_framework_spark.sources import load_table
+
+    from .conftest import SF_DIR
+
+    def check(df, label):
+        est = _scan_partitions(df)
+        truth = df.rdd.getNumPartitions()
+        assert est == truth, f"{label}: estimate {est} != truth {truth}"
+
+    # shipped layouts (one parquet file per table at test SFs)
+    for table in ("documents", "lineitem", "events", "embeddings"):
+        check(load_table(spark, SF_DIR, table), table)
+
+    # many-small-files layout: 40 tiny files — the greedy pack charges
+    # openCostInBytes per file, so the naive byte-ratio bound diverges
+    many = str(tmp_path / "many_small")
+    spark.range(4000).repartition(40).write.parquet(many)
+    check(spark.read.parquet(many), "40 small files")
+
+    # chunked split: one file larger than a shrunken maxPartitionBytes
+    one = str(tmp_path / "one_chunky")
+    spark.range(200_000).coalesce(1).write.parquet(one)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        check(spark.read.parquet(one), "chunk-split file")
+        # and with an explicit minPartitionNum (the conf Spark consults
+        # before defaultParallelism)
+        spark.conf.set("spark.sql.files.minPartitionNum", "3")
+        check(spark.read.parquet(one), "minPartitionNum=3")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.unset("spark.sql.files.minPartitionNum")

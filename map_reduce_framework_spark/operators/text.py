@@ -74,32 +74,62 @@ def _stopword_counts(docs: DataFrame) -> DataFrame:
     the dedup signature pass, measured ~4× there).  One batch pass
     tokenizes each doc once and counts membership against all five
     frozen stopword sets; downstream scoring stays pure Column exprs.
+
+    Round-15 (guide §4.2): ``mapInArrow`` + vectorized segment ops
+    instead of ``mapInPandas`` + a per-document Python loop.  The
+    tokenize (``split_pattern``), membership (``is_in``) and
+    dictionary-encode run in Arrow C++ over the whole batch; the
+    per-document reductions are numpy ``bincount``/``unique`` over the
+    flattened (token, parent-index) arrays.  Token semantics are
+    unchanged: ``split_pattern(text, " ")`` produces exactly
+    ``text.split(" ")`` (consecutive delimiters yield empty tokens, an
+    empty text yields ``[""]``), membership counts OCCURRENCES, and
+    ``n_uniq`` counts distinct token strings per document — pinned
+    bit-for-bit against the old kernel by
+    ``tests/test_cleaning.py::test_stopword_gopher_kernels_match_python``.
     """
     langs = sorted(LANG_STOPWORDS)
 
     def batches(it):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        sets = {lang: frozenset(LANG_STOPWORDS[lang]) for lang in langs}
-        for pdf in it:
-            toks_list = [t.split(" ") for t in pdf["text"]]
-            out = {
-                "doc_id": pdf["doc_id"].values,
-                "lang": pdf["lang"].values,
-                "n_tokens": [len(ts) for ts in toks_list],
-                "n_uniq_tokens": [len(set(ts)) for ts in toks_list],
+        sets = {
+            lang: pa.array(sorted(LANG_STOPWORDS[lang])) for lang in langs
+        }
+        for rb in it:
+            n = rb.num_rows
+            tok = pc.split_pattern(rb.column("text"), " ")
+            flat = pc.list_flatten(tok)
+            parent = pc.list_parent_indices(tok).to_numpy()
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy()
+            k = max(len(enc.dictionary), 1)
+            # distinct tokens per doc: unique (parent, code) pairs,
+            # folded into one int64 key (parent < batch rows, code < k)
+            uniq_parents = np.unique(parent * np.int64(k) + codes) // k
+            cols = {
+                "doc_id": rb.column("doc_id"),
+                "lang": rb.column("lang"),
+                "n_tokens": pc.list_value_length(tok),
+                "n_uniq_tokens": pa.array(
+                    np.bincount(uniq_parents, minlength=n).astype(np.int32)
+                ),
             }
             for lang in langs:
-                s = sets[lang]
-                out[f"s_{lang}"] = [
-                    sum(1 for t in ts if t in s) for ts in toks_list
-                ]
-            yield pd.DataFrame(out)
+                mask = pc.is_in(flat, value_set=sets[lang]).to_numpy(
+                    zero_copy_only=False
+                )
+                cols[f"s_{lang}"] = pa.array(
+                    np.bincount(parent[mask], minlength=n).astype(np.int32)
+                )
+            yield pa.RecordBatch.from_pydict(cols)
 
     schema = "doc_id bigint, lang string, n_tokens int, n_uniq_tokens int, " + ", ".join(
         f"s_{lang} int" for lang in langs
     )
-    return docs.select("doc_id", "lang", "text").mapInPandas(batches, schema)
+    return docs.select("doc_id", "lang", "text").mapInArrow(batches, schema)
 
 
 def quality_expr():
@@ -164,37 +194,67 @@ def _gopher_counts(docs: DataFrame) -> DataFrame:
     same kernel shape as :func:`_stopword_counts` (the repo's rule:
     per-token work happens in numpy/pandas batches, not interpreted
     Catalyst HOFs)."""
-    import re
-
-    stop_en = frozenset(LANG_STOPWORDS["en"])
-    alpha_re = re.compile(r"[a-zA-Z]")
-    symbol_re = re.compile(r"^[^a-zA-Z0-9]+$")
-
     def batches(it):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in it:
-            toks_list = [t.split(" ") for t in pdf["text"]]
-            yield pd.DataFrame(
+        stop_en = pa.array(sorted(LANG_STOPWORDS["en"]))
+        for rb in it:
+            n = rb.num_rows
+            tok = pc.split_pattern(rb.column("text"), " ")
+            flat = pc.list_flatten(tok)
+            parent = pc.list_parent_indices(tok).to_numpy()
+            # Round-15 (guide §4.2): vectorized segment reductions over
+            # the flattened token array replace the per-document Python
+            # loop; regex/membership kernels run in Arrow C++ (RE2
+            # search semantics == re.search / anchored re.match here).
+            lens = pc.utf8_length(flat).to_numpy()
+            alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+                zero_copy_only=False
+            )
+            symbol = pc.match_substring_regex(
+                flat, "^[^a-zA-Z0-9]+$"
+            ).to_numpy(zero_copy_only=False)
+            stop = pc.is_in(flat, value_set=stop_en).to_numpy(
+                zero_copy_only=False
+            )
+            # n_stop counts DISTINCT stopwords present (the old kernel's
+            # set.intersection) — dedupe (parent, code) among stop hits
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy()
+            k = max(len(enc.dictionary), 1)
+            stop_parents = (
+                np.unique(parent[stop] * np.int64(k) + codes[stop]) // k
+            )
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "doc_id": pdf["doc_id"].values,
-                    "n_words": [len(ts) for ts in toks_list],
-                    "sum_len": [sum(len(t) for t in ts) for ts in toks_list],
-                    "n_alpha": [
-                        sum(1 for t in ts if alpha_re.search(t))
-                        for ts in toks_list
-                    ],
-                    "n_stop": [
-                        len(stop_en.intersection(ts)) for ts in toks_list
-                    ],
-                    "n_symbol": [
-                        sum(1 for t in ts if symbol_re.match(t))
-                        for ts in toks_list
-                    ],
+                    "doc_id": rb.column("doc_id"),
+                    "n_words": pc.list_value_length(tok).cast(pa.int64()),
+                    "sum_len": pa.array(
+                        np.bincount(
+                            parent, weights=lens, minlength=n
+                        ).astype(np.int64)
+                    ),
+                    "n_alpha": pa.array(
+                        np.bincount(parent[alpha], minlength=n).astype(
+                            np.int64
+                        )
+                    ),
+                    "n_stop": pa.array(
+                        np.bincount(stop_parents, minlength=n).astype(
+                            np.int64
+                        )
+                    ),
+                    "n_symbol": pa.array(
+                        np.bincount(parent[symbol], minlength=n).astype(
+                            np.int64
+                        )
+                    ),
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInArrow(
         batches,
         "doc_id bigint, n_words long, sum_len long, n_alpha long, "
         "n_stop long, n_symbol long",

@@ -380,3 +380,59 @@ def test_encoding_repair_null_text_propagates_null(spark):
     assert rows[1]["repaired_text"] is None
     assert rows[1]["was_clean"] is None
     assert rows[2]["n_mojibake"] == 0 and rows[2]["was_clean"]
+
+
+def test_stopword_gopher_kernels_match_python(spark):
+    """The round-15 mapInArrow kernels must reproduce the previous
+    per-row Python implementations bit-for-bit (tokenize via
+    str.split(' ') semantics: consecutive delimiters yield empty
+    tokens, empty text yields ['']; s_<lang> counts OCCURRENCES;
+    n_stop counts DISTINCT stopwords present)."""
+    import re
+
+    from map_reduce_framework_spark.operators.text import (
+        LANG_STOPWORDS,
+        _gopher_counts,
+        _stopword_counts,
+    )
+
+    rows = [
+        (0, "en", "the cat sat on the mat the end"),
+        (1, "de", "der die das der und !! der"),
+        (2, "en", ""),
+        (3, "fr", "le  la   de"),  # consecutive spaces -> empty tokens
+        (4, "zh", "的 是 不 x1 9 ?? the"),
+        (5, "en", "a a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {r["doc_id"]: r.asDict() for r in _stopword_counts(docs).collect()}
+    langs = sorted(LANG_STOPWORDS)
+    for doc_id, lang, text in rows:
+        ts = text.split(" ")
+        exp = {
+            "doc_id": doc_id,
+            "lang": lang,
+            "n_tokens": len(ts),
+            "n_uniq_tokens": len(set(ts)),
+        }
+        for lg in langs:
+            s = frozenset(LANG_STOPWORDS[lg])
+            exp[f"s_{lg}"] = sum(1 for t in ts if t in s)
+        assert got[doc_id] == exp, f"stopword kernel mismatch doc {doc_id}"
+
+    stop_en = frozenset(LANG_STOPWORDS["en"])
+    alpha_re = re.compile(r"[a-zA-Z]")
+    symbol_re = re.compile(r"^[^a-zA-Z0-9]+$")
+    gg = {r["doc_id"]: r.asDict() for r in _gopher_counts(docs).collect()}
+    for doc_id, _, text in rows:
+        ts = text.split(" ")
+        exp = {
+            "doc_id": doc_id,
+            "n_words": len(ts),
+            "sum_len": sum(len(t) for t in ts),
+            "n_alpha": sum(1 for t in ts if alpha_re.search(t)),
+            "n_stop": len(stop_en.intersection(ts)),
+            "n_symbol": sum(1 for t in ts if symbol_re.match(t)),
+        }
+        assert gg[doc_id] == exp, f"gopher kernel mismatch doc {doc_id}"

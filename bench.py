@@ -339,6 +339,24 @@ def main() -> int:
             f.write("\n")
     except OSError as e:  # never let the file copy kill the stdout record
         print(f"BENCH_LOCAL.json write failed: {e}", file=sys.stderr)
+    # Round-15: BENCH_LOCAL.json is a last-run snapshot, so a later
+    # lower-core driver pass silently replaces the canonical 32-core
+    # record (it did between rounds 13→15).  Keep every run in an
+    # append-only history so per-run records survive; pure artifact
+    # addition — nothing timed changes.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "bench_history.jsonl"),
+            "a",
+        ) as f:
+            json.dump(
+                {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **record}, f,
+                separators=(",", ":"),
+            )
+            f.write("\n")
+    except OSError as e:
+        print(f"bench_history.jsonl append failed: {e}", file=sys.stderr)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )

@@ -714,3 +714,48 @@ def test_ewma_segmented_single_data_shuffle(spark):
     plan = plan_of(rx.ewma_smooth_segmented(spark, SF_DIR), mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_write_alignment_gate(spark, tmp_path, monkeypatch):
+    """Round-15: write_bucketed aligns partitions to the bucket spec
+    (one file per bucket) only for SMALL inputs; past the size gate the
+    repartition is skipped so large tables keep full writer
+    parallelism.  Both paths must read back identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources.bucketing import write_bucketed
+
+    src = str(tmp_path / "src")
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(16).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    def n_files(table):
+        loc = spark.sql(f"DESCRIBE FORMATTED {table}").where(
+            "col_name = 'Location'"
+        ).collect()[0]["data_type"]
+        path = loc.replace("file:", "")
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    # small input (default 256MB gate): exactly one file per bucket
+    write_bucketed(df, "t_align_small", "k", n_buckets=4)
+    assert n_files("t_align_small") == 4
+
+    # force the large-input path: alignment skipped, writer keeps its
+    # parallelism (16 input partitions x up to 4 buckets > 4 files)
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_ALIGN_MAX", "0")
+    write_bucketed(df, "t_align_large", "k", n_buckets=4)
+    assert n_files("t_align_large") > 4
+
+    a = spark.table("t_align_small").orderBy("k").collect()
+    b = spark.table("t_align_large").orderBy("k").collect()
+    assert a == b
+    spark.sql("DROP TABLE t_align_small")
+    spark.sql("DROP TABLE t_align_large")

